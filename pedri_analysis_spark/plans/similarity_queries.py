@@ -1,0 +1,145 @@
+"""Similarity-search queries over ``embeddings``, oracle-verified.
+
+Cosine values are floor-rounded to 6 dp at every comparison/output point
+(operators.similarity.round6): the dot-product fold order is
+engine-internal, so the last ulps are not portable; 6 dp collapses that
+noise while keeping ordering decisions (top-k membership, threshold
+filters, centroid argmax) identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.operators import similarity as sim
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+TOPK = 10
+QUERY_ID = 0
+N_CENTROIDS = 8
+NPROBE = 2
+NEARDUP_T = 0.4  # synthetic embeddings: same-label cosine tops out ~0.5
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB-side cosine with the same 6-dp floor rounding. The fold order
+# inside list_cosine_similarity differs from our Spark fold — that is
+# exactly what round6 absorbs.
+def _dcos(a: str, b: str) -> str:
+    return (
+        f"floor(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]) * 1000000 + 0.5)"
+        f" / 1000000"
+    )
+
+
+@_register(
+    "cosine_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_ID})
+    SELECT e.vec_id, {_dcos('e.embedding', 'q.qvec')} AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id ASC
+    LIMIT {TOPK}
+    """,
+)
+def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against a query vector (brute force baseline).
+
+    Scale: broadcast 1-row query; narrow map to score; top-k as
+    TakeOrderedAndProject (per-partition heaps, no global sort). At 100 TB
+    this is the exact-answer fallback; the IVF path below is the
+    sub-linear one."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    query = emb.filter(F.col("vec_id") == QUERY_ID)
+    return sim.cosine_topk(emb, query, k=TOPK)
+
+
+@_register(
+    "ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cent c, q
+              ORDER BY {_dcos('e.embedding', 'c.embedding')} DESC, c.cid ASC
+              LIMIT 1) AS cluster
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT c.cid AS cluster FROM cent c, q
+      ORDER BY {_dcos('c.embedding', 'q.qvec')} DESC, c.cid ASC
+      LIMIT {NPROBE}
+    )
+    SELECT a.vec_id, {_dcos('a.embedding', 'q.qvec')} AS sim
+    FROM assigned a JOIN probe p ON a.cluster = p.cluster, q
+    ORDER BY sim DESC, a.vec_id ASC
+    LIMIT {TOPK}
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: bucket vectors by nearest
+    centroid once, probe only the {p} nearest buckets at query time.
+
+    Centroids are a deterministic subset (vec_id < {c}) so the operator is
+    oracle-checkable; at scale they come from sampled k-means and the
+    bucketed table is written partitioned by cluster, making each probe a
+    partition-pruned scan (sub-linear in corpus size).""".format(
+        p=NPROBE, c=N_CENTROIDS
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_ID)
+    assigned = sim.ivf_assign(emb, centroids)
+    return sim.ivf_topk(assigned, centroids, query, k=TOPK, nprobe=NPROBE)
+
+
+@_register(
+    "embedding_near_dups",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {_dcos('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dcos('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (label): the semantic-dedup operator.
+
+    Scale: the label block bounds the pair explosion (same topology as
+    SimHash blocking); at 100 TB the block key is an LSH bucket of the
+    embedding itself, which keeps the self-join linear-ish."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), F.col("label"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        .filter(F.col("sim") >= NEARDUP_T)
+        .select("a", "b", "sim")
+    )

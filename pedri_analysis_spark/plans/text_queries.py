@@ -1,0 +1,247 @@
+"""Text-analysis queries over ``documents``: statistics, token frequency,
+language-ID heuristic, and quality scoring — each oracle-verified with
+dual-dialect generated expressions (functions.textexpr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics per language
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_stats_by_lang",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {tx.tokens(tx.DUCK, 'text')} AS toks FROM documents
+    ),
+    doc_level AS (
+      SELECT lang, len(toks) AS n_toks FROM tok
+    ),
+    per_lang AS (
+      SELECT lang, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS total_tokens
+      FROM tok GROUP BY lang
+    ),
+    distinct_tokens AS (
+      SELECT lang, count(DISTINCT t)::BIGINT AS n_distinct
+      FROM tok, unnest(toks) AS u(t) GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.total_tokens,
+           CAST(p.total_tokens AS DOUBLE) / p.n_docs AS avg_tokens_per_doc,
+           CAST(d.n_distinct AS DOUBLE) / p.total_tokens AS distinct_ratio
+    FROM per_lang p JOIN distinct_tokens d ON p.lang = d.lang
+    """,
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per language (the engine's corpus-profiling op).
+
+    Scale: token counts are per-row array math (no explode needed); only
+    the distinct-vocabulary branch explodes, and it aggregates immediately
+    — partial agg keeps the shuffle at |vocab| not |tokens|."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.expr(tx.tokens(tx.SPARK, "text"))
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+    )
+    distinct_tokens = (
+        d.select("lang", F.explode("toks").alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("n_distinct"))
+    )
+    return (
+        per_lang.join(distinct_tokens, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens_per_doc"
+            ),
+            (F.col("n_distinct").cast("double") / F.col("total_tokens")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global token frequency top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_topk",
+    f"""
+    WITH tok AS (
+      SELECT {tx.tokens(tx.DUCK, 'text')} AS toks FROM documents
+    )
+    SELECT t AS token, count(*)::BIGINT AS n
+    FROM tok, unnest(toks) AS u(t)
+    GROUP BY t
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequency (explode → count → top-k).
+
+    Scale: partial aggregation collapses each partition to its local
+    vocabulary before the shuffle; top-k is TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-overlap heuristic)
+# ---------------------------------------------------------------------------
+
+# Deterministic tiny stopword lists; the heuristic scores distinct-token
+# overlap and breaks ties by list order (en > de > es > fr).
+_STOPSETS = [
+    ("en", ["the", "a", "of", "and", "is", "to", "in"]),
+    ("de", ["der", "die", "das", "und", "ist", "zu", "im"]),
+    ("es", ["el", "la", "de", "y", "es", "en", "los"]),
+    ("fr", ["le", "la", "de", "et", "est", "en", "les"]),
+]
+
+
+def _langid_score(dialect: str, lang_words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    if dialect == tx.SPARK:
+        return f"size(array_intersect(toks, array({arr})))"
+    return f"len(list_intersect(toks, [{arr}]))"
+
+
+def _langid_pred(dialect: str) -> str:
+    scores = {lang: _langid_score(dialect, words) for lang, words in _STOPSETS}
+    # priority argmax: first language whose score >= all later ones
+    clauses = []
+    langs = [lang for lang, _ in _STOPSETS]
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{scores[lang]} >= {scores[other]}" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {tx.tokens(tx.DUCK, 'text')} AS toks FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_langid_pred(tx.DUCK)} AS predicted FROM tok
+    )
+    SELECT lang, predicted, count(*)::BIGINT AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic -> confusion-matrix counts
+    against the labeled ``lang`` column. All set arithmetic, JVM-side."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.expr(tx.tokens(tx.SPARK, "text"))
+    )
+    return (
+        d.withColumn("predicted", F.expr(_langid_pred(tx.SPARK)))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    """Component expressions over a ``toks`` array column. Each final
+    value is a short chain of double ops in identical order on both
+    engines — deterministic."""
+    arr = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    if dialect == tx.SPARK:
+        n = "size(toks)"
+        nd = "size(array_distinct(toks))"
+        sumlen = "aggregate(transform(toks, t -> length(t)), 0, (acc, v) -> acc + v)"
+        stop = f"size(array_intersect(toks, array({arr})))"
+    else:
+        n = "len(toks)"
+        nd = "len(list_distinct(toks))"
+        sumlen = "list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (acc, v) -> acc + v)"
+        stop = f"len(list_intersect(toks, [{arr}]))"
+    ttr = f"(CAST({nd} AS DOUBLE) / {n})"
+    avg_len = f"(CAST({sumlen} AS DOUBLE) / {n})"
+    stop_ratio = f"(CAST({stop} AS DOUBLE) / {nd})"
+    cap = "LEAST" if dialect == tx.DUCK else "least"
+    score = (
+        f"({ttr} * 0.4 + {cap}({avg_len} / 10.0, 1.0) * 0.3 + {stop_ratio} * 0.3)"
+    )
+    return {
+        "n_tokens": f"CAST({n} AS BIGINT)",
+        "type_token_ratio": ttr,
+        "avg_token_len": avg_len,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def _quality_oracle() -> str:
+    e = _quality_exprs(tx.DUCK)
+    cols = ",\n           ".join(f"{expr} AS {name}" for name, expr in e.items())
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, 'text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           {cols}
+    FROM tok
+    WHERE len(toks) > 0
+    """
+
+
+@_register("doc_quality_scores", _quality_oracle())
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length / type-token-ratio / stopword
+    components combined into one score (the classic pre-training corpus
+    filter). Pure per-row column math — embarrassingly parallel."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.expr(tx.tokens(tx.SPARK, "text"))
+    )
+    e = _quality_exprs(tx.SPARK)
+    return d.filter(F.expr("size(toks) > 0")).select(
+        "doc_id", *[F.expr(expr).alias(name) for name, expr in e.items()]
+    )
