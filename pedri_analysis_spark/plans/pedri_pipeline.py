@@ -1,0 +1,443 @@
+"""The Pedri analytics pipelines — the reference's flagship workloads
+rebuilt as composable DataFrame stages (SURVEY §3.2/§3.3).
+
+Reference architecture: four sequential passes over a Python list per
+match (core/pedri_analysis_extended.py:209-384) plus a separate basic
+analyzer (core/pedri_analysis.py:231-299).  Rebuild architecture: one
+events DataFrame, branched into per-concern aggregates (direction, main
+counters, xA join, receptions, counter-press) that are joined back on
+``match_id`` — Catalyst fuses the narrow stages and each branch is a
+single partial+final hash aggregate.
+
+Deliberate semantics fix (documented per SURVEY §7 watch-list): the
+reference memoizes attack direction per *team name*, first match wins
+(core/pedri_analysis_extended.py:214-223) — an iteration-order-dependent
+quirk.  Here direction is computed per (match, team), which is the
+correct per-match semantics.
+
+Rounding: final metric columns use ``bround`` (HALF_EVEN) to mirror
+Python's ``round()`` used throughout the reference (F6 rounding parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import predicates as P
+
+FIVE_SECONDS_MIN = 5.0 / 60.0
+
+
+def _cnt(pred) -> F.Column:
+    return F.sum(F.when(pred, 1).otherwise(0))
+
+
+def _xg_dec(col: str = "shot.statsbomb_xg") -> F.Column:
+    """xG summed in decimal for order-independent exactness, emitted as
+    double (cross-engine deterministic; see plans.relational docstring)."""
+    return F.sum(F.col(col).cast("decimal(18,10)")).cast("double")
+
+
+def attack_directions(events: DataFrame) -> DataFrame:
+    """Per (match_id, team): does the team attack left→right?  Mean Δx of
+    completed first-half passes >= 0 (reference extended.py:89-107; J4/A7).
+
+    Scale: a narrow filtered aggregate over (match, team) — broadcast the
+    result back to the event stream."""
+    completed = P.pass_completed_v2() & (F.col("period") == 1)
+    dx = P.end_x() - P.loc_x()
+    return (
+        events.filter(completed & dx.isNotNull())
+        .groupBy("match_id", F.col("team.name").alias("team"))
+        .agg((F.avg(dx) >= 0).alias("attacks_right"))
+    )
+
+
+def with_direction(events: DataFrame) -> DataFrame:
+    """Events + their team's *effective* ``attacks_right`` flag for the
+    event's period: the base direction is inferred from first-half passes,
+    and teams switch ends at halftime, so period 2 flips it (reference
+    extended.py:261-263). Default True when the team has no qualifying
+    first-half passes."""
+    dirs = attack_directions(events).withColumnRenamed("team", "_dir_team")
+    base = F.coalesce(F.col("attacks_right"), F.lit(True))
+    return (
+        events.join(
+            F.broadcast(dirs),
+            (events.match_id == dirs.match_id)
+            & (events["team"]["name"] == dirs["_dir_team"]),
+            "left",
+        )
+        .drop(dirs.match_id)
+        .drop("_dir_team")
+        .withColumn(
+            "attacks_right",
+            F.when(F.coalesce(F.col("period"), F.lit(1)) == 2, ~base).otherwise(base),
+        )
+    )
+
+
+def minutes_estimate(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """Per-match minutes-played estimate (SURVEY O6, reference
+    core/pedri_analysis.py:201-218):
+
+    - start = substitution-ON minute (player enters as replacement) else
+      the player's first event time;
+    - end = substitution-OFF minute (player substituted) else the player's
+      last event time;
+    - minutes = clamp(end - start, 10, 95).
+    """
+    t = P.event_time_min()
+    own = events.filter(P.by_player(player_id)).groupBy("match_id").agg(
+        F.min(t).alias("t_first"), F.max(t).alias("t_last")
+    )
+    sub_on = (
+        events.filter(
+            P.is_type("Substitution")
+            & (F.col("substitution.replacement.id") == player_id)
+        )
+        .groupBy("match_id")
+        .agg(F.min(t).alias("on_min"))
+    )
+    sub_off = (
+        events.filter(P.is_type("Substitution") & P.by_player(player_id))
+        .groupBy("match_id")
+        .agg(F.min(t).alias("off_min"))
+    )
+    return (
+        own.join(sub_on, "match_id", "left")
+        .join(sub_off, "match_id", "left")
+        .select(
+            "match_id",
+            F.least(
+                F.greatest(
+                    F.coalesce("off_min", "t_last")
+                    - F.coalesce("on_min", "t_first"),
+                    F.lit(10.0),
+                ),
+                F.lit(95.0),
+            ).alias("minutes_est"),
+        )
+    )
+
+
+def lineup_position(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """Starting-XI position lookup (P15, reference analysis.py:190-198):
+    array higher-order filter over ``tactics.lineup`` — no explode needed,
+    stays a narrow per-row expression; first Starting XI row wins."""
+    entry = F.expr(
+        f"filter(tactics.lineup, p -> p.player.id = {player_id} OR p.player_id = {player_id})"
+    )
+    w = W.partitionBy("match_id").orderBy(P.event_time_min(), F.col("id"))
+    return (
+        events.filter(P.is_type("Starting XI"))
+        .withColumn("pos", F.when(F.size(entry) > 0, entry[0]["position"]["name"]))
+        .filter(F.col("pos").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("match_id", F.col("pos").alias("position_xi"))
+    )
+
+
+def player_team(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """The player's team per match = mode of team.name over their events
+    (A6, reference extended.py:209-212); ties break lexicographically."""
+    counts = (
+        events.filter(P.by_player(player_id) & F.col("team.name").isNotNull())
+        .groupBy("match_id", F.col("team.name").alias("team"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("match_id").orderBy(F.desc("n"), F.asc("team"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("match_id", "team")
+    )
+
+
+def per_match_basic(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """The basic per-match stat row (A1, reference
+    core/pedri_analysis.py:231-299): ~15 measures folded in ONE hash
+    aggregate over the player's events, plus minutes / position / date
+    side-lookups joined on match_id.
+
+    Scale: predicate counters are `sum(when(pred,1))` — partial aggregation
+    collapses each partition before the shuffle; the whole row set is
+    |matches| ≈ tiny."""
+    pedri = events.filter(P.by_player(player_id))
+    carry_dist = F.when(
+        P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull(),
+        P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y()),
+    )
+    passes = _cnt(P.is_pass())
+    completed = _cnt(P.pass_completed_v1())
+    dribbles = _cnt(P.is_dribble())
+    dribbles_ok = _cnt(P.successful_dribble())
+    stats = pedri.groupBy("match_id").agg(
+        passes.alias("passes"),
+        completed.alias("passes_completed"),
+        _cnt(P.is_key_pass_v1()).alias("key_passes"),
+        _cnt(P.progressive_pass_v1()).alias("progressive_passes"),
+        _cnt(P.is_shot()).alias("shots"),
+        _cnt(P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias("goals"),
+        F.coalesce(_xg_dec(), F.lit(0.0)).alias("_xg_raw"),
+        dribbles.alias("dribbles"),
+        dribbles_ok.alias("dribbles_successful"),
+        _cnt(P.is_carry()).alias("carries"),
+        F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("_carry_raw"),
+        _cnt(P.is_pressure()).alias("pressures"),
+        _cnt(P.is_tackle_v1()).alias("tackles"),
+        _cnt(P.is_interception()).alias("interceptions"),
+        _cnt(P.is_ball_recovery()).alias("ball_recoveries"),
+        F.min("match_date").alias("match_date"),
+    )
+    pct = lambda num, den: F.when(den > 0, F.bround(100.0 * num / den, 1)).otherwise(0.0)
+    stats = (
+        stats.withColumn("pass_pct", pct(F.col("passes_completed"), F.col("passes")))
+        .withColumn("dribble_pct", pct(F.col("dribbles_successful"), F.col("dribbles")))
+        .withColumn("xg", F.bround("_xg_raw", 3))
+        .withColumn("carry_distance", F.bround("_carry_raw", 1))
+        .drop("_xg_raw", "_carry_raw")
+    )
+    return (
+        stats.join(minutes_estimate(events, player_id), "match_id", "left")
+        .join(F.broadcast(lineup_position(events, player_id)), "match_id", "left")
+        .withColumn("minutes", F.bround(F.coalesce("minutes_est", F.lit(90.0)), 1))
+        .withColumn("position", F.coalesce("position_xi", F.lit("Unknown")))
+        .drop("minutes_est", "position_xi")
+    )
+
+
+def xa_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """xA: shots probe their key pass by id; if the pass was the player's,
+    credit the shot's xG (J1, reference extended.py:226-253). A plain
+    equi-join — Catalyst broadcasts the pass side when small; at scale both
+    sides shuffle on the pass id."""
+    shots = events.filter(
+        P.is_shot() & F.col("shot.key_pass_id").isNotNull()
+    ).select(
+        F.col("match_id").alias("s_match"),
+        F.col("shot.key_pass_id").alias("kp_id"),
+        F.col("shot.statsbomb_xg").alias("s_xg"),
+    )
+    passes = events.filter(P.is_pass() & P.by_player(player_id)).select(
+        F.col("match_id").alias("p_match"), F.col("id").alias("p_id")
+    )
+    return (
+        shots.join(
+            passes,
+            (shots.kp_id == passes.p_id) & (shots.s_match == passes.p_match),
+        )
+        .groupBy(F.col("s_match").alias("match_id"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("s_xg").cast("decimal(18,10)")).cast("double"), F.lit(0.0)
+            ).alias("xa_raw")
+        )
+    )
+
+
+def receptions_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """Progressive receptions (J6, reference extended.py:340-354): completed
+    progressive passes (direction of the PASSING team) received by the
+    player."""
+    ev = with_direction(events)
+    pred = (
+        (F.col("pass.recipient.id") == player_id)
+        & P.pass_completed_v2()
+        & P.progressive_v2(F.col("attacks_right"))
+    )
+    return (
+        ev.filter(pred)
+        .groupBy("match_id")
+        .agg(F.count(F.lit(1)).alias("progressive_receptions"))
+    )
+
+
+def counterpress_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """Counter-pressures (J5/O5, reference extended.py:357-384): the
+    player's Pressure events within [0, 5 s] AFTER one of their own
+    turnovers, same match+period, bounds inclusive; each pressure credited
+    at most once (left-semi join ≡ the reference's `break`).
+
+    Scale: equi-keys (match, period) + time-range residual — a range join,
+    shuffle on the equi keys only. The streaming analogue is a
+    watermarked stream-stream interval join (streaming module)."""
+    t = P.event_time_min()
+    losses = events.filter(P.is_turnover() & P.by_player(player_id)).select(
+        F.col("match_id").alias("l_match"),
+        F.col("period").alias("l_period"),
+        t.alias("l_t"),
+    )
+    pressures = events.filter(P.is_pressure() & P.by_player(player_id)).select(
+        F.col("match_id").alias("match_id"),
+        F.col("period").alias("p_period"),
+        t.alias("p_t"),
+    )
+    hit = pressures.join(
+        losses,
+        (F.col("match_id") == F.col("l_match"))
+        & (F.col("p_period") == F.col("l_period"))
+        & (F.col("p_t") >= F.col("l_t"))
+        & (F.col("p_t") <= F.col("l_t") + FIVE_SECONDS_MIN),
+        "left_semi",
+    )
+    return hit.groupBy("match_id").agg(F.count(F.lit(1)).alias("counter_pressures"))
+
+
+def team_xg_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
+    """team_total_xg: xG of ALL shots by the player's team — aggregated
+    before any player filter (the §7 watch-list trap)."""
+    teams = player_team(events, player_id)
+    shots = events.filter(P.is_shot()).select(
+        "match_id", F.col("team.name").alias("shot_team"), F.col("shot.statsbomb_xg").alias("xg")
+    )
+    return (
+        shots.join(F.broadcast(teams), "match_id")
+        .filter(F.col("shot_team") == F.col("team"))
+        .groupBy("match_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("xg").cast("decimal(18,10)")).cast("double"), F.lit(0.0)
+            ).alias("team_total_xg_raw")
+        )
+    )
+
+
+def per_match_extended(
+    events: DataFrame, profile: DataFrame | None = None, player_id: int = P.PLAYER_ID
+) -> DataFrame:
+    """The extended per-match row (A2, reference extended.py:199-436):
+    direction-aware pass/carry metrics + xA + receptions + counter-press +
+    team xG, assembled from independent branch aggregates joined on
+    match_id (the reference's four sequential passes become four parallel
+    DataFrame branches off one scan)."""
+    ev = with_direction(events)
+    pedri = ev.filter(P.by_player(player_id))
+    ar = F.col("attacks_right")
+    carry_ok = P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull()
+    carry_dist = F.when(carry_ok, P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y()))
+
+    main = pedri.groupBy("match_id").agg(
+        _cnt(P.is_pass()).alias("passes"),
+        _cnt(P.pass_completed_v2()).alias("passes_completed"),
+        _cnt(P.pass_completed_v2() & P.progressive_v2(ar)).alias("progressive_passes"),
+        _cnt(
+            P.pass_completed_v2() & P.in_final_third(P.end_x(), ar)
+        ).alias("final_third_passes"),
+        _cnt(
+            P.pass_completed_v2() & P.in_penalty_area(P.end_x(), P.end_y(), ar)
+        ).alias("penalty_area_passes"),
+        _cnt(P.deep_completion(ar)).alias("deep_completions"),
+        _cnt(P.switch_of_play()).alias("switches"),
+        _cnt(P.is_cross()).alias("crosses"),
+        _cnt(P.is_key_pass_v2()).alias("key_passes"),
+        _cnt(P.pass_completed_v2() & (F.col("pass.goal_assist") == True)).alias(  # noqa: E712
+            "assists"
+        ),
+        _cnt(P.under_pressure_completed_pass()).alias("passes_under_pressure"),
+        _cnt(P.is_shot()).alias("shots"),
+        _cnt(P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias("goals"),
+        F.coalesce(_xg_dec(), F.lit(0.0)).alias("xg_raw"),
+        _cnt(P.is_dribble()).alias("dribbles"),
+        _cnt(P.successful_dribble()).alias("dribbles_successful"),
+        _cnt(P.is_carry()).alias("carries"),
+        F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("carry_distance_raw"),
+        _cnt(carry_ok & P.progressive_v2(ar)).alias("progressive_carries"),
+        _cnt(P.is_tackle_v2()).alias("tackles"),
+        _cnt(P.is_interception()).alias("interceptions"),
+        _cnt(P.is_ball_recovery()).alias("ball_recoveries"),
+        _cnt(P.is_pressure()).alias("pressures"),
+        _cnt(P.is_turnover()).alias("turnovers"),
+    )
+    out = (
+        main.join(xa_per_match(events, player_id), "match_id", "left")
+        .join(receptions_per_match(events, player_id), "match_id", "left")
+        .join(counterpress_per_match(events, player_id), "match_id", "left")
+        .join(team_xg_per_match(events, player_id), "match_id", "left")
+        .fillna(
+            {
+                "xa_raw": 0.0,
+                "progressive_receptions": 0,
+                "counter_pressures": 0,
+                "team_total_xg_raw": 0.0,
+            }
+        )
+    )
+    pct = lambda num, den: F.when(den > 0, F.bround(100.0 * num / den, 1)).otherwise(0.0)
+    out = (
+        out.withColumn("pass_pct", pct(F.col("passes_completed"), F.col("passes")))
+        .withColumn("dribble_pct", pct(F.col("dribbles_successful"), F.col("dribbles")))
+        .withColumn("xg", F.bround("xg_raw", 3))
+        .withColumn("xa", F.bround("xa_raw", 3))
+        .withColumn("team_total_xg", F.bround("team_total_xg_raw", 3))
+        .withColumn("carry_distance", F.bround("carry_distance_raw", 1))
+        .withColumn(
+            "xg_share",
+            F.when(
+                F.col("team_total_xg_raw") > 0,
+                F.bround(F.col("xg_raw") / F.col("team_total_xg_raw") * 100.0, 1),
+            ).otherwise(0.0),
+        )
+        .drop("xg_raw", "xa_raw", "team_total_xg_raw", "carry_distance_raw")
+    )
+    if profile is not None:
+        out = (
+            out.join(F.broadcast(profile), "match_id", "left")
+            .withColumn("minutes", F.coalesce("minutes", F.lit(90.0)))
+            .withColumn("team", F.coalesce("team", F.lit("Unknown")))
+            .withColumn("position", F.coalesce("position", F.lit("Unknown")))
+        )
+    return out
+
+
+def season_summary_basic(stats: DataFrame) -> DataFrame:
+    """Season rollup of the basic table (A3, reference analysis.py:664-691):
+    sums + the weighted completion rate 100*Σcompleted/Σattempted."""
+    sums = [
+        F.sum(c).alias(f"total_{c}")
+        for c in (
+            "passes",
+            "passes_completed",
+            "key_passes",
+            "progressive_passes",
+            "shots",
+            "goals",
+            "dribbles",
+            "carries",
+            "pressures",
+            "tackles",
+            "interceptions",
+            "ball_recoveries",
+        )
+    ]
+    out = stats.agg(
+        F.count(F.lit(1)).alias("matches"),
+        *sums,
+        F.bround(F.sum("xg"), 3).alias("total_xg"),
+        F.bround(F.sum("minutes"), 1).alias("total_minutes"),
+    )
+    return out.withColumn(
+        "pass_pct",
+        F.when(
+            F.col("total_passes") > 0,
+            F.bround(100.0 * F.col("total_passes_completed") / F.col("total_passes"), 1),
+        ).otherwise(0.0),
+    )
+
+
+def per90(stats: DataFrame, cols: list[str]) -> DataFrame:
+    """Totals + per-90 rates (A4, reference extended.py:620-649)."""
+    total_min = F.sum("minutes")
+    aggs = [F.sum(c).alias(f"total_{c}") for c in cols]
+    out = stats.agg(total_min.alias("total_minutes"), *aggs)
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_per90",
+            F.when(
+                F.col("total_minutes") > 0,
+                F.bround(F.col(f"total_{c}") / F.col("total_minutes") * 90.0, 2),
+            ).otherwise(0.0),
+        )
+    return out
