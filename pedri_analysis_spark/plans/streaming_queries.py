@@ -1,0 +1,124 @@
+"""Event-time windowing queries over ``events``, oracle-verified in batch.
+
+The same builders run under Structured Streaming (tests/test_streaming.py
+proves tumbling counts produce identical results through readStream +
+memory sink); here they execute in batch so the DuckDB oracle can check
+values. Window starts are epoch-aligned, so the oracle reproduces them
+with integer bucket arithmetic on epoch microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import QueryFn, events_us
+from pedri_analysis_spark.streaming.windows import (
+    sessionize_batch,
+    sliding_sums,
+    tumbling_counts,
+    with_event_time,
+)
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+HOUR_US = 3_600_000_000
+FIVE_MIN_US = 300_000_000
+TEN_MIN_US = 600_000_000
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "tumbling_window_counts",
+    f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+           event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type (SURVEY §2.8: the tumbling
+    aggregation surface; identical plan under readStream + watermark).
+
+    Scale: one shuffle on (window, type) with map-side partial agg;
+    streaming state is one row per open window per key."""
+    ev = with_event_time(events_us(spark, sf_dir))
+    return tumbling_counts(ev, "1 hour", ("event_type",))
+
+
+@_register(
+    "sliding_window_sums",
+    f"""
+    WITH shifted AS (
+      SELECT e.*, ((epoch_us(ts) - k.k * {FIVE_MIN_US}) // {TEN_MIN_US}) * {TEN_MIN_US}
+                  + k.k * {FIVE_MIN_US} AS window_start_us
+      FROM events e, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT window_start_us, count(*)::BIGINT AS n,
+           CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+    FROM shifted
+    WHERE window_start_us <= epoch_us(ts)
+      AND epoch_us(ts) < window_start_us + {TEN_MIN_US}
+    GROUP BY 1
+    """,
+)
+def q_sliding_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width / 5 min slide): each event counted in
+    width/slide = 2 windows. Spark plans this as an Expand (row
+    multiplication), never a self-join — the oracle mirrors with an
+    unnest-shift."""
+    ev = with_event_time(events_us(spark, sf_dir))
+    return sliding_sums(ev, "10 minutes", "5 minutes")
+
+
+@_register(
+    "session_windows",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq::BIGINT AS session_seq,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*)::BIGINT AS n_events
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (SURVEY O6's
+    session-like span, generalized): lag-gap flag → running sum → session
+    rollup. The streaming analogue is ``session_window``."""
+    ev = events_us(spark, sf_dir)
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+    )

@@ -1,0 +1,141 @@
+"""Event-time windowed aggregation operators.
+
+The reference is pure batch (SURVEY §2.8), but two of its computations are
+inherently event-time-stateful (the 5-second counter-press window, the
+first/last-event minutes span), and the driver's ``events`` table is the
+general-engine surface for time windowing.  These builders produce the
+SAME logical plan for a batch DataFrame or a streaming one — in streaming
+mode add ``with_watermark`` so state can be evicted.
+
+Event time enters as epoch-nanos BIGINT (see schema.py note) and is
+converted with ``timestamp_micros(ts div 1000)`` — exact integer
+truncation matching the DuckDB oracle's ns→µs read behavior.
+
+Scale: windowed aggregation shuffles on (window, keys); watermarks bound
+state size; sliding windows multiply rows by width/slide (use the
+``expand`` the planner emits, never a self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ns_to_timestamp(ts_ns: str | Column = "ts") -> Column:
+    c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
+    return F.timestamp_micros(F.expr(f"{ts_ns} div 1000") if isinstance(ts_ns, str) else c)
+
+
+def with_event_time(df: DataFrame, ts_ns: str = "ts", out: str = "event_time") -> DataFrame:
+    return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts_ns} div 1000")))
+
+
+def with_watermark(df: DataFrame, delay: str = "10 minutes", col: str = "event_time") -> DataFrame:
+    """Streaming only: bound state retention for late data."""
+    return df.withWatermark(col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Tumbling-window count + sum(value): ``groupBy(window(...), keys)``.
+
+    Works unchanged under ``readStream`` (append mode once a watermark is
+    set)."""
+    return (
+        df.groupBy(F.window(time_col, width), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            *keys,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_sums(
+    df: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide windows
+    (planner emits an Expand, not a join)."""
+    return (
+        df.groupBy(F.window(time_col, width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum ⇒ session ids, then
+    per-session rollup (the classic two-window formulation; the streaming
+    analogue is ``session_window``/``applyInPandasWithState``).
+
+    Scale: one shuffle on the key; both windows share the same sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(ts_us_col, "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = df.withColumn(
+        "new_session",
+        (
+            F.col(ts_us_col) - F.lag(ts_us_col).over(w) > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.coalesce(
+            F.sum(F.coalesce("new_session", F.lit(0))).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            F.lit(0),
+        ),
+    )
+    return flagged.groupBy(key, "session_seq").agg(
+        F.min(ts_us_col).alias("session_start_us"),
+        F.max(ts_us_col).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Stream-stream (or batch) event-time interval join:
+    right.time ∈ [left.time + lower, left.time + upper], same key —
+    the streaming formulation of the counter-press join (SURVEY J5).
+    In streaming both sides must carry watermarks; the time-range
+    condition lets Spark bound the buffered state."""
+    cond = (
+        (left[key] == right[key])
+        & (right[right_time] >= left[left_time] + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return left.join(right, cond)

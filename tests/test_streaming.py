@@ -1,0 +1,115 @@
+"""Structured Streaming smoke: the SAME windowed-aggregation builders run
+under readStream (file source → memory sink) and must produce the same
+rows the batch plan produces. Also exercises the watermarked stream-stream
+interval join (the counter-press streaming analogue, SURVEY J5/§2.8)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_streaming_tumbling_equals_batch(spark, stream_dir):
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+    from pedri_analysis_spark.sources.tables import ensure_session_conf
+    from pedri_analysis_spark.streaming.windows import (
+        tumbling_counts,
+        with_event_time,
+        with_watermark,
+    )
+
+    ensure_session_conf(spark)
+    batch_df = with_event_time(spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir))
+    expected = _canon(tumbling_counts(batch_df).collect())
+
+    stream = (
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir)
+    )
+    agg = tumbling_counts(with_watermark(with_event_time(stream), "1 hour"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _canon(spark.sql("SELECT * FROM tumbling_out").collect())
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_streaming_interval_join(spark, stream_dir):
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+    from pedri_analysis_spark.streaming.windows import with_event_time
+
+    def side(df, kind, alias):
+        return (
+            with_event_time(df)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias("user_id"),
+                F.col("event_time").alias(f"{alias}_time"),
+            )
+        )
+
+    # batch expectation using identical logic
+    b = spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir)
+    b_err, b_clk = side(b, "error", "err"), side(b, "click", "clk").withColumnRenamed("user_id", "c_user")
+    expected = _canon(
+        b_err.join(
+            b_clk,
+            (b_err.user_id == b_clk.c_user)
+            & (b_clk.clk_time >= b_err.err_time)
+            & (b_clk.clk_time <= b_err.err_time + F.expr("INTERVAL 3600 SECONDS")),
+        )
+        .select("err_id", "clk_id")
+        .collect()
+    )
+
+    s = spark.readStream.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir)
+    errs = side(s, "error", "err").withWatermark("err_time", "2 hours")
+    clks = (
+        side(s, "click", "clk")
+        .withColumnRenamed("user_id", "c_user")
+        .withWatermark("clk_time", "2 hours")
+    )
+    joined = errs.join(
+        clks,
+        (errs.user_id == clks.c_user)
+        & (clks.clk_time >= errs.err_time)
+        & (clks.clk_time <= errs.err_time + F.expr("INTERVAL 3600 SECONDS")),
+    )
+    q = (
+        joined.select("err_id", "clk_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _canon(spark.sql("SELECT * FROM ij_out").collect())
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
