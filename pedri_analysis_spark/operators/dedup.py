@@ -35,13 +35,23 @@ from pyspark.sql import functions as F
 from pedri_analysis_spark.functions import textexpr as tx
 
 
+from pedri_analysis_spark.operators import spread  # noqa: E402  (re-export for callers)
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("toks", F.expr(tx.tokens(tx.SPARK, text_col)))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    toks = tx.tokens(tx.SPARK, text_col)
-    return df.withColumn("sh", F.expr(tx.word_shingles(tx.SPARK, toks, k)))
+    """Distinct word k-shingles as column ``sh``. Tokens are staged as a
+    real column and shingles use the zip_with/slice formulation — see
+    textexpr.word_shingles_spark_fast for why the naive per-element
+    indexing inside a transform() lambda is quadratic in Spark."""
+    return (
+        df.withColumn("_toks", F.expr(tx.tokens(tx.SPARK, text_col)))
+        .withColumn("sh", F.expr(tx.word_shingles_spark_fast("_toks", k)))
+        .drop("_toks")
+    )
 
 
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
@@ -59,11 +69,18 @@ def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
-    """Append mh0..mh{n-1} minhash columns (and ``sh`` shingle sets)."""
+    """Append mh0..mh{n-1} minhash columns (and ``sh`` shingle sets).
+
+    Staged as shingles → ONE md5 base hash per shingle → n affine
+    permutations (cheap integer math), each stage its own projection so
+    the expensive expressions evaluate once, not once per signature."""
     out = with_shingles(df, text_col, shingle_k)
-    for i, e in enumerate(tx.minhash_signature(tx.SPARK, "sh", n_hashes)):
-        out = out.withColumn(f"mh{i}", F.expr(e))
-    return out
+    out = out.withColumn("_hv", F.expr(tx.base_hash_array(tx.SPARK, "sh")))
+    mh = [
+        F.expr(e).alias(f"mh{i}")
+        for i, e in enumerate(tx.minhash_from_base(tx.SPARK, "_hv", n_hashes))
+    ]
+    return out.select("*", *mh).drop("_hv")
 
 
 def lsh_candidate_pairs(
@@ -140,7 +157,9 @@ def minhash_near_dups(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection: returns
     (a, b, jaccard) with jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k)
+    # persist: the signature table feeds both the bucket self-join and the
+    # Jaccard verify — without it the tokenize/shingle/hash chain runs twice
+    sigs = minhash_signatures(spread(df), text_col, n_hashes, shingle_k).persist()
     pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands)
     return jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
 
@@ -168,8 +187,10 @@ def simhash_near_dups(
     Scale: at 100 TB you block on bit-prefixes of the simhash itself
     (pigeonhole over max_hamming+1 chunks) instead of a domain column;
     the chunked variant is the same join shape."""
-    hashed = with_simhash(df, text_col).select(
-        F.col(key_col), F.col(block_col), "simhash"
+    hashed = (
+        with_simhash(spread(df), text_col)
+        .select(F.col(key_col), F.col(block_col), "simhash")
+        .persist()  # feeds both sides of the self-join
     )
     a = hashed.select(
         F.col(key_col).alias("a"), F.col(block_col).alias("blk"), F.col("simhash").alias("sh_a")

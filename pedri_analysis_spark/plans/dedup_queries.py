@@ -118,7 +118,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     toks = tx.tokens(tx.DUCK, "text")
     sh = tx.word_shingles(tx.DUCK, "toks", SHINGLE_K)
-    mh = tx.minhash_signature(tx.DUCK, "sh", N_HASHES)
+    hv = tx.base_hash_array(tx.DUCK, "sh")
+    mh = tx.minhash_from_base(tx.DUCK, "hv", N_HASHES)
     mh_cols = ",\n             ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
     sig_cols = [f"mh{i}" for i in range(N_HASHES)]
     band_selects = "\n      UNION ALL\n".join(
@@ -129,9 +130,10 @@ def _minhash_oracle() -> str:
     return f"""
     WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
     shng AS (SELECT doc_id, {sh} AS sh FROM tok),
+    hvt AS (SELECT doc_id, sh, {hv} AS hv FROM shng),
     sig AS (SELECT doc_id, sh,
              {mh_cols}
-            FROM shng),
+            FROM hvt),
     buckets AS (
 {band_selects}
     ),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pedri_analysis_spark.operators import similarity as sim
+from pedri_analysis_spark.operators import similarity as sim, spread
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -65,7 +65,7 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear one."""
     emb = load_table(spark, "embeddings", sf_dir)
     query = emb.filter(F.col("vec_id") == QUERY_ID)
-    return sim.cosine_topk(emb, query, k=TOPK)
+    return sim.cosine_topk(spread(emb), query, k=TOPK)
 
 
 @_register(
@@ -129,7 +129,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the label block bounds the pair explosion (same topology as
     SimHash blocking); at 100 TB the block key is an LSH bucket of the
     embedding itself, which keeps the self-join linear-ish."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     a = emb.select(
         F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va")
     )
@@ -139,6 +139,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
+        # JVM fold, not the pandas UDF: a pair join ships BOTH vectors per row
+        # over Arrow (dominates), while the fold stays in the JVM
         .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
         .filter(F.col("sim") >= NEARDUP_T)
         .select("a", "b", "sim")
