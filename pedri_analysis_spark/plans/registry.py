@@ -17,7 +17,14 @@ def _modules():
     from pedri_analysis_spark.plans import relational
 
     mods = [relational]
-    for name in ("dedup_queries", "text_queries", "similarity_queries", "streaming_queries", "pedri_queries"):
+    for name in (
+        "relational_ext",
+        "dedup_queries",
+        "text_queries",
+        "similarity_queries",
+        "streaming_queries",
+        "pedri_queries",
+    ):
         try:
             mods.append(
                 __import__(f"pedri_analysis_spark.plans.{name}", fromlist=[name])

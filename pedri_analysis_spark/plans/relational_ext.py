@@ -1,0 +1,326 @@
+"""Second batch of general relational operators (SURVEY §2 coverage
+widening): pivot, cube, analytic ranks, exact percentiles, JSON field
+extraction, date truncation, string functions, span aggregation, and
+hex-binning. Same oracle discipline as plans.relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import (
+    QueryFn,
+    dsum,
+    epoch_us,
+    events_us,
+    money,
+)
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@_register(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::DECIMAL(12,2) END) AS DOUBLE) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::DECIMAL(12,2) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): linestatus values become columns. Spark
+    plans pivot as a single pass of conditional aggregates — identical to
+    the oracle's CASE formulation, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@_register(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*)::BIGINT AS n,
+           CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping-set combinations in one pass (Expand +
+    single aggregate — not 4 separate scans)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "percent_rank_acctbal",
+    """
+    SELECT c_custkey,
+           c_nationkey,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr
+    FROM customer
+    """,
+)
+def q_percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank analytic (SURVEY A9: percentile-vs-distribution radar
+    values, reference core/pedri_analysis.py:488-514, generalized).
+    Ties share a rank so the result is order-insensitive; the
+    (rank-1)/(n-1) division is one double op — identical cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey", "c_nationkey", F.percent_rank().over(w).alias("pr")
+    )
+
+
+@_register(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (both engines implement the
+    same continuous-quantile definition). At 100 TB switch to
+    percentile_approx (t-digest) — kept exact here for oracle checking."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+    )
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON field extraction from a string column (SURVEY
+    P1's null-safe dynamic access, generalized to the events.props
+    payload): get_json_object is a per-row JVM expression, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@_register(
+    "orders_by_month",
+    """
+    SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (date_trunc month) — the calendar-aware cousin
+    of the epoch-bucket windows (SURVEY O1's date handling)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.unix_micros(
+                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            ).alias("month_us")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "string_funcs_customers",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name)::BIGINT AS name_len,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS segment_repl,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_name LIKE '%1%'
+    """,
+)
+def q_string_funcs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function battery (SURVEY §2.7 generalization):
+    upper/substr/length/replace/concat + LIKE pushdown."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_replace("c_mktsegment", "AUTO", "CAR").alias("segment_repl"),
+        F.concat_ws("#", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@_register(
+    "user_activity_span",
+    """
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us,
+           greatest(least(max(epoch_us(ts)) - min(epoch_us(ts)), 2592000000000::BIGINT), 0::BIGINT)
+               AS span_us_clamped
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max span with clamping (SURVEY O6: the minutes-played estimate
+    clamp(first..last, bounds), generalized to user activity spans)."""
+    ev = events_us(spark, sf_dir)
+    first = F.min("ts_us")
+    last = F.max("ts_us")
+    month_us = 30 * 24 * 3600 * 1_000_000
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first.alias("first_us"),
+        last.alias("last_us"),
+        F.greatest(
+            F.least(last - first, F.lit(month_us)), F.lit(0)
+        ).alias("span_us_clamped"),
+    )
+
+
+# --- hex-binning (SURVEY A12: the hexbin density map, as column math) ---
+
+_HEX_SIZE = 8.0  # hex circumradius in (price/100, size) plane
+
+
+def _hex_sql(xe: str, ye: str) -> str:
+    """Axial hex coordinates with cube rounding, dialect-neutral SQL
+    (identical double math both engines). x,y already scaled."""
+    qf = f"((sqrt(3.0) / 3.0 * ({xe}) - 1.0 / 3.0 * ({ye})) / {_HEX_SIZE})"
+    rf = f"((2.0 / 3.0 * ({ye})) / {_HEX_SIZE})"
+    return qf, rf
+
+
+_HEX_ROUND = """
+      CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf)
+           THEN CAST(-rr - rs AS BIGINT)
+           ELSE CAST(rq AS BIGINT) END AS hex_q,
+      CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf)
+           THEN CAST(rr AS BIGINT)
+           WHEN abs(rr - rf) > abs(rs - sf)
+           THEN CAST(-rq - rs AS BIGINT)
+           ELSE CAST(rr AS BIGINT) END AS hex_r
+"""
+
+
+def _hexbin_oracle() -> str:
+    qf, rf = _hex_sql("p_retailprice / 100.0", "p_size * 1.0")
+    return f"""
+    WITH axial AS (
+      SELECT {qf} AS qf, {rf} AS rf, (-({qf}) - ({rf})) AS sf FROM part
+    ),
+    rounded AS (
+      SELECT qf, rf, sf, round(qf) AS rq, round(rf) AS rr, round(sf) AS rs FROM axial
+    ),
+    hexed AS (
+      SELECT {_HEX_ROUND}
+      FROM rounded
+    )
+    SELECT hex_q, hex_r, count(*)::BIGINT AS n
+    FROM hexed
+    GROUP BY 1, 2
+    """
+
+
+@_register("hexbin_parts", _hexbin_oracle())
+def q_hexbin_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (SURVEY A12: ax.hexbin of pass origins,
+    reference core/pedri_analysis.py:416-433) as pure column math: axial
+    coordinates + cube rounding, then groupBy(hex) — the formulation that
+    scales to any point count (matplotlib's hexbin collects all points).
+
+    NOTE: round() here is fine cross-engine — both engines round the SAME
+    double values (the axial transforms are identical expressions), and
+    hex centers are not adversarially close to .5 boundaries in this data."""
+    p = _t(spark, sf_dir, "part")
+    qf, rf = _hex_sql("p_retailprice / 100.0", "p_size * 1.0")
+    axial = p.select(
+        F.expr(qf).alias("qf"),
+        F.expr(rf).alias("rf"),
+        F.expr(f"(-({qf}) - ({rf}))").alias("sf"),
+    )
+    rounded = axial.select(
+        "qf", "rf", "sf",
+        F.round("qf").alias("rq"), F.round("rf").alias("rr"), F.round("sf").alias("rs"),
+    )
+    hexed = rounded.selectExpr(
+        "CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf) "
+        "THEN CAST(-rr - rs AS BIGINT) ELSE CAST(rq AS BIGINT) END AS hex_q",
+        "CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf) "
+        "THEN CAST(rr AS BIGINT) "
+        "WHEN abs(rr - rf) > abs(rs - sf) THEN CAST(-rq - rs AS BIGINT) "
+        "ELSE CAST(rr AS BIGINT) END AS hex_r",
+    )
+    return hexed.groupBy("hex_q", "hex_r").agg(F.count(F.lit(1)).alias("n"))
