@@ -39,14 +39,24 @@ def main() -> None:
     # measured query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # Force full execution of the plan without collecting rows.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # Force full execution of the plan without collecting rows.
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # Operators that persist() intermediates (LSH signatures etc.)
+            # would otherwise accumulate heap across the run and GC-tax
+            # later queries.
+            spark.catalog.clearCache()
+        # best-of-N: steady-state engine time, robust to GC/host noise
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -324,3 +324,26 @@ def q_hexbin_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(rr AS BIGINT) END AS hex_r",
     )
     return hexed.groupBy("hex_q", "hex_r").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "cross_join_region_segments",
+    """
+    SELECT r.r_name AS region, s.segment,
+           (SELECT count(*) FROM customer c2
+            WHERE c2.c_mktsegment = s.segment)::BIGINT AS segment_customers
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS segment FROM customer) s
+    """,
+)
+def q_cross_join_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (SURVEY §2.3 closing note: theta/cross enter via the
+    general engine) over two tiny sides + a scalar-subquery-shaped count
+    (expressed as a pre-aggregated broadcast join in Spark)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    seg_counts = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("segment_customers"))
+    )
+    return r.crossJoin(F.broadcast(seg_counts))

@@ -237,8 +237,11 @@ def _quality_oracle() -> str:
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: length / type-token-ratio / stopword
     components combined into one score (the classic pre-training corpus
-    filter). Pure per-row column math — embarrassingly parallel."""
-    d = load_table(spark, "documents", sf_dir).withColumn(
+    filter). Pure per-row column math — embarrassingly parallel (spread
+    across cores; a single small parquet file reads as one split)."""
+    from pedri_analysis_spark.operators import spread
+
+    d = spread(load_table(spark, "documents", sf_dir)).withColumn(
         "toks", F.expr(tx.tokens(tx.SPARK, "text"))
     )
     e = _quality_exprs(tx.SPARK)

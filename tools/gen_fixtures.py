@@ -127,7 +127,7 @@ def sub_on_1002():
         mk_pass(12, 89, 0, [50.0, 40.0], [62.0, 40.0]),
     ]
     for e in evs:
-        e["match_date"] = "2023-03-17"
+        e["match_date"] = "2023-03-17 00:00:00"  # second of the reference's three formats (F5)
     return evs
 
 
@@ -138,7 +138,7 @@ def sub_off_1003():
         ev(11, "Substitution", player=P, minute=70, second=0, substitution={"replacement": {"id": 666}}),
     ]
     for e in evs:
-        e["match_date"] = "2023-04-01"
+        e["match_date"] = "01/04/2023"  # DD/MM/YYYY, third reference format
     return evs
 
 
