@@ -206,3 +206,59 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
     out = dd.simhash_near_dups(d, max_hamming=HAMMING_T)
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram Jaccard near-dup detection (blocked exact variant)
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_T = 0.7  # clean separation: true near-dups ~0.9+, word-soup noise <=0.5
+
+
+def _ngram_jaccard_oracle() -> str:
+    ng = tx.char_ngrams(tx.DUCK, "text", 3)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {ng} AS ng
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
+               AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
+          >= {NGRAM_JACCARD_T}
+    """
+
+
+@_register("ngram_jaccard_near_dups", _ngram_jaccard_oracle())
+def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard near-dup pairs, blocked on
+    (lang, length-bucket) — the exact-verification cousin of MinHash
+    (which estimates this same measure probabilistically). The length
+    bucket exploits |len(a)-len(b)| being small for near-dups, bounding
+    the pair explosion without hashing.
+
+    Scale: at 100 TB the block must come from LSH (minhash_near_dups);
+    this exact variant is the verify stage / small-corpus path."""
+    d = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3))
+    ).withColumn("bucket", F.expr("n_chars div 100"))
+    a = d.select(
+        F.col("doc_id").alias("a"), "lang", "bucket", F.col("ng").alias("ng_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b"), "lang", "bucket", F.col("ng").alias("ng_b")
+    )
+    return (
+        a.join(b, ["lang", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
+            / F.size(F.array_union("ng_a", "ng_b")),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .select("a", "b", "jaccard")
+    )

@@ -347,3 +347,122 @@ def q_cross_join_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("segment_customers"))
     )
     return r.crossJoin(F.broadcast(seg_counts))
+
+
+@_register(
+    "asof_last_error_before_click",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           e.event_id AS error_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND epoch_us(c.ts) >= epoch_us(e.ts)
+    """,
+)
+def q_asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each click, the MOST RECENT error at-or-before it
+    by the same user (Spark has no native ASOF; DuckDB's native ASOF JOIN
+    is the oracle).
+
+    Implementation: the scalable union-sort-carry formulation — tag both
+    streams, sort by (user, time, tag), carry the last error forward with
+    an ignore-nulls last() window, keep click rows. ONE shuffle on the
+    user key and no range row-explosion — this is the 100 TB as-of
+    (pd.merge_asof per group via applyInPandas is the fallback for
+    many-column payloads)."""
+    ev = events_us(spark, sf_dir)
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("error_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("error_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    tagged = errs.unionByName(clks)
+    # errors sort before clicks at equal time (tag 0 < 1) => ts_err <= ts_click inclusive
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "tag", F.coalesce("error_id", "click_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_error_id", F.last("error_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_error_ts",
+        F.last(F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "click_id",
+        "user_id",
+        F.col("last_error_id").alias("error_id"),
+        (F.col("ts_us") - F.col("last_error_ts")).alias("gap_us"),
+    )
+
+
+@_register(
+    "salted_segment_counts",
+    """
+    SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+           CAST(sum(c_acctbal::DECIMAL(12,2)) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q_salted_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage (salted) aggregation: stage 1 groups on
+    (key, salt) so one hot key spreads over ``salt`` reducers; stage 2
+    merges the partials. Results are identical to the direct groupBy (the
+    oracle IS the direct form) — only the shuffle distribution changes.
+    Spark's partial aggregation already handles count-like skew; explicit
+    salting is the pattern for high-cardinality payloads (collect_set,
+    exact distinct) where map-side combine can't shrink the hot key."""
+    c = _t(spark, sf_dir, "customer")
+    salted = c.withColumn("_salt", F.pmod(F.hash("c_custkey"), F.lit(16)))
+    partial = salted.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(money("c_acctbal")).alias("pbal"),
+    )
+    return partial.groupBy("segment").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("pbal").cast("double").alias("total_bal"),
+    )
+
+
+# Registered WITHOUT oracle SQL (rows-only check): approximate algorithms
+# are seed/implementation-specific by design — the exact counterparts above
+# (global_rollup's countDistinct, percentiles_quantity) are the
+# correctness-checked versions; these are their at-scale replacements.
+
+
+@_register("approx_distinct_parts")
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB replacement for
+    exact COUNT(DISTINCT) — one pass, fixed-size sketch, no expand plan.
+    rsd=0.01 keeps the estimate within ~1% of the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register("approx_percentiles_price")
+def q_approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL/GK sketch): bounded-memory quantiles for
+    data too large to sort — the at-scale version of
+    percentiles_quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
