@@ -1,0 +1,66 @@
+"""Deterministic random hyperplanes for cosine-LSH, shared across engines.
+
+Plane components are derived from md5 in PYTHON at plan-build time and
+embedded as literal arrays in both the Spark plan and the DuckDB oracle —
+so there is no cross-engine hashing at runtime at all; the two sides see
+byte-identical constants.
+
+The bucket decision is sign(dot(v, plane)); the dot product is evaluated
+as the SAME sequential left fold in both engines (Spark ``aggregate`` HOF,
+DuckDB ``list_reduce``), so even near-zero dots land on the same side of
+the hyperplane in both.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+@lru_cache(maxsize=None)
+def plane(p: int, dim: int) -> tuple[float, ...]:
+    """Plane ``p`` over ``dim`` dimensions: components in [-1, 1] with 3
+    decimals, derived from md5(p:d) — deterministic and reproducible."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(round(((h % 2001) - 1000) / 1000.0, 3))
+    return tuple(out)
+
+
+def _lit_array(dialect: str, values: tuple[float, ...]) -> str:
+    body = ", ".join(f"{v}" for v in values)
+    if dialect == SPARK:
+        return f"array({body})"
+    return f"[{body}]"
+
+
+def dot_literal(dialect: str, vec_expr: str, values: tuple[float, ...]) -> str:
+    """Sequential left-fold dot product of a vector column with a literal
+    plane — identical fold order in both engines."""
+    arr = _lit_array(dialect, values)
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({vec_expr}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {len(values)}), "
+        f"i -> {vec_expr}[i]::DOUBLE * ({arr})[i])), (acc, v) -> acc + v)"
+    )
+
+
+def bucket_key(
+    dialect: str, vec_expr: str, table: int, bits: int, dim: int
+) -> str:
+    """LSH bucket for hash-table ``table``: ``bits`` sign bits packed into
+    one integer. Plane indices are globally unique per (table, bit)."""
+    terms = []
+    for b in range(bits):
+        d = dot_literal(dialect, vec_expr, plane(table * bits + b, dim))
+        terms.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

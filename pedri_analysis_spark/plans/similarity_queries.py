@@ -145,3 +145,91 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= NEARDUP_T)
         .select("a", "b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH approximate near-dup pairs (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 8
+LSH_BITS = 8
+EMB_DIM = 64
+LSH_SIM_T = 0.4
+
+
+def _ann_lsh_oracle() -> str:
+    from pedri_analysis_spark.functions import lshplanes as lp
+
+    bucket_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl, "
+        f"{lp.bucket_key(lp.DUCK, 'embedding', t, LSH_BITS, EMB_DIM)} AS bk "
+        f"FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH buckets AS (
+{bucket_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM buckets x JOIN buckets y USING (tbl, bk)
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT p.a, p.b, {_dcos('ea.embedding', 'eb.embedding')} AS sim
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.a
+    JOIN embeddings eb ON eb.vec_id = p.b
+    WHERE {_dcos('ea.embedding', 'eb.embedding')} >= {LSH_SIM_T}
+    """
+
+
+@_register("ann_lsh_near_dups", _ann_lsh_oracle())
+def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup candidates + exact cosine verify —
+    the blocking-free ANN topology (vs. embedding_near_dups' label
+    block): {L} hash tables x {k} sign bits; candidate pairs come only
+    from shared buckets, then exact cosine filters at {t}.
+
+    Scale: bucketing is per-row column math against literal planes (no
+    shuffle); the pair join shuffles on (table, bucket) — the same
+    bounded topology as MinHash-LSH. Recall tunes with L/k: here
+    ~100% for near-identical vectors, intentionally partial at the 0.4
+    threshold (that's what 'approximate' buys; the oracle mirrors the
+    same algorithm so the check is exact).
+
+    Determinism: planes are literal constants generated in Python
+    (functions.lshplanes) and the bucket sign-dots are sequential folds —
+    bit-identical bucket assignment in both engines.""".format(
+        L=LSH_TABLES, k=LSH_BITS, t=LSH_SIM_T
+    )
+    from pedri_analysis_spark.functions import lshplanes as lp
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(
+                    lp.bucket_key(lp.SPARK, "embedding", t, LSH_BITS, EMB_DIM)
+                ).alias("bk"),
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = emb.select(
+        "vec_id", F.explode(bucket_structs).alias("e")
+    ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bk").alias("bk"))
+    x = buckets.select(F.col("vec_id").alias("a"), "tbl", "bk")
+    y = buckets.select(F.col("vec_id").alias("b"), "tbl", "bk")
+    pairs = (
+        x.join(y, ["tbl", "bk"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        .filter(F.col("sim") >= LSH_SIM_T)
+        .select("a", "b", "sim")
+    )
