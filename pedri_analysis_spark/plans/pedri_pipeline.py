@@ -314,52 +314,85 @@ def per_match_extended(
     match_id (the reference's four sequential passes become four parallel
     DataFrame branches off one scan)."""
     ev = with_direction(events)
-    pedri = ev.filter(P.by_player(player_id))
+    me = P.by_player(player_id)
     ar = F.col("attacks_right")
     carry_ok = P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull()
-    carry_dist = F.when(carry_ok, P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y()))
-
-    main = pedri.groupBy("match_id").agg(
-        _cnt(P.is_pass()).alias("passes"),
-        _cnt(P.pass_completed_v2()).alias("passes_completed"),
-        _cnt(P.pass_completed_v2() & P.progressive_v2(ar)).alias("progressive_passes"),
-        _cnt(
-            P.pass_completed_v2() & P.in_final_third(P.end_x(), ar)
-        ).alias("final_third_passes"),
-        _cnt(
-            P.pass_completed_v2() & P.in_penalty_area(P.end_x(), P.end_y(), ar)
-        ).alias("penalty_area_passes"),
-        _cnt(P.deep_completion(ar)).alias("deep_completions"),
-        _cnt(P.switch_of_play()).alias("switches"),
-        _cnt(P.is_cross()).alias("crosses"),
-        _cnt(P.is_key_pass_v2()).alias("key_passes"),
-        _cnt(P.pass_completed_v2() & (F.col("pass.goal_assist") == True)).alias(  # noqa: E712
-            "assists"
-        ),
-        _cnt(P.under_pressure_completed_pass()).alias("passes_under_pressure"),
-        _cnt(P.is_shot()).alias("shots"),
-        _cnt(P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias("goals"),
-        F.coalesce(_xg_dec(), F.lit(0.0)).alias("xg_raw"),
-        _cnt(P.is_dribble()).alias("dribbles"),
-        _cnt(P.successful_dribble()).alias("dribbles_successful"),
-        _cnt(P.is_carry()).alias("carries"),
-        F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("carry_distance_raw"),
-        _cnt(carry_ok & P.progressive_v2(ar)).alias("progressive_carries"),
-        _cnt(P.is_tackle_v2()).alias("tackles"),
-        _cnt(P.is_interception()).alias("interceptions"),
-        _cnt(P.is_ball_recovery()).alias("ball_recoveries"),
-        _cnt(P.is_pressure()).alias("pressures"),
-        _cnt(P.is_turnover()).alias("turnovers"),
+    carry_dist = F.when(
+        me & carry_ok, P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y())
+    )
+    # The reference's receptions pass (extended.py:340-354) reads the SAME
+    # direction-joined stream as the main loop, just without the player
+    # filter (the pass is a teammate's; only the recipient is the player).
+    # Folding it into the one hash aggregate removes a second full scan and
+    # a join: group the union of (player rows | rows received by player),
+    # conjoin every main-loop predicate with `me`, and post-filter to
+    # matches where the player actually appeared (preserving the row set of
+    # the old main ⟕ receptions join).
+    reception = (
+        (F.col("pass.recipient.id") == player_id)
+        & P.pass_completed_v2()
+        & P.progressive_v2(ar)
+    )
+    base = ev.filter(me | (F.col("pass.recipient.id") == player_id))
+    main = (
+        base.groupBy("match_id")
+        .agg(
+            _cnt(me).alias("_me_n"),
+            _cnt(me & P.is_pass()).alias("passes"),
+            _cnt(me & P.pass_completed_v2()).alias("passes_completed"),
+            _cnt(me & P.pass_completed_v2() & P.progressive_v2(ar)).alias(
+                "progressive_passes"
+            ),
+            _cnt(
+                me & P.pass_completed_v2() & P.in_final_third(P.end_x(), ar)
+            ).alias("final_third_passes"),
+            _cnt(
+                me
+                & P.pass_completed_v2()
+                & P.in_penalty_area(P.end_x(), P.end_y(), ar)
+            ).alias("penalty_area_passes"),
+            _cnt(me & P.deep_completion(ar)).alias("deep_completions"),
+            _cnt(me & P.switch_of_play()).alias("switches"),
+            _cnt(me & P.is_cross()).alias("crosses"),
+            _cnt(me & P.is_key_pass_v2()).alias("key_passes"),
+            _cnt(
+                me & P.pass_completed_v2() & (F.col("pass.goal_assist") == True)  # noqa: E712
+            ).alias("assists"),
+            _cnt(me & P.under_pressure_completed_pass()).alias(
+                "passes_under_pressure"
+            ),
+            _cnt(me & P.is_shot()).alias("shots"),
+            _cnt(me & P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias(
+                "goals"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(me, F.col("shot.statsbomb_xg")).cast("decimal(18,10)")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("xg_raw"),
+            _cnt(me & P.is_dribble()).alias("dribbles"),
+            _cnt(me & P.successful_dribble()).alias("dribbles_successful"),
+            _cnt(me & P.is_carry()).alias("carries"),
+            F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("carry_distance_raw"),
+            _cnt(me & carry_ok & P.progressive_v2(ar)).alias("progressive_carries"),
+            _cnt(me & P.is_tackle_v2()).alias("tackles"),
+            _cnt(me & P.is_interception()).alias("interceptions"),
+            _cnt(me & P.is_ball_recovery()).alias("ball_recoveries"),
+            _cnt(me & P.is_pressure()).alias("pressures"),
+            _cnt(me & P.is_turnover()).alias("turnovers"),
+            _cnt(reception).alias("progressive_receptions"),
+        )
+        .filter(F.col("_me_n") > 0)
+        .drop("_me_n")
     )
     out = (
         main.join(xa_per_match(events, player_id), "match_id", "left")
-        .join(receptions_per_match(events, player_id), "match_id", "left")
         .join(counterpress_per_match(events, player_id), "match_id", "left")
         .join(team_xg_per_match(events, player_id), "match_id", "left")
         .fillna(
             {
                 "xa_raw": 0.0,
-                "progressive_receptions": 0,
                 "counter_pressures": 0,
                 "team_total_xg_raw": 0.0,
             }
