@@ -38,9 +38,24 @@ def _lit_array(dialect: str, values: tuple[float, ...]) -> str:
     return f"[{body}]"
 
 
+def planes_matrix(tables: int, bits: int, dim: int):
+    """All (tables*bits) planes as a float64 numpy matrix, row-major by
+    global plane index — the input to the vectorized Spark-side bucket
+    assignment (see plans.similarity_queries._bucket_keys_udf)."""
+    import numpy as np
+
+    return np.array(
+        [plane(p, dim) for p in range(tables * bits)], dtype=np.float64
+    )
+
+
 def dot_literal(dialect: str, vec_expr: str, values: tuple[float, ...]) -> str:
     """Sequential left-fold dot product of a vector column with a literal
-    plane — identical fold order in both engines."""
+    plane — the DuckDB-oracle formulation. (The Spark side does NOT use
+    this: Spark interprets HOF lambdas per element and an unrolled
+    4096-term expression tree blows up codegen/task binaries, so the
+    engine assigns buckets in one Arrow-vectorized UDF that accumulates
+    dimensions in the same sequential order — bit-identical sums.)"""
     arr = _lit_array(dialect, values)
     if dialect == SPARK:
         return (

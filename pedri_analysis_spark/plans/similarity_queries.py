@@ -9,6 +9,8 @@ filters, centroid argmax) identical on both engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -183,6 +185,43 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _bucket_keys_udf():
+    """Arrow-vectorized LSH bucket assignment: one pandas UDF emits all
+    {L} bucket keys per row (array position = hash-table index).
+
+    Why a UDF when the planes are plain arithmetic: the per-plane dot is a
+    64-term fold, and Spark HOF lambdas are interpreted per element while
+    the fully-unrolled expression tree (4096 terms) blows past codegen
+    limits into 12 MB task binaries. One numpy kernel over the Arrow batch
+    does rows x planes multiply-accumulates at memory speed instead.
+
+    Exactness: dimensions are accumulated SEQUENTIALLY (a Python loop over
+    d, vectorized across rows and planes), so every per-(row, plane) sum
+    performs float64 additions in exactly the left-fold order the DuckDB
+    oracle uses — bit-identical sign decisions, no rounding tolerance
+    needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pedri_analysis_spark.functions import lshplanes as lp
+
+    planes = lp.planes_matrix(LSH_TABLES, LSH_BITS, EMB_DIM)  # (L*k, dim)
+
+    @pandas_udf("array<bigint>")
+    def bucket_keys(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (rows, dim)
+        acc = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+        for d in range(planes.shape[1]):  # sequential in d == fold order
+            acc += mat[:, d : d + 1] * planes[None, :, d]
+        bits = acc >= 0.0
+        keys = np.zeros((mat.shape[0], LSH_TABLES), dtype=np.int64)
+        for t in range(LSH_TABLES):
+            for b in range(LSH_BITS):
+                keys[:, t] += bits[:, t * LSH_BITS + b].astype(np.int64) << b
+        return pd.Series(list(keys))
+
+    return bucket_keys
+
+
 @_register("ann_lsh_near_dups", _ann_lsh_oracle())
 def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup candidates + exact cosine verify —
@@ -190,7 +229,7 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     block): {L} hash tables x {k} sign bits; candidate pairs come only
     from shared buckets, then exact cosine filters at {t}.
 
-    Scale: bucketing is per-row column math against literal planes (no
+    Scale: bucketing is one Arrow-batched numpy kernel per partition (no
     shuffle); the pair join shuffles on (table, bucket) — the same
     bounded topology as MinHash-LSH. Recall tunes with L/k: here
     ~100% for near-identical vectors, intentionally partial at the 0.4
@@ -198,27 +237,16 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same algorithm so the check is exact).
 
     Determinism: planes are literal constants generated in Python
-    (functions.lshplanes) and the bucket sign-dots are sequential folds —
-    bit-identical bucket assignment in both engines.""".format(
+    (functions.lshplanes) shared by both engines, and the UDF accumulates
+    dimensions in the oracle fold's exact order — bit-identical bucket
+    assignment in both engines.""".format(
         L=LSH_TABLES, k=LSH_BITS, t=LSH_SIM_T
     )
-    from pedri_analysis_spark.functions import lshplanes as lp
-
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    bucket_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.expr(
-                    lp.bucket_key(lp.SPARK, "embedding", t, LSH_BITS, EMB_DIM)
-                ).alias("bk"),
-            )
-            for t in range(LSH_TABLES)
-        ]
-    )
+    keys = _bucket_keys_udf()
     buckets = emb.select(
-        "vec_id", F.explode(bucket_structs).alias("e")
-    ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bk").alias("bk"))
+        "vec_id", F.posexplode(keys("embedding")).alias("tbl", "bk")
+    )
     x = buckets.select(F.col("vec_id").alias("a"), "tbl", "bk")
     y = buckets.select(F.col("vec_id").alias("b"), "tbl", "bk")
     pairs = (
