@@ -19,6 +19,7 @@ def _modules():
     mods = [relational]
     for name in (
         "relational_ext",
+        "sampling_queries",
         "dedup_queries",
         "text_queries",
         "similarity_queries",

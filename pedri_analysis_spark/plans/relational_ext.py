@@ -466,3 +466,34 @@ def q_approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@_register(
+    "grouping_sets_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary slice combinations in ONE pass
+    (here: per-flag totals, per-shipmode totals, and the grand total, but
+    NOT the cross product a CUBE would add). Spark plans this as a single
+    Expand + hash aggregate, same as cube/rollup; grouping_id
+    disambiguates which set each output row belongs to."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(1) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

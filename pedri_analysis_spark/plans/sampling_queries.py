@@ -1,0 +1,193 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline samples constantly — uniform subsets for quick
+iterations, train/test splits, class-balancing, per-source quota mixes
+(cf. the public data-mixture literature: deduplicated web + curated
+sources at tuned rates). Spark's native ``df.sample`` / ``sampleBy`` are
+seeded-RNG based and NOT reproducible across engines, partitionings, or
+even re-runs with different splits — unacceptable for dataset lineage.
+
+Every operator here derives its decision from a content hash
+(functions.textexpr.seeded_hash64: md5 → 60-bit int, identical in Spark
+and DuckDB), so:
+
+- the SAME rows are selected no matter the partitioning, cluster size, or
+  engine (the DuckDB oracle runs the identical algorithm);
+- re-runs are idempotent (dataset versioning / lineage holds);
+- per-row decisions are embarrassingly parallel (no shuffle to sample,
+  no driver-side RNG state).
+
+The reference repo has no sampling (it is a full-scan analytics pipeline,
+/root/reference/core/pedri_analysis.py) — these operators are part of the
+beyond-reference training-pipeline surface BASELINE.json asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+# hash-bucket space: h mod 10_000 gives 0.01% rate resolution
+BUCKETS = 10_000
+SAMPLE_RATE_BP = 2_000  # 20.00% uniform sample
+TEST_RATE_BP = 1_000  # 10.00% test split
+BALANCED_PER_CLASS = 40  # class-balanced cap per lang
+SOURCE_RATES_BP = {  # per-source mixture quota (basis points)
+    "src0": 10_000,  # "curated": keep all
+    "src1": 10_000,
+    "src2": 5_000,  # mid-trust: half
+    "src3": 5_000,
+    "src4": 1_000,  # raw web-like: heavy downweight
+    "src5": 1_000,
+}
+DEFAULT_RATE_BP = 2_500
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _bucket(dialect: str, key_expr: str, seed: str) -> str:
+    """Deterministic hash bucket in [0, BUCKETS) for a key expression."""
+    h = tx.seeded_hash64(dialect, key_expr, seed)
+    return f"({h} % {BUCKETS})"
+
+
+_SB = _bucket(tx.SPARK, "CAST(doc_id AS STRING)", "sample")
+_DB = _bucket(tx.DUCK, "doc_id::VARCHAR", "sample")
+_SSPLIT = _bucket(tx.SPARK, "CAST(doc_id AS STRING)", "split")
+_DSPLIT = _bucket(tx.DUCK, "doc_id::VARCHAR", "split")
+
+
+@_register(
+    "sample_hash_bernoulli",
+    f"""
+    SELECT doc_id, lang, {_DB} AS bucket
+    FROM documents
+    WHERE {_DB} < {SAMPLE_RATE_BP}
+    """,
+)
+def q_sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {p}% Bernoulli sample by content-hash threshold.
+
+    Unlike ``df.sample(fraction)`` the selection is a pure per-row
+    predicate — reproducible across engines/partitionings, pushed down
+    like any filter, zero shuffle. Growing the sample (raising the
+    threshold) keeps every previously selected row (nested samples).
+    """.format(p=SAMPLE_RATE_BP / 100)
+    d = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(_SB)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < SAMPLE_RATE_BP)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@_register(
+    "train_test_split_counts",
+    f"""
+    SELECT lang,
+           CASE WHEN {_DSPLIT} < {TEST_RATE_BP} THEN 'test' ELSE 'train' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {p}% train/test split with per-(lang, split)
+    accounting. The split key is hashed with its own seed so membership is
+    independent of the sampling hash — a doc's split never changes as the
+    corpus grows (stable eval sets).""".format(p=TEST_RATE_BP / 100)
+    d = load_table(spark, "documents", sf_dir)
+    split = F.when(F.expr(_SSPLIT) < TEST_RATE_BP, "test").otherwise("train")
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@_register(
+    "class_balanced_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_DB} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= {BALANCED_PER_CLASS}
+    """,
+)
+def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: at most {n} docs per language, chosen by
+    hash order (NOT doc_id order, which would bias toward old docs; NOT
+    RNG, which would be irreproducible).
+
+    Scale: one shuffle on the class key; if one class dominates (skew),
+    pre-filter with a per-class hash threshold ≈ n/count estimate first so
+    the window only ranks a small superset.""".format(n=BALANCED_PER_CLASS)
+    d = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("lang").orderBy(F.expr(_SB).asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BALANCED_PER_CLASS)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+def _rate_case(dialect: str) -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {bp}" for s, bp in SOURCE_RATES_BP.items()
+    )
+    return f"(CASE {arms} ELSE {DEFAULT_RATE_BP} END)"
+
+
+@_register(
+    "stratified_source_mix",
+    f"""
+    SELECT source,
+           count(*)::BIGINT AS n_kept,
+           sum(n_chars)::BIGINT AS n_chars_kept
+    FROM documents
+    WHERE {_DB} < {_rate_case(tx.DUCK)}
+    GROUP BY source
+    """,
+)
+def q_stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling: each source keeps its own quota rate
+    (the data-mixture knob of corpus construction — e.g. downweight raw
+    web, keep all curated text). Implemented as one CASE-driven hash
+    threshold: still a pure scan predicate, no shuffle, and rates can be
+    retuned without changing which rows the survivors came from."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.filter(F.expr(_SB) < F.expr(_rate_case(tx.SPARK)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("n_chars_kept"),
+        )
+    )

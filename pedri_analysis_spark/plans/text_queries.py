@@ -248,3 +248,88 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.expr("size(toks) > 0")).select(
         "doc_id", *[F.expr(expr).alias(name) for name, expr in e.items()]
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+
+def _tfidf_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM tok),
+    term AS (
+      SELECT doc_id, t AS term FROM tok, unnest(toks) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM term GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM term GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             floor(tf.tf * ln(n.n_docs / df.df) * 1000000 + 0.5) / 1000000
+               AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= {TFIDF_TOP_N}
+    """
+
+
+@_register("tfidf_top_terms", _tfidf_oracle())
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} TF-IDF terms per document — the classic keyword/feature
+    extraction op of a text pipeline.
+
+    Scale: explode → two hash aggregates (term frequency per doc, doc
+    frequency per term) → broadcast the term-level df table back — the
+    same topology at any corpus size; the corpus count rides along as a
+    1-row broadcast. Ranking happens on the 6-dp-rounded score (not the
+    raw double) so the cross-engine row selection is deterministic; ulp
+    noise in ln() sits ~8 orders of magnitude below the rounding grid.
+    """.format(n=TFIDF_TOP_N)
+    from pyspark.sql.window import Window as W
+
+    from pedri_analysis_spark.operators import spread
+
+    d = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "toks", F.expr(tx.tokens(tx.SPARK, "text"))
+    )
+    term = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = term.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = term.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1_000_000
+                + 0.5
+            )
+            / 1_000_000,
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )
