@@ -497,3 +497,166 @@ def q_grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+def _stats_formula_sql(from_clause: str) -> str:
+    """Shared second-stage arithmetic for exact distributed statistics.
+
+    The moments (n, Σx, Σy, Σx², Σy², Σxy) are aggregated in DECIMAL —
+    order-independent, so partial aggregation across any partitioning
+    yields bit-identical sums — then emitted as DOUBLE, and every derived
+    statistic is ONE textually identical double-arithmetic expression in
+    both engines (IEEE ops on identical inputs ⇒ identical bits). Native
+    corr()/stddev() can't be oracle-hash-matched: engines use different
+    streaming algorithms (Welford vs. naive) whose float error depends on
+    row order."""
+    return f"""
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           sx / n AS mean_qty,
+           sy / n AS mean_price,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM ({from_clause})
+    """
+
+
+@_register(
+    "stats_moments_exact",
+    _stats_formula_sql(
+        """
+      SELECT l_returnflag,
+             count(*)::DOUBLE AS n,
+             CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sx,
+             CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sy,
+             CAST(sum(l_quantity::DECIMAL(12,2) * l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sxx,
+             CAST(sum(l_extendedprice::DECIMAL(12,2) * l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS syy,
+             CAST(sum(l_quantity::DECIMAL(12,2) * l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    """
+    ),
+)
+def q_stats_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mean/stddev/covariance/correlation from exact decimal
+    moments (see _stats_formula_sql). The moment aggregation is one
+    map-side-combinable hash agg — the only scalable way to get
+    order-independent statistics at 100 TB (a streaming Welford pass is
+    sequential-order-dependent and not partition-stable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    return moments.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr("sx / n").alias("mean_qty"),
+        F.expr("sy / n").alias("mean_price"),
+        F.expr("sqrt((sxx - sx * sx / n) / (n - 1))").alias("stddev_qty"),
+        F.expr("sqrt((syy - sy * sy / n) / (n - 1))").alias("stddev_price"),
+        F.expr("(sxy - sx * sy / n) / (n - 1)").alias("covar_qty_price"),
+        F.expr(
+            "(sxy - sx * sy / n)"
+            " / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))"
+        ).alias("corr_qty_price"),
+    )
+
+
+VALUE_BANDS = [  # (band, lo, hi) — half-open [lo, hi)
+    ("tiny", 0.0, 1.0),
+    ("small", 1.0, 10.0),
+    ("medium", 10.0, 100.0),
+    ("large", 100.0, 1000.0),
+]
+
+
+@_register(
+    "band_join_event_values",
+    f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS)}
+    )
+    SELECT b.band,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(e.value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_band_join_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band (range) join: every event matched to its value tier by
+    a non-equi predicate against a tiny banding dimension — the generic
+    form of bucketing where band edges are DATA, not expression constants
+    (cf. histogram_acctbal, where edges are literals).
+
+    Scale: the band table broadcasts, so Spark plans a
+    BroadcastNestedLoopJoin — each event row tests ≤ |bands| predicates
+    map-side, no shuffle until the final aggregate. With many bands,
+    pre-sort the band edges and use a binary-search expression or
+    width_bucket instead."""
+    ev = _t(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+MA_WINDOW = 7
+
+
+@_register(
+    "window_moving_average",
+    f"""
+    SELECT event_id, user_id,
+           CAST(sum(value::DECIMAL(12,2))
+                OVER w AS DOUBLE)
+             / count(*) OVER w AS ma{MA_WINDOW},
+           count(*) OVER w AS n_in_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN {MA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame moving average: a bounded ROWS frame (the one window
+    flavor running_total's unbounded frame doesn't cover). The average is
+    derived from a DECIMAL frame-sum over an exact (ts, event_id) order —
+    frame membership and the sum are both order-stable, so the double
+    division matches the oracle bit-for-bit.
+
+    Scale: one shuffle on user_id; the bounded frame evaluates in a
+    single sorted pass per partition with O(frame) memory."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(MA_WINDOW - 1), W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double") / n
+        ).alias(f"ma{MA_WINDOW}"),
+        n.alias("n_in_frame"),
+    )
