@@ -660,3 +660,67 @@ def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"ma{MA_WINDOW}"),
         n.alias("n_in_frame"),
     )
+
+
+@_register(
+    "ntile_customer_quartiles",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile::BIGINT AS quartile,
+           count(*)::BIGINT AS n_customers,
+           min(c_custkey)::BIGINT AS min_key
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quantile bucketing per segment — the window-function route to
+    equal-frequency binning (vs. percentile cutpoints). Deterministic
+    because the ORDER BY is a total order (balance, then key)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
+@_register(
+    "correlated_above_nation_avg",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their own nation's
+    average balance. Catalyst decorrelates this into an aggregate + join
+    (visible in the plan — no per-row subquery execution); written in SQL
+    because that is the surface such queries arrive on.
+
+    avg() here is engine-internal float summation — safe only because the
+    predicate is a strict inequality on values ~1e3 apart, far above ulp
+    noise; for hash-matched OUTPUT of averages, use the decimal-sum
+    pattern (stats_moments_exact)."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("corr_customer")
+    return c.sparkSession.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM corr_customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM corr_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
