@@ -165,47 +165,89 @@ def per_match_basic(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFram
     Scale: predicate counters are `sum(when(pred,1))` — partial aggregation
     collapses each partition before the shuffle; the whole row set is
     |matches| ≈ tiny."""
-    pedri = events.filter(P.by_player(player_id))
+    me = P.by_player(player_id)
+    t = P.event_time_min()
+    is_sub = P.is_type("Substitution")
+    sub_on = is_sub & (F.col("substitution.replacement.id") == player_id)
+    # Starting-XI lineup pick (P15) fused into the same aggregate as an
+    # ordered struct-min: min over (t, id, pos) structs is lexicographic,
+    # so ["pos"] of the minimum == first qualifying row by (t, id) — the
+    # standalone lineup_position() window, without its extra scan + join.
+    xi_entry = F.expr(
+        f"filter(tactics.lineup, p -> p.player.id = {player_id}"
+        f" OR p.player_id = {player_id})"
+    )
+    xi_pos = F.when(F.size(xi_entry) > 0, xi_entry[0]["position"]["name"])
+    xi_pick = F.min(
+        F.when(
+            P.is_type("Starting XI") & xi_pos.isNotNull(),
+            F.struct(t.alias("t"), F.col("id").alias("id"), xi_pos.alias("pos")),
+        )
+    )
     carry_dist = F.when(
-        P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull(),
+        me & P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull(),
         P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y()),
     )
-    passes = _cnt(P.is_pass())
-    completed = _cnt(P.pass_completed_v1())
-    dribbles = _cnt(P.is_dribble())
-    dribbles_ok = _cnt(P.successful_dribble())
-    stats = pedri.groupBy("match_id").agg(
-        passes.alias("passes"),
-        completed.alias("passes_completed"),
-        _cnt(P.is_key_pass_v1()).alias("key_passes"),
-        _cnt(P.progressive_pass_v1()).alias("progressive_passes"),
-        _cnt(P.is_shot()).alias("shots"),
-        _cnt(P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias("goals"),
-        F.coalesce(_xg_dec(), F.lit(0.0)).alias("_xg_raw"),
-        dribbles.alias("dribbles"),
-        dribbles_ok.alias("dribbles_successful"),
-        _cnt(P.is_carry()).alias("carries"),
-        F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("_carry_raw"),
-        _cnt(P.is_pressure()).alias("pressures"),
-        _cnt(P.is_tackle_v1()).alias("tackles"),
-        _cnt(P.is_interception()).alias("interceptions"),
-        _cnt(P.is_ball_recovery()).alias("ball_recoveries"),
-        F.min("match_date").alias("match_date"),
+    # ONE scan, ONE hash aggregate for the whole basic row: the reference's
+    # per-file stat fold (A1), the minutes estimation branches (O6 —
+    # minutes_estimate() as conditional min/max), and the lineup pick
+    # (P15). Non-player rows needed by O6/P15 join the group via the
+    # filter; the row set stays "matches with ≥1 player event" (_me_n).
+    base = events.filter(me | sub_on | P.is_type("Starting XI"))
+    stats = (
+        base.groupBy("match_id")
+        .agg(
+            _cnt(me).alias("_me_n"),
+            _cnt(me & P.is_pass()).alias("passes"),
+            _cnt(me & P.pass_completed_v1()).alias("passes_completed"),
+            _cnt(me & P.is_key_pass_v1()).alias("key_passes"),
+            _cnt(me & P.progressive_pass_v1()).alias("progressive_passes"),
+            _cnt(me & P.is_shot()).alias("shots"),
+            _cnt(
+                me & P.is_shot() & (F.col("shot.outcome.name") == "Goal")
+            ).alias("goals"),
+            F.coalesce(
+                F.sum(
+                    F.when(me, F.col("shot.statsbomb_xg")).cast("decimal(18,10)")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("_xg_raw"),
+            _cnt(me & P.is_dribble()).alias("dribbles"),
+            _cnt(me & P.successful_dribble()).alias("dribbles_successful"),
+            _cnt(me & P.is_carry()).alias("carries"),
+            F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("_carry_raw"),
+            _cnt(me & P.is_pressure()).alias("pressures"),
+            _cnt(me & P.is_tackle_v1()).alias("tackles"),
+            _cnt(me & P.is_interception()).alias("interceptions"),
+            _cnt(me & P.is_ball_recovery()).alias("ball_recoveries"),
+            F.min(F.when(me, F.col("match_date"))).alias("match_date"),
+            F.min(F.when(me, t)).alias("_t_first"),
+            F.max(F.when(me, t)).alias("_t_last"),
+            F.min(F.when(sub_on, t)).alias("_on_min"),
+            F.min(F.when(me & is_sub, t)).alias("_off_min"),
+            xi_pick.alias("_xi"),
+        )
+        .filter(F.col("_me_n") > 0)
     )
     pct = lambda num, den: F.when(den > 0, F.bround(100.0 * num / den, 1)).otherwise(0.0)
-    stats = (
+    minutes_est = F.least(
+        F.greatest(
+            F.coalesce("_off_min", "_t_last") - F.coalesce("_on_min", "_t_first"),
+            F.lit(10.0),
+        ),
+        F.lit(95.0),
+    )
+    return (
         stats.withColumn("pass_pct", pct(F.col("passes_completed"), F.col("passes")))
         .withColumn("dribble_pct", pct(F.col("dribbles_successful"), F.col("dribbles")))
         .withColumn("xg", F.bround("_xg_raw", 3))
         .withColumn("carry_distance", F.bround("_carry_raw", 1))
-        .drop("_xg_raw", "_carry_raw")
-    )
-    return (
-        stats.join(minutes_estimate(events, player_id), "match_id", "left")
-        .join(F.broadcast(lineup_position(events, player_id)), "match_id", "left")
-        .withColumn("minutes", F.bround(F.coalesce("minutes_est", F.lit(90.0)), 1))
-        .withColumn("position", F.coalesce("position_xi", F.lit("Unknown")))
-        .drop("minutes_est", "position_xi")
+        .withColumn("minutes", F.bround(F.coalesce(minutes_est, F.lit(90.0)), 1))
+        .withColumn("position", F.coalesce(F.col("_xi")["pos"], F.lit("Unknown")))
+        .drop(
+            "_xg_raw", "_carry_raw", "_me_n", "_t_first", "_t_last",
+            "_on_min", "_off_min", "_xi",
+        )
     )
 
 
