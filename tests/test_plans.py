@@ -61,9 +61,53 @@ def test_no_python_udf_in_relational_suite(spark):
     """Everything in the relational/dedup/text suites is pure Column
     expressions — Python must not appear in the row path (similarity's
     vectorized cosine is the one deliberate ArrowEvalPython)."""
-    from pedri_analysis_spark.plans import dedup_queries, relational, text_queries
+    from pedri_analysis_spark.plans import (
+        dedup_queries,
+        relational,
+        relational_ext,
+        sampling_queries,
+        text_queries,
+    )
 
-    for mod in (relational, dedup_queries, text_queries):
+    for mod in (relational, relational_ext, sampling_queries, dedup_queries, text_queries):
         for name, fn in mod.QUERIES.items():
             plan = _plan(fn(spark, SF))
             assert "BatchEvalPython" not in plan, f"row-at-a-time python UDF in {name}"
+
+
+def test_band_join_broadcasts_never_cartesian(spark):
+    from pedri_analysis_spark.plans.relational_ext import QUERIES
+
+    plan = _plan(QUERIES["band_join_event_values"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny band dim broadcast
+    assert "CartesianProduct" not in plan
+    # extreme pruning: only the join column is read from the fact table
+    read = plan.split("ReadSchema")[-1]
+    assert "value" in read and "props" not in read and "event_type" not in read
+
+
+def test_moving_average_single_shuffle(spark):
+    from pedri_analysis_spark.plans.relational_ext import QUERIES
+
+    plan = _plan(QUERIES["window_moving_average"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle on user_id
+    assert "RowFrame, -6" in plan  # bounded frame, not unbounded
+
+
+def test_stats_moments_partial_agg_single_shuffle(spark):
+    from pedri_analysis_spark.plans.relational_ext import QUERIES
+
+    plan = _plan(QUERIES["stats_moments_exact"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine of the moments
+    assert plan.count("Exchange hashpartitioning") == 1
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read  # untouched columns pruned
+
+
+def test_sampling_is_pure_scan_predicate(spark):
+    from pedri_analysis_spark.plans.sampling_queries import QUERIES
+
+    plan = _plan(QUERIES["sample_hash_bernoulli"](spark, SF))
+    assert "Exchange" not in plan  # no shuffle to sample
+    read = plan.split("ReadSchema")[-1]
+    assert "text" not in read  # decision needs doc_id only; text never read
