@@ -267,3 +267,75 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle()}),
+    nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b AS src, a AS dst FROM pairs),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@_register("dedup_connected_components", _components_oracle())
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches: connected components by
+    iterative min-label propagation (each node repeatedly adopts the
+    smallest label among itself and its neighbours until fixpoint) —
+    pairwise dedup only says "a~b"; picking one canonical doc per group
+    needs the transitive closure.
+
+    Scale: this is the Pregel/GraphX pattern as plain DataFrame ops —
+    per iteration one shuffle (join edges⨝labels + min-aggregate), with
+    localCheckpoint() truncating the lineage so plan size stays O(1) in
+    iterations, and a monotone 1-row convergence probe (Σlabels strictly
+    decreases until fixpoint). Iterations ≈ graph diameter, small for
+    near-dup clusters. The oracle computes the same closure as a
+    recursive CTE — the declarative fixpoint of the same recursion."""
+    pairs = QUERIES["ngram_jaccard_near_dups"](spark, sf_dir).select("a", "b")
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # Near-dup pair generation is the expensive part; compute it once.
+    edges = edges.localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(30):  # >= any real near-dup cluster diameter
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("cluster_id")
+    )
