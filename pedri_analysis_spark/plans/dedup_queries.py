@@ -292,50 +292,117 @@ def _components_oracle() -> str:
 
 @_register("dedup_connected_components", _components_oracle())
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from pairwise matches: connected components by
-    iterative min-label propagation (each node repeatedly adopts the
-    smallest label among itself and its neighbours until fixpoint) —
-    pairwise dedup only says "a~b"; picking one canonical doc per group
-    needs the transitive closure.
+    """Near-dup CLUSTERS from pairwise matches: connected components
+    (cluster_id = min doc_id per component) — pairwise dedup only says
+    "a~b"; picking one canonical doc per group needs the transitive
+    closure.
 
-    Scale: this is the Pregel/GraphX pattern as plain DataFrame ops —
-    per iteration one shuffle (join edges⨝labels + min-aggregate), with
-    localCheckpoint() truncating the lineage so plan size stays O(1) in
+    Two exact-equivalent physical paths, chosen by candidate-graph size
+    (the graph is |pairs|, far smaller than the corpus):
+    driver union-find below DRIVER_GRAPH_MAX_PAIRS, distributed min-label
+    propagation (_components_propagate, the Pregel/GraphX pattern) above
+    it. tests/test_components.py pins their agreement. The oracle computes
+    the same closure as a recursive CTE — the declarative fixpoint of the
+    same recursion."""
+    # Near-dup pair generation is the expensive part: checkpoint it BEFORE
+    # deriving nodes/edges, or each derivation re-runs the whole
+    # similarity join (3× evaluation).
+    pairs = (
+        QUERIES["ngram_jaccard_near_dups"](spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    if pairs.count() <= DRIVER_GRAPH_MAX_PAIRS:
+        return _components_unionfind(spark, pairs)
+    return _components_propagate(spark, pairs)
+
+
+# The candidate graph is |near-dup pairs| — orders of magnitude smaller
+# than the corpus (144 pairs from 5000 docs at sf0.1). Below this bound,
+# union-find on the driver beats distributed iteration by ~2× wall time
+# (each propagation round costs jobs + shuffles regardless of data size);
+# above it, the iterative path has no single-machine memory ceiling.
+DRIVER_GRAPH_MAX_PAIRS = 2_000_000
+
+
+def _components_unionfind(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find for small candidate graphs. Same fixpoint as
+    _components_propagate (min doc_id per component), exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs.collect()
+    for r in rows:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for r in rows for x in (r.a, r.b)}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
+
+
+def _components_propagate(
+    spark: SparkSession, pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Distributed min-label propagation (the Pregel/GraphX pattern as
+    DataFrame ops): per iteration one join + min-aggregate shuffle,
+    localCheckpoint() truncating lineage so plan size stays O(1) in
     iterations, and a monotone 1-row convergence probe (Σlabels strictly
-    decreases until fixpoint). Iterations ≈ graph diameter, small for
-    near-dup clusters. The oracle computes the same closure as a
-    recursive CTE — the declarative fixpoint of the same recursion."""
-    pairs = QUERIES["ngram_jaccard_near_dups"](spark, sf_dir).select("a", "b")
+    decreases until fixpoint). Iterations ≈ component diameter."""
+    n_pairs = pairs.count()
+    p = max(1, min(32, n_pairs // 100_000 + 1))
     nodes = (
         pairs.select(F.col("a").alias("node"))
         .union(pairs.select(F.col("b").alias("node")))
         .distinct()
     )
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    # Near-dup pair generation is the expensive part; compute it once.
-    edges = edges.localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    for _ in range(30):  # >= any real near-dup cluster diameter
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(p, "src")
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.select("node", F.col("node").alias("lab"))
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    # The iteration's shuffles must also run at graph-parallelism, not the
+    # session default (32 near-empty shuffle partitions per join/agg per
+    # iteration is pure scheduling overhead). Scoped + restored.
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lab").alias("nmin"))
             )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            labels = (
+                labels.join(neigh, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lab"), F.coalesce("nmin", F.col("lab"))
+                    ).alias("lab"),
+                )
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("cluster_id")
     )
