@@ -14,6 +14,7 @@ from pedri_analysis_spark.plans.relational import (
     dsum,
     epoch_us,
     events_us,
+    factor,
     money,
 )
 from pedri_analysis_spark.sources.tables import load_table
@@ -723,4 +724,63 @@ def q_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM corr_customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount)::DECIMAL(4,2))
+                AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate)::BIGINT AS orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate_us ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 pattern (shipping priority): selective dimension
+    filter → 3-table equi-join chain → revenue aggregate → top-10. The
+    classic decision-support shape exercising filter pushdown on BOTH
+    join sides + TakeOrderedAndProject in one query.
+
+    Scale: the segment filter prunes customer before the join; AQE picks
+    broadcast for the filtered side when it fits; the final top-10 is a
+    per-partition heap, never a global sort. Determinism: ties broken by
+    (orderdate, orderkey); timestamps compared/emitted as epoch micros."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-01-01'")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(money("l_extendedprice") * factor(F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "orderdate_us", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderdate_us"), F.asc("l_orderkey"))
+        .limit(10)
     )

@@ -333,3 +333,68 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tf", "tfidf", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary payload columns (the multimodal storage shape), oracle-checked
+# ---------------------------------------------------------------------------
+
+CHUNK_BYTES = 256
+
+
+@_register(
+    "binary_payload_chunks",
+    f"""
+    WITH payload AS (
+      SELECT doc_id,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             md5(text) AS checksum
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id, n_bytes, checksum,
+             unnest(generate_series(0, ((n_bytes + {CHUNK_BYTES - 1}) // {CHUNK_BYTES}) - 1))
+               AS chunk_idx
+      FROM payload
+    )
+    SELECT doc_id, checksum, chunk_idx::BIGINT AS chunk_idx,
+           (chunk_idx * {CHUNK_BYTES})::BIGINT AS start_byte,
+           least({CHUNK_BYTES}, n_bytes - chunk_idx * {CHUNK_BYTES})::BIGINT AS chunk_bytes
+    FROM chunked
+    """,
+)
+def q_binary_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads as first-class relational columns: each document's
+    UTF-8 byte stream becomes an opaque BINARY with byte length, content
+    checksum, and a {n}-byte chunk layout (one row per chunk) — exactly
+    the storage/manifest shape a multimodal pipeline uses for images or
+    audio (operators/multimodal.py holds the decode side; this is the
+    relational side the oracle can check byte-exactly).
+
+    Scale: chunk rows come from an explode over a computed range — row
+    count is Σ ceil(bytes/chunk), no shuffle; the checksum rides the scan.
+    """.format(n=CHUNK_BYTES)
+    d = load_table(spark, "documents", sf_dir)
+    payload = F.encode("text", "UTF-8")
+    n_bytes = F.length(payload).cast("long")
+    n_chunks = F.ceil(n_bytes / CHUNK_BYTES).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(payload).alias("checksum"),
+            n_bytes.alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "checksum",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_BYTES).alias("start_byte"),
+            F.least(
+                F.lit(CHUNK_BYTES).cast("long"),
+                F.col("n_bytes") - F.col("chunk_idx") * CHUNK_BYTES,
+            ).alias("chunk_bytes"),
+        )
+    )
