@@ -27,6 +27,18 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+def _warm_udf():
+    """A no-op pandas UDF used to spin the Arrow/Python worker pool during
+    warmup (hint-free so postponed annotations don't need resolving)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def warm(s):  # no type hints: functionType inferred from returnType
+        return s
+
+    return warm
+
+
 def main() -> None:
     from pedri_analysis_spark.session import get_spark
     from pedri_analysis_spark.plans import all_queries
@@ -38,6 +50,10 @@ def main() -> None:
     # Warm up the JVM/codegen paths with one trivial action so the first
     # measured query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ... and the Arrow/Python worker pool, so the first pandas-UDF query
+    # (alphabetically ann_lsh) isn't charged several seconds of worker
+    # spin-up that every later UDF query gets for free.
+    spark.range(1024).select(_warm_udf()("id")).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
