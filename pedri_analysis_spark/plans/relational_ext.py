@@ -784,3 +784,59 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderdate_us"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@_register(
+    "quantile_binning_price",
+    """
+    WITH cut AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS q2,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice < q1 THEN 0
+                WHEN l_extendedprice < q2 THEN 1
+                WHEN l_extendedprice < q3 THEN 2
+                ELSE 3 END::BIGINT AS bin,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_price
+    FROM lineitem, cut
+    GROUP BY 1
+    """,
+)
+def q_quantile_binning_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning with DATA-DERIVED cutpoints (the feature-
+    engineering discretizer): phase 1 computes exact quartile cutpoints,
+    phase 2 broadcasts the 1-row cutpoint frame and buckets every row
+    with a CASE chain — unlike ntile, rows with equal values always land
+    in the same bin, and the cutpoints are reusable artifacts (the fitted
+    "model" of a Bucketizer).
+
+    Scale: phase 1 is one aggregate (use percentile_approx beyond memory
+    limits); phase 2 is a broadcast + scan — no shuffle to assign bins.
+    Cutpoint doubles are bit-identical cross-engine (both implement
+    linear-interpolated continuous quantiles; proven by
+    percentiles_quantity), so strict-inequality binning is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cut = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    p = F.col("l_extendedprice")
+    bin_col = (
+        F.when(p < F.col("q1"), 0)
+        .when(p < F.col("q2"), 1)
+        .when(p < F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        li.crossJoin(F.broadcast(cut))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
