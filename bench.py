@@ -77,17 +77,36 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    # Full per-query map goes to a file; stdout gets ONE compact line the
+    # driver can parse even if it keeps only a tail of the output.  (Round-1
+    # lesson: a ~4 KB single line with all 76 timings was tail-truncated and
+    # recorded as parsed:null.)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_label(SF_DIR),
-            }
+                "runs": runs,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": _sf_label(SF_DIR),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -17,6 +17,7 @@ from pedri_analysis_spark.plans.relational import (
     factor,
     money,
 )
+from pedri_analysis_spark.operators.quantiles import exact_quantiles
 from pedri_analysis_spark.sources.tables import load_table
 
 QUERIES: dict[str, QueryFn] = {}
@@ -813,16 +814,18 @@ def q_quantile_binning_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same bin, and the cutpoints are reusable artifacts (the fitted
     "model" of a Bucketizer).
 
-    Scale: phase 1 is one aggregate (use percentile_approx beyond memory
-    limits); phase 2 is a broadcast + scan — no shuffle to assign bins.
-    Cutpoint doubles are bit-identical cross-engine (both implement
-    linear-interpolated continuous quantiles; proven by
+    Scale: phase 1 uses operators.quantiles.exact_quantiles — a sketch-
+    bracketed two-phase scheme that reproduces single-reducer
+    ``percentile()`` bit-for-bit while staying fully distributed (the
+    builtin exact percentile materializes the whole column in ONE
+    aggregation buffer: the former 10 s hot spot here and a scale-killer
+    at 100 TB).  Phase 2 is a broadcast + scan — no shuffle to assign
+    bins.  Cutpoint doubles are bit-identical cross-engine (both
+    implement linear-interpolated continuous quantiles; proven by
     percentiles_quantity), so strict-inequality binning is exact."""
     li = _t(spark, sf_dir, "lineitem")
-    cut = li.agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    cut = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.50, 0.75], names=["q1", "q2", "q3"]
     )
     p = F.col("l_extendedprice")
     bin_col = (
