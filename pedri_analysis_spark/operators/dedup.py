@@ -55,14 +55,17 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 
 
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
-    """Keep one row per exact content (min key wins). Hash-groupBy — one
-    shuffle on the content hash; the full row travels via min_by."""
+    """Keep one FULL row per exact content (min key wins). Hash-groupBy —
+    one shuffle on the content hash; the whole survivor row travels inside
+    the aggregation buffer via ``min_by(struct(*), key)``, so no second
+    join back to the corpus is needed to recover row contents."""
     h = F.md5(F.col(content_col))
+    survivor = F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(key_col))
     return (
         df.withColumn("_h", h)
         .groupBy("_h")
-        .agg(F.min(key_col).alias(key_col))
-        .drop("_h")
+        .agg(survivor.alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -184,9 +187,9 @@ def simhash_near_dups(
     """SimHash near-dup pairs within a blocking key: Hamming distance of
     the 32-bit fingerprints ≤ max_hamming.
 
-    Scale: at 100 TB you block on bit-prefixes of the simhash itself
-    (pigeonhole over max_hamming+1 chunks) instead of a domain column;
-    the chunked variant is the same join shape."""
+    Scale: at 100 TB block on bit-chunks of the simhash itself instead of
+    a domain column — that variant is ``simhash_prefix_near_dups`` below
+    (pigeonhole over max_hamming+1 chunks, no block column needed)."""
     hashed = (
         with_simhash(spread(df), text_col)
         .select(F.col(key_col), F.col(block_col), "simhash")
@@ -204,4 +207,60 @@ def simhash_near_dups(
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def simhash_prefix_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs over the WHOLE corpus — no domain block
+    column — via pigeonhole bit-chunk blocking.
+
+    If two fingerprints differ in ≤ ``max_hamming`` bits, then splitting
+    them into ``max_hamming + 1`` disjoint bit chunks leaves at least one
+    chunk identical (pigeonhole).  So: explode each row into its chunks,
+    self-join on (chunk index, chunk value) — candidates only ever meet
+    inside a shared-chunk bucket — then filter on true Hamming distance
+    and dedup pairs that matched in several chunks.
+
+    Scale: ONE shuffle on (chunk, value); bucket fan-out is |corpus| ×
+    (k+1) rows, and per-bucket pair cost is n²/2^width — at 100 TB you
+    widen the fingerprint (64/128-bit) so chunk widths stay ≥ 12 bits and
+    buckets stay small.  Same topology as the banded MinHash LSH join."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    hashed = (
+        with_simhash(spread(df), text_col)
+        .select(F.col(key_col), "simhash")
+        .persist()  # feeds both sides of the chunk self-join
+    )
+    chunk_vals = F.array(
+        *[
+            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
+        ]
+    )
+    blocks = hashed.select(
+        F.col(key_col), "simhash", F.posexplode(chunk_vals).alias("ck", "ckv")
+    )
+    a = blocks.select(
+        F.col(key_col).alias("a"), F.col("simhash").alias("sh_a"), "ck", "ckv"
+    )
+    b = blocks.select(
+        F.col(key_col).alias("b"), F.col("simhash").alias("sh_b"), "ck", "ckv"
+    )
+    return (
+        a.join(b, ["ck", "ckv"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
     )

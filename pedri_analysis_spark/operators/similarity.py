@@ -146,3 +146,25 @@ def ivf_topk(
     )
     candidates = assigned.join(F.broadcast(probe), "cluster")
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def write_ivf_index(
+    assigned: DataFrame, path: str, cluster_col: str = "cluster"
+) -> None:
+    """Materialize the IVF index as a CLUSTER-PARTITIONED parquet layout:
+    one directory per centroid bucket.  A probe then reads only the
+    ``nprobe`` matching directories — partition pruning at the file-listing
+    level, so probe I/O is |bucket| × nprobe instead of |corpus|.  This is
+    the 100 TB shape ivf_topk's docstring promises; see
+    tests/test_plans.py::test_ivf_partitioned_probe_prunes for the
+    plan-level proof."""
+    assigned.write.partitionBy(cluster_col).mode("overwrite").parquet(path)
+
+
+def read_ivf_candidates(
+    spark, path: str, clusters: list[int], cluster_col: str = "cluster"
+) -> DataFrame:
+    """Scan only the probed centroid buckets of a written IVF index.
+    The ``isin`` filter lands in the scan's PartitionFilters — Spark never
+    lists, opens, or decodes any other bucket's files."""
+    return spark.read.parquet(path).filter(F.col(cluster_col).isin(clusters))

@@ -201,10 +201,42 @@ def _simhash_oracle() -> str:
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs within a language block at Hamming
     ≤ {t}. The fingerprint is one Catalyst fold per row; pairing is a
-    blocked self-join (at 100 TB: block on simhash bit-prefix chunks via
-    the pigeonhole principle instead of a domain column).""".format(t=HAMMING_T)
+    blocked self-join (the block-column-free scale variant is
+    simhash_prefix_near_dups).""".format(t=HAMMING_T)
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
     out = dd.simhash_near_dups(d, max_hamming=HAMMING_T)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_prefix_oracle() -> str:
+    # The oracle is the BRUTE-FORCE all-pairs Hamming join (no blocking at
+    # all): pigeonhole chunk blocking is recall-lossless, so the chunked
+    # Spark plan must reproduce the quadratic reference set exactly.
+    toks = tx.tokens(tx.DUCK, "text")
+    bitsums = tx.simhash_bitsums(tx.DUCK, "toks")
+    sh_int = tx.simhash_from_bitsums(tx.DUCK, "bs")
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    bsum AS (SELECT doc_id, {bitsums} AS bs FROM tok),
+    sh AS (SELECT doc_id, {sh_int} AS simhash FROM bsum)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_T}
+    """
+
+
+@_register("simhash_prefix_near_dups", _simhash_prefix_oracle())
+def q_simhash_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups over the WHOLE corpus — no domain block column —
+    via pigeonhole bit-chunk blocking (operators.dedup.
+    simhash_prefix_near_dups): Hamming ≤ {t} implies at least one of
+    {t}+1 disjoint bit chunks is identical, so candidates only meet
+    inside shared-chunk buckets.  One shuffle on (chunk, value); the
+    DuckDB oracle is the unblocked quadratic join, pinning recall at
+    100%.""".format(t=HAMMING_T)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = dd.simhash_prefix_near_dups(d, max_hamming=HAMMING_T)
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -322,7 +354,10 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union-find on the driver beats distributed iteration by ~2× wall time
 # (each propagation round costs jobs + shuffles regardless of data size);
 # above it, the iterative path has no single-machine memory ceiling.
-DRIVER_GRAPH_MAX_PAIRS = 2_000_000
+# Sized in DRIVER HEAP BYTES, not row count: a collected pair is one Row
+# of two longs ≈ ~150 B of Python objects, so 200k pairs ≈ 30 MB — safely
+# inside any driver. (2M rows would have been hundreds of MB.)
+DRIVER_GRAPH_MAX_PAIRS = 200_000
 
 
 def _components_unionfind(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -355,7 +390,12 @@ def _components_propagate(
     DataFrame ops): per iteration one join + min-aggregate shuffle,
     localCheckpoint() truncating lineage so plan size stays O(1) in
     iterations, and a monotone 1-row convergence probe (Σlabels strictly
-    decreases until fixpoint). Iterations ≈ component diameter."""
+    decreases until fixpoint). Iterations ≈ component diameter; raises if
+    the fixpoint isn't reached in ``max_iter`` rounds — silently returning
+    half-propagated labels would be wrong cluster_ids with no error.
+    (Chain-shaped components with diameter > max_iter need the
+    pointer-doubling / large-star-small-star formulation; raise loudly
+    rather than guess.)"""
     n_pairs = pairs.count()
     p = max(1, min(32, n_pairs // 100_000 + 1))
     nodes = (
@@ -379,6 +419,7 @@ def _components_propagate(
     # iteration is pure scheduling overhead). Scoped + restored.
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    converged = False
     try:
         prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
         for _ in range(max_iter):
@@ -399,10 +440,17 @@ def _components_propagate(
             )
             cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); refusing to return "
+            "partially-propagated cluster labels"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("cluster_id")
     )

@@ -15,18 +15,38 @@ reference memoizes attack direction per *team name*, first match wins
 quirk.  Here direction is computed per (match, team), which is the
 correct per-match semantics.
 
-Rounding: final metric columns use ``bround`` (HALF_EVEN) to mirror
-Python's ``round()`` used throughout the reference (F6 rounding parity).
+Rounding: final metric columns use ``pround`` — ``floor(x*10^n + 0.5) /
+10^n`` on the double lattice — the one formula that evaluates to the SAME
+IEEE result in Spark and DuckDB (F6 rounding parity).  ``bround``
+(HALF_EVEN via Java BigDecimal's shortest-decimal repr) and DuckDB
+``round`` (half away from zero) disagree whenever a metric lands exactly
+on a representable .5 boundary, e.g. 9/16 passes → 56.25 → 56.2 vs 56.3;
+the floor form is deterministic cross-engine because *, +, floor and /
+are all IEEE-754-defined on doubles.  Deviation from the reference's
+Python ``round()`` (HALF_EVEN) exists only on those exact boundaries and
+is documented here as a cross-engine determinism trade.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from pedri_analysis_spark.functions import predicates as P
 
 FIVE_SECONDS_MIN = 5.0 / 60.0
+
+
+def pround(c: str | Column, ndigits: int) -> Column:
+    """Cross-engine parity rounding: floor(x * 10^n + 0.5) / 10^n.
+
+    Mirror every use of this with the identical textual formula in the
+    oracle SQL (see _R_SQL in plans.pedri_queries); both engines then run
+    the same IEEE double ops in the same order.  Same pattern as
+    operators.similarity.round6."""
+    col = F.col(c) if isinstance(c, str) else c
+    f = F.lit(float(10**ndigits))
+    return F.floor(col * f + F.lit(0.5)) / f
 
 
 def _cnt(pred) -> F.Column:
@@ -229,7 +249,7 @@ def per_match_basic(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFram
         )
         .filter(F.col("_me_n") > 0)
     )
-    pct = lambda num, den: F.when(den > 0, F.bround(100.0 * num / den, 1)).otherwise(0.0)
+    pct = lambda num, den: F.when(den > 0, pround(100.0 * num / den, 1)).otherwise(0.0)
     minutes_est = F.least(
         F.greatest(
             F.coalesce("_off_min", "_t_last") - F.coalesce("_on_min", "_t_first"),
@@ -240,9 +260,9 @@ def per_match_basic(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFram
     return (
         stats.withColumn("pass_pct", pct(F.col("passes_completed"), F.col("passes")))
         .withColumn("dribble_pct", pct(F.col("dribbles_successful"), F.col("dribbles")))
-        .withColumn("xg", F.bround("_xg_raw", 3))
-        .withColumn("carry_distance", F.bround("_carry_raw", 1))
-        .withColumn("minutes", F.bround(F.coalesce(minutes_est, F.lit(90.0)), 1))
+        .withColumn("xg", pround("_xg_raw", 3))
+        .withColumn("carry_distance", pround("_carry_raw", 1))
+        .withColumn("minutes", pround(F.coalesce(minutes_est, F.lit(90.0)), 1))
         .withColumn("position", F.coalesce(F.col("_xi")["pos"], F.lit("Unknown")))
         .drop(
             "_xg_raw", "_carry_raw", "_me_n", "_t_first", "_t_last",
@@ -440,19 +460,19 @@ def per_match_extended(
             }
         )
     )
-    pct = lambda num, den: F.when(den > 0, F.bround(100.0 * num / den, 1)).otherwise(0.0)
+    pct = lambda num, den: F.when(den > 0, pround(100.0 * num / den, 1)).otherwise(0.0)
     out = (
         out.withColumn("pass_pct", pct(F.col("passes_completed"), F.col("passes")))
         .withColumn("dribble_pct", pct(F.col("dribbles_successful"), F.col("dribbles")))
-        .withColumn("xg", F.bround("xg_raw", 3))
-        .withColumn("xa", F.bround("xa_raw", 3))
-        .withColumn("team_total_xg", F.bround("team_total_xg_raw", 3))
-        .withColumn("carry_distance", F.bround("carry_distance_raw", 1))
+        .withColumn("xg", pround("xg_raw", 3))
+        .withColumn("xa", pround("xa_raw", 3))
+        .withColumn("team_total_xg", pround("team_total_xg_raw", 3))
+        .withColumn("carry_distance", pround("carry_distance_raw", 1))
         .withColumn(
             "xg_share",
             F.when(
                 F.col("team_total_xg_raw") > 0,
-                F.bround(F.col("xg_raw") / F.col("team_total_xg_raw") * 100.0, 1),
+                pround(F.col("xg_raw") / F.col("team_total_xg_raw") * 100.0, 1),
             ).otherwise(0.0),
         )
         .drop("xg_raw", "xa_raw", "team_total_xg_raw", "carry_distance_raw")
@@ -490,14 +510,14 @@ def season_summary_basic(stats: DataFrame) -> DataFrame:
     out = stats.agg(
         F.count(F.lit(1)).alias("matches"),
         *sums,
-        F.bround(F.sum("xg"), 3).alias("total_xg"),
-        F.bround(F.sum("minutes"), 1).alias("total_minutes"),
+        pround(F.sum("xg"), 3).alias("total_xg"),
+        pround(F.sum("minutes"), 1).alias("total_minutes"),
     )
     return out.withColumn(
         "pass_pct",
         F.when(
             F.col("total_passes") > 0,
-            F.bround(100.0 * F.col("total_passes_completed") / F.col("total_passes"), 1),
+            pround(100.0 * F.col("total_passes_completed") / F.col("total_passes"), 1),
         ).otherwise(0.0),
     )
 
@@ -512,7 +532,7 @@ def per90(stats: DataFrame, cols: list[str]) -> DataFrame:
             f"{c}_per90",
             F.when(
                 F.col("total_minutes") > 0,
-                F.bround(F.col(f"total_{c}") / F.col("total_minutes") * 90.0, 2),
+                pround(F.col(f"total_{c}") / F.col("total_minutes") * 90.0, 2),
             ).otherwise(0.0),
         )
     return out

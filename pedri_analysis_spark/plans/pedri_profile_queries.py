@@ -1,0 +1,166 @@
+"""Profile-building and lineup-inspection workloads (SURVEY §3 adjuncts).
+
+Reference semantics:
+- ``pedri_profile_build`` assembles the per-match profile rows that the
+  extended analysis consumes as its JSON side input — team (mode of the
+  player's event teams), minutes estimate, Starting-XI position — i.e. it
+  *produces* what ``sources.events.load_profile`` *consumes*.  Reference:
+  core/pedri_profile.py:20-50 (match scan + position lookup) combined
+  with the per-match team/minutes derivations of
+  core/pedri_analysis.py:201-218 (minutes) and
+  core/pedri_analysis_extended.py:209-212 (team).
+- ``pedri_lineup_positions`` is the position-distribution report of
+  core/pedri_inspect_lineups.py:59-83: matches per Starting-XI position
+  plus a ≤10-match-id preview per position (ascending match id — the
+  reference previews in sorted-file order, which is the same order).
+
+Both reuse the pipeline's building blocks (player_team /
+minutes_estimate / lineup_position) — the queries are compositions, not
+re-implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.pedri_pipeline import (
+    lineup_position,
+    minutes_estimate,
+    player_team,
+    pround,
+)
+from pedri_analysis_spark.plans.pedri_queries import _EVT, PID, _events
+from pedri_analysis_spark.plans.relational import QueryFn
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared CTEs: the player's team per match (mode of team.name over their
+# events, lexicographic tie-break) and the Starting-XI position (first
+# Starting-XI row per match; entry matched on player.id OR player_id).
+_TEAM_CTE = f"""
+  tm AS (
+    SELECT match_id, team FROM (
+      SELECT match_id, team."name" AS team,
+             row_number() OVER (
+               PARTITION BY match_id
+               ORDER BY count(*) DESC, team."name" ASC
+             ) AS rn
+      FROM evt
+      WHERE player."id" = {PID} AND team."name" IS NOT NULL
+      GROUP BY match_id, team."name"
+    ) WHERE rn = 1
+  )
+"""
+
+_XI_CTE = f"""
+  xi AS (
+    SELECT match_id, pos FROM (
+      SELECT match_id,
+             list_filter(tactics.lineup,
+                         p -> p."player"."id" = {PID} OR p.player_id = {PID}) AS fl,
+             t, id
+      FROM evt WHERE "type"."name" = 'Starting XI'
+    ) z, LATERAL (SELECT z.fl[1]."position"."name" AS pos) l
+    WHERE len(fl) > 0
+    QUALIFY row_number() OVER (PARTITION BY match_id ORDER BY t, id) = 1
+  )
+"""
+
+_MINS_CTE = f"""
+  own AS (SELECT match_id, min(t) AS t_first, max(t) AS t_last
+          FROM evt WHERE player."id" = {PID} GROUP BY 1),
+  son AS (SELECT match_id, min(t) AS on_min FROM evt
+          WHERE "type"."name" = 'Substitution'
+            AND substitution.replacement."id" = {PID} GROUP BY 1),
+  soff AS (SELECT match_id, min(t) AS off_min FROM evt
+           WHERE "type"."name" = 'Substitution' AND player."id" = {PID} GROUP BY 1),
+  mins AS (
+    SELECT o.match_id,
+           least(greatest(coalesce(f.off_min, o.t_last)
+                          - coalesce(n.on_min, o.t_first), 10.0), 95.0) AS minutes_est
+    FROM own o LEFT JOIN son n ON o.match_id = n.match_id
+               LEFT JOIN soff f ON o.match_id = f.match_id
+  )
+"""
+
+
+@_register(
+    "pedri_profile_build",
+    f"""
+    WITH {_EVT},
+    {_TEAM_CTE},
+    {_MINS_CTE},
+    {_XI_CTE}
+    SELECT tm.match_id, tm.team,
+           floor((coalesce(m.minutes_est, 90.0)) * 10.0 + 0.5) / 10.0 AS minutes,
+           x.pos AS position
+    FROM tm
+    LEFT JOIN mins m ON tm.match_id = m.match_id
+    LEFT JOIN xi x ON tm.match_id = x.match_id
+    """,
+)
+def q_pedri_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the per-match profile table from raw events: one row per
+    match the player appears in — (match_id, team, minutes, position).
+    Position is NULL when the player was not in the Starting XI (sub-on
+    appearances), mirroring the reference's absent-field profile rows.
+
+    Scale: three narrow per-match aggregates (mode, span, XI pick) left-
+    joined on match_id — each is a partial+final hash aggregate; no wide
+    shuffle touches the event stream itself."""
+    ev = _events(spark)
+    out = (
+        player_team(ev)
+        .join(minutes_estimate(ev), "match_id", "left")
+        .join(lineup_position(ev), "match_id", "left")
+        .select(
+            "match_id",
+            "team",
+            pround(F.coalesce("minutes_est", F.lit(90.0)), 1).alias("minutes"),
+            F.col("position_xi").alias("position"),
+        )
+    )
+    return out
+
+
+@_register(
+    "pedri_lineup_positions",
+    f"""
+    WITH {_EVT},
+    {_XI_CTE}
+    SELECT pos AS position,
+           count(*)::BIGINT AS n_matches,
+           list_slice(list_sort(list(match_id)), 1, 10) AS match_ids_preview
+    FROM xi
+    GROUP BY pos
+    """,
+)
+def q_pedri_lineup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-distribution report: matches per Starting-XI position with
+    a ≤10-match-id preview (ascending), reference
+    core/pedri_inspect_lineups.py:59-83.
+
+    Scale: groupBy over the tiny (match, position) frame; the preview list
+    is a bounded slice of a sorted collect_list — collect_list is safe
+    here because the pre-aggregated grain is one row per match, not per
+    event."""
+    pos = lineup_position(_events(spark))
+    return pos.groupBy(F.col("position_xi").alias("position")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.slice(F.sort_array(F.collect_list("match_id")), 1, 10).alias(
+            "match_ids_preview"
+        ),
+    )

@@ -111,3 +111,29 @@ def test_sampling_is_pure_scan_predicate(spark):
     assert "Exchange" not in plan  # no shuffle to sample
     read = plan.split("ReadSchema")[-1]
     assert "text" not in read  # decision needs doc_id only; text never read
+
+
+def test_ivf_partitioned_probe_prunes(spark, tmp_path):
+    """The written IVF index is partitioned by cluster and a probe scan
+    prunes to exactly the probed buckets (PartitionFilters, not a
+    post-scan filter)."""
+    from pedri_analysis_spark.operators import similarity as sim
+    from pedri_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    centroids = emb.filter(emb.vec_id < 4).select(
+        emb.vec_id.alias("cid"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    path = str(tmp_path / "ivf_index")
+    sim.write_ivf_index(assigned, path)
+
+    probe = sim.read_ivf_candidates(spark, path, [1, 3])
+    plan = _plan(probe)
+    # pruning happens at the partition level, inside the scan node
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
+    # and the probed scan returns only the two buckets' vectors
+    clusters = {r.cluster for r in probe.select("cluster").distinct().collect()}
+    assert clusters == {1, 3}
+    total = load_table(spark, "embeddings", SF).count()
+    assert probe.count() < total
