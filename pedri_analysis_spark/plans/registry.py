@@ -38,6 +38,9 @@ _PRIORITY = [
     "pedri_heat_grid",
     "pedri_profile_build",
     "pedri_lineup_positions",
+    "pedri_trend_per90",
+    "pedri_scatter_pp_pc",
+    "pedri_radar_percentiles",
     # structured-streaming windows (batch-equivalent oracle forms)
     "tumbling_window_counts",
     "sliding_window_sums",
@@ -75,12 +78,9 @@ _PRIORITY = [
     "semi_join_big_spenders",
     "anti_join_no_orders",
     "interval_join_click_after_error",
-    "asof_last_error_before_click",
     "topk_orders",
     "q3_shipping_priority",
     "quantile_binning_price",
-    "window_running_total",
-    "window_lag_delta",
 ]
 
 

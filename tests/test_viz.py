@@ -59,3 +59,77 @@ def test_render_raises_without_matplotlib(spark, events):
 
     with pytest.raises(ImportError):
         render_heatmap(heatmap_data(events), "/tmp/heat")
+
+
+@pytest.fixture(scope="module")
+def ext_stats(spark, events):
+    from pedri_analysis_spark.plans.pedri_pipeline import per_match_extended
+    from pedri_analysis_spark.sources.events import read_profile
+
+    profile = read_profile(spark, os.path.join(FIXTURES, "pedri_profile.json"))
+    return per_match_extended(events, profile)
+
+
+def test_trend_per90_data(spark, ext_stats):
+    from pedri_analysis_spark.viz import trend_per90_data
+
+    trend = trend_per90_data(ext_stats).collect()
+    assert [r.idx for r in trend] == list(range(1, len(trend) + 1))
+    assert set(trend[0].asDict()) == {"idx", "match_id", "kp90", "pp90"}
+    mids = [r.match_id for r in trend]
+    assert mids == sorted(mids)
+    assert all(r.kp90 >= 0 and r.pp90 >= 0 for r in trend)
+
+
+def test_scatter_pp_pc_data(spark, ext_stats):
+    from pedri_analysis_spark.viz import scatter_pp_pc_data
+
+    rows = scatter_pp_pc_data(ext_stats).collect()
+    assert set(rows[0].asDict()) == {
+        "match_id",
+        "progressive_passes",
+        "progressive_carries",
+        "xa",
+        "marker_size",
+    }
+    # the reference's 20.0 marker-size floor
+    assert all(r.marker_size >= 20.0 for r in rows)
+    assert any(r.marker_size > 20.0 for r in rows if r.xa > 20.0 / 300.0)
+
+
+def test_radar_percentile_data(spark, events):
+    from pedri_analysis_spark.plans.pedri_pipeline import per_match_basic
+    from pedri_analysis_spark.viz import radar_percentile_data
+
+    metrics = ["key_passes", "shots", "xg"]
+    row = radar_percentile_data(per_match_basic(events), metrics).collect()[0]
+    d = row.asDict()
+    assert set(d) == {f"{m}_p90_{s}" for m in metrics for s in ("raw", "pctile")}
+    for m in metrics:
+        assert 0.0 <= d[f"{m}_p90_pctile"] <= 100.0
+        assert d[f"{m}_p90_raw"] >= 0.0
+
+
+def test_all_renders_import_gated(spark, events):
+    try:
+        import matplotlib  # noqa: F401
+
+        pytest.skip("matplotlib present; render path exercised elsewhere")
+    except ImportError:
+        pass
+    from pedri_analysis_spark import viz
+    from pedri_analysis_spark.plans.pedri_pipeline import per_match_basic
+
+    stats = per_match_basic(events)
+    with pytest.raises(ImportError):
+        viz.render_bars(viz.top_matches_data(stats, "passes"), "passes", "/tmp/x")
+    with pytest.raises(ImportError):
+        viz.render_histogram(viz.histogram_data(stats, "passes", 5.0), "/tmp/x")
+    with pytest.raises(ImportError):
+        viz.render_trend(stats.limit(0), "/tmp/x")
+    with pytest.raises(ImportError):
+        viz.render_scatter(stats.limit(0), "/tmp/x")
+    with pytest.raises(ImportError):
+        viz.render_pass_map(viz.pass_map_data(events).limit(0), "/tmp/x")
+    with pytest.raises(ImportError):
+        viz.render_radar({"a": 1.0}, ["a"], "/tmp/x")
