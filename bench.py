@@ -28,13 +28,18 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def _warm_udf():
-    """A no-op pandas UDF used to spin the Arrow/Python worker pool during
-    warmup (hint-free so postponed annotations don't need resolving)."""
+    """A pandas UDF used to spin the Arrow/Python worker pool during
+    warmup (hint-free so postponed annotations don't need resolving).
+    It touches numpy so every worker pays the numpy import ONCE here
+    instead of inside the first measured vector-kernel query."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def warm(s):  # no type hints: functionType inferred from returnType
-        return s
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(np.asarray(s.to_numpy(), dtype="int64"))
 
     return warm
 

@@ -242,11 +242,18 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment in both engines.""".format(
         L=LSH_TABLES, k=LSH_BITS, t=LSH_SIM_T
     )
-    emb = spread(load_table(spark, "embeddings", sf_dir))
+    # persist both reused frames: emb feeds the bucket kernel AND both
+    # verify sides; buckets feeds both sides of the pair self-join —
+    # without persist the Arrow bucket kernel runs twice in one plan.
+    # The persist is MATERIALIZED (count) before the self-join: two scans
+    # of a lazily-persisted frame inside one job race the cache fill and
+    # both recompute the kernel.
+    emb = spread(load_table(spark, "embeddings", sf_dir)).persist()
     keys = _bucket_keys_udf()
     buckets = emb.select(
         "vec_id", F.posexplode(keys("embedding")).alias("tbl", "bk")
-    )
+    ).persist()
+    buckets.count()
     x = buckets.select(F.col("vec_id").alias("a"), "tbl", "bk")
     y = buckets.select(F.col("vec_id").alias("b"), "tbl", "bk")
     pairs = (
