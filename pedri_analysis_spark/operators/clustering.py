@@ -1,0 +1,119 @@
+"""K-means (Lloyd's) over an embedding column, built for exact
+cross-engine verification.
+
+Architecture (the standard distributed k-means shape, cf. Spark MLlib's
+KMeans): centroids are a tiny k×dim driver-side model; each iteration is
+
+  1. **assign** — one narrow map over the corpus: squared-euclidean
+     distance to each centroid (centroids inlined as literals — the
+     broadcast of a k×dim model), argmin with ties to the lowest cluster
+     id.  No shuffle.
+  2. **update** — posexplode the assigned vectors to (cluster, dim, val)
+     and take per-(cluster, dim) means in ONE partial+final aggregate;
+     collect k×dim numbers to the driver.
+
+Determinism (what makes the DuckDB unrolled-CTE oracle hash-match):
+- init = the k lowest-id vectors (no RNG);
+- the distance fold accumulates dimensions sequentially (zip_with +
+  aggregate), the same left-fold order as the oracle's list_reduce;
+- centroid means are computed as CAST(sum(DECIMAL(27,10)) AS DOUBLE) / n —
+  the decimal sum is ORDER-INDEPENDENT and exact, so both engines derive
+  bit-identical centroid doubles regardless of partitioning;
+- argmin ties break on cluster id.
+
+Scale: assignment is embarrassingly parallel; the update shuffles
+|corpus|×dim skinny rows — at 100 TB you'd mapInPandas a per-partition
+partial-sum kernel instead (k×dim partials per partition), same
+topology, noted here as the wide-data variant.  Iterations are a driver
+loop over tiny models, like any production k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+_DEC = "decimal(27,10)"
+
+
+def _dist2(vec_col: str, cent: list[float]) -> F.Column:
+    """Squared euclidean distance of an array<float> column to a literal
+    centroid, accumulated in strict dimension order (left fold)."""
+    lits = ", ".join(f"CAST({repr(v)} AS DOUBLE)" for v in cent)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster``: argmin of squared distance to the literal
+    centroids, ties to the lowest cluster id (array_min over
+    (dist, cid) structs — lexicographic struct ordering)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _dist2(vec_col, c).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return embeddings.withColumn("cluster", F.array_min(pairs)["cid"])
+
+
+def _update(assigned: DataFrame, k: int, vec_col: str = "embedding") -> list[list[float]]:
+    """Per-(cluster, dim) decimal-exact means, collected as the next
+    k×dim model. Empty clusters keep no entry (callers re-use the old
+    centroid — cannot happen with lowest-id init on distinct vectors)."""
+    rows = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+    return [
+        [cents[c][d] for d in sorted(cents[c])] for c in sorted(cents)
+    ]
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit k-means with deterministic init (the k lowest-id vectors) and
+    a FIXED iteration count; returns (centroids, assigned_frame).
+
+    A fixed ``iters`` keeps the computation expressible as an unrolled
+    SQL oracle; convergence-based stopping would make the plan
+    data-dependent (run more rounds if you need them — each is one
+    assign + one skinny aggregate)."""
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    emb = embeddings.persist()
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, centroids, vec_col)
+        centroids = _update(assigned, k, vec_col)
+    return centroids, kmeans_assign(emb, centroids, vec_col)

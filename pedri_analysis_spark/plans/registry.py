@@ -60,11 +60,13 @@ _PRIORITY = [
     "doc_quality_scores",
     "tfidf_top_terms",
     "binary_payload_chunks",
+    "corpus_curation_report",
     # similarity / ANN family
     "cosine_topk_bruteforce",
     "ivf_topk",
     "embedding_near_dups",
     "ann_lsh_near_dups",
+    "kmeans_embeddings",
     # sampling family
     "sample_hash_bernoulli",
     "train_test_split_counts",
@@ -77,9 +79,7 @@ _PRIORITY = [
     "join_revenue_by_nation",
     "semi_join_big_spenders",
     "anti_join_no_orders",
-    "interval_join_click_after_error",
     "topk_orders",
-    "q3_shipping_priority",
     "quantile_binning_price",
 ]
 

@@ -268,3 +268,94 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= LSH_SIM_T)
         .select("a", "b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (Lloyd's, deterministic init, fixed iterations)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    """The SAME fixed-iteration Lloyd's, unrolled as chained CTEs: each
+    round is assign (argmin over (dist, cid) via window) + update
+    (per-(cluster, dim) decimal-exact mean re-collected into an array)."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE) "
+        "* (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+      SELECT e.vec_id, e.embedding, c.cid, {d2} AS d
+      FROM embeddings e CROSS JOIN {cent_cte} c
+    ),
+    {out} AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM {out}_d
+      ) WHERE rn = 1
+    )"""
+
+    def update(assign_cte: str, out: str) -> str:
+        return f"""
+    {out}_u AS (
+      SELECT a.cluster AS cid, p.pos,
+             CAST(sum(CAST(a.embedding[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / count(*) AS m
+      FROM {assign_cte} a
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT cid, list(m ORDER BY pos) AS cent FROM {out}_u GROUP BY cid
+    )"""
+
+    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ),{assign('init', 'a0')},{update('a0', 'c1')},{assign('c1', 'a1')},{update('a1', 'c2')},{assign('c2', 'a2')}
+    SELECT a.cluster, count(*)::BIGINT AS n_vecs,
+           {r6('min(c.cent[1])')} AS c0,
+           {r6('min(c.cent[2])')} AS c1,
+           {r6('min(c.cent[3])')} AS c2,
+           {r6('min(c.cent[4])')} AS c3
+    FROM a2 a JOIN c2 c ON c.cid = a.cluster
+    GROUP BY a.cluster
+    """
+
+
+@_register("kmeans_embeddings", _kmeans_oracle())
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators.clustering): {k} clusters, {it}
+    Lloyd iterations, deterministic lowest-id init.  Reports final
+    cluster sizes plus the first 4 centroid components (6-dp floor
+    rounded).  The oracle unrolls the identical fixed-round algorithm as
+    chained CTEs — assignment argmins, decimal-exact centroid means and
+    fold orders all mirror, so the model itself is hash-checked, not just
+    row counts.  This is the honest centroid source for the IVF index
+    (ivf_topk keeps a deterministic-subset init so both styles are
+    covered).""".format(k=KMEANS_K, it=KMEANS_ITERS)
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+    from pedri_analysis_spark.plans.pedri_pipeline import pround
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    centroids, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    heads = [
+        (cid, c[0], c[1], c[2], c[3]) for cid, c in enumerate(centroids)
+    ]
+    cent_df = spark.createDataFrame(
+        heads, "cluster int, _c0 double, _c1 double, _c2 double, _c3 double"
+    )
+    return sizes.join(F.broadcast(cent_df), "cluster").select(
+        "cluster",
+        "n_vecs",
+        *[pround(F.col(f"_c{i}"), 6).alias(f"c{i}") for i in range(4)],
+    )

@@ -398,3 +398,87 @@ def q_binary_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-curation pipeline (the realistic pre-training filter)
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_TOKENS = 16
+CURATION_QUALITY_T = 0.30
+
+
+def _curation_oracle() -> str:
+    e = _quality_exprs(tx.DUCK)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+    ),
+    tok AS (
+      SELECT doc_id, lang, {tx.tokens(tx.DUCK, 'text')} AS toks, md5(text) AS h
+      FROM corpus
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM tok
+    ),
+    feat AS (
+      SELECT lang, len(toks) AS n, rn,
+             CASE WHEN len(toks) > 0 THEN {e['quality_score']} END AS q
+      FROM rn
+    )
+    SELECT lang,
+           CASE WHEN n = 0 THEN 'empty'
+                WHEN rn > 1 THEN 'exact_dup'
+                WHEN n < {CURATION_MIN_TOKENS} THEN 'too_short'
+                WHEN q < {CURATION_QUALITY_T} THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS tokens_total
+    FROM feat
+    GROUP BY 1, 2
+    """
+
+
+@_register("corpus_curation_report", _curation_oracle())
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline: exact-dedup gate -> length gate ->
+    quality gate, with per-(lang, first-failing-reason) doc and token
+    accounting — what a real pre-training data pipeline reports after a
+    filtering pass.  Gates reuse the oracle-checked building blocks
+    (md5 dedup rank, token stats, quality score), demonstrated over the
+    corpus with the same planted-dup set as dedup_exact_by_lang.
+
+    Scale: one shuffle on md5(text) for the dup rank (dup groups are tiny
+    so the window is safe), everything else is per-row column math plus
+    one final partial+final aggregate.  At 100 TB this is exactly the
+    shape you want: no pass materializes the corpus, reasons are computed
+    in a single projection."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    planted = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(planted)
+    e = _quality_exprs(tx.SPARK)
+    w = W.partitionBy("h").orderBy("doc_id")
+    feat = (
+        corpus.withColumn("toks", F.expr(tx.tokens(tx.SPARK, "text")))
+        .withColumn("h", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.expr("size(toks)"))
+        .withColumn("q", F.when(F.col("n") > 0, F.expr(e["quality_score"])))
+    )
+    reason = (
+        F.when(F.col("n") == 0, "empty")
+        .when(F.col("rn") > 1, "exact_dup")
+        .when(F.col("n") < CURATION_MIN_TOKENS, "too_short")
+        .when(F.col("q") < CURATION_QUALITY_T, "low_quality")
+        .otherwise("kept")
+    )
+    return feat.groupBy("lang", reason.alias("reason")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("tokens_total"),
+    )

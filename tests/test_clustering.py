@@ -1,0 +1,61 @@
+"""K-means semantics: deterministic init, full assignment coverage,
+decimal-exact centroid means (order-independent across partitionings)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pedri_analysis_spark.sources.tables import load_table
+
+    return load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+
+
+def test_kmeans_partitions_everything(spark, emb):
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+
+    cents, assigned = kmeans_fit(emb, k=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    sizes = {r.cluster: r.n for r in assigned.groupBy("cluster").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert sum(sizes.values()) == emb.count()
+
+
+def test_kmeans_centroids_partitioning_invariant(spark, emb):
+    """The decimal-sum mean makes the model independent of physical
+    partitioning — the 100 TB determinism property."""
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+
+    c1, _ = kmeans_fit(emb.repartition(1), k=3, iters=1)
+    c32, _ = kmeans_fit(emb.repartition(32), k=3, iters=1)
+    assert c1 == c32  # bit-identical, not approx
+
+
+def test_kmeans_iterations_monotone_inertia(spark, emb):
+    """More Lloyd rounds never increase total within-cluster distance."""
+    from pyspark.sql import functions as F
+
+    from pedri_analysis_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    def inertia(centroids):
+        assigned = kmeans_assign(emb, centroids)
+        from pedri_analysis_spark.operators.clustering import _dist2
+
+        d = assigned.select(
+            F.least(
+                *[_dist2("embedding", c) for c in centroids]
+            ).alias("d")
+        )
+        return d.agg(F.sum("d")).collect()[0][0]
+
+    c1, _ = kmeans_fit(emb, k=4, iters=1)
+    c3, _ = kmeans_fit(emb, k=4, iters=3)
+    assert inertia(c3) <= inertia(c1) + 1e-9
