@@ -1,0 +1,417 @@
+"""Training-data pipeline queries beyond filtering/dedup: sequence
+packing, benchmark-contamination checks, intra-document repetition
+(Gopher-style), and PII redaction accounting — each oracle-verified with
+dual-dialect generated expressions (functions.textexpr).
+
+These are the remaining ops a pre-training data pipeline runs after the
+curation gates (see text_queries.corpus_curation_report): pack the kept
+docs into fixed token budgets, audit eval-set leakage, measure
+within-doc repetition, and scrub PII with an audit trail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _r6(dialect: str, expr: str) -> str:
+    """Cross-engine 6-dp rounding (floor(x*1e6 + 0.5)/1e6 — identical on
+    both engines, unlike HALF_EVEN-vs-HALF_UP round())."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing shards (scale knob)
+
+
+def _packing_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    shard = tx.seeded_hash64(tx.DUCK, "CAST(doc_id AS VARCHAR)", "pack")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {shard} % {PACK_SHARDS} AS shard,
+             len({toks})::BIGINT AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok)
+               // {PACK_BUDGET} AS seq_id
+      FROM tok
+    ),
+    seqs AS (
+      SELECT shard, seq_id, count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS seq_tokens
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT shard,
+           sum(n_docs)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_seqs,
+           sum(seq_tokens)::BIGINT AS total_tokens,
+           max(seq_tokens)::BIGINT AS max_seq_tokens,
+           count(*) FILTER (seq_tokens > {PACK_BUDGET})::BIGINT
+             AS n_overflow_seqs,
+           CAST(sum(seq_tokens) AS DOUBLE)
+             / (count(*) * {PACK_BUDGET}) AS fill_ratio
+    FROM seqs GROUP BY shard
+    """
+
+
+@_register("sequence_packing", _packing_oracle())
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences
+    (concatenate-in-key-order, split at document boundaries when the
+    running total crosses the budget) and report per-shard packing
+    efficiency: sequences produced, max/overflow, fill ratio.
+
+    Docs are sharded by a content-independent key hash so the plan is
+    partitioning-independent; within a shard a running-sum window assigns
+    each doc to the sequence where it starts. Scale: one shuffle on
+    ``shard``; the per-shard window is a single-partition sort, so shard
+    count (the PACK_SHARDS knob) is sized to keep shards executor-local —
+    at 100 TB you raise it to O(corpus/2 GB) and packing stays
+    embarrassingly parallel across shards. No pass materializes text:
+    only (doc_id, shard, n_tok) travels."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        (
+            F.expr(tx.seeded_hash64(tx.SPARK, "CAST(doc_id AS STRING)", "pack"))
+            % PACK_SHARDS
+        ).alias("shard"),
+        F.size(F.expr(tx.tokens(tx.SPARK, "text"))).cast("bigint").alias("n_tok"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = d.withColumn(
+        "seq_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("bigint"),
+    )
+    seqs = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+    )
+    return seqs.groupBy("shard").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        F.max("seq_tokens").cast("bigint").alias("max_seq_tokens"),
+        F.count_if(F.col("seq_tokens") > PACK_BUDGET)
+        .cast("bigint")
+        .alias("n_overflow_seqs"),
+        (
+            F.sum("seq_tokens").cast("double")
+            / (F.count(F.lit(1)) * PACK_BUDGET)
+        ).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination audit
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 3  # word n-gram size (sized to the synthetic vocab; a real
+#               corpus would use 8-13-gram spans per the usual recipes)
+CONTAM_EVAL_MOD = 97  # doc_id % MOD == 0 -> held-out eval split
+
+
+def _contamination_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    grams = tx.word_shingles(tx.DUCK, "toks", CONTAM_K)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, {grams} AS grams FROM tok
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM sh, unnest(grams) AS u(g)
+      WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, lang, grams FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, count(DISTINCT g)::BIGINT AS n_matched
+      FROM train t, unnest(t.grams) AS u(g)
+      WHERE g IN (SELECT g FROM eval_grams)
+      GROUP BY 1
+    )
+    SELECT t.lang,
+           count(*)::BIGINT AS n_train_docs,
+           count(h.doc_id)::BIGINT AS n_contaminated,
+           CAST(count(h.doc_id) AS DOUBLE) / count(*) AS contamination_rate,
+           coalesce(max(h.n_matched), 0)::BIGINT AS max_matched_grams
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.lang
+    """
+
+
+@_register("contamination_ngram_overlap", _contamination_oracle())
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage audit: a train document is contaminated when it
+    shares any distinct word {k}-gram with the held-out split
+    (doc_id % {m} == 0). Reports per-language contamination counts/rate
+    and the worst per-doc matched-gram count.
+
+    Scale: the eval split's distinct gram set is small by construction
+    (eval benchmarks are KBs-MBs, the corpus is TBs) — it is BROADCAST,
+    so the corpus-side explode never shuffles: explode → broadcast-semi
+    match → per-doc partial count. The corpus is read once.""".format(
+        k=CONTAM_K, m=CONTAM_EVAL_MOD
+    )
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            tx.word_shingles_spark_fast(
+                f"({tx.tokens(tx.SPARK, 'text')})", CONTAM_K
+            )
+        ).alias("grams"),
+    )
+    eval_grams = (
+        d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_matched"))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("n_matched").alias("n_contaminated"),
+            (F.count("n_matched").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+            F.coalesce(F.max("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("max_matched_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style top-bigram ratio)
+# ---------------------------------------------------------------------------
+
+REP_THRESHOLD = 0.08  # flag docs whose top bigram exceeds 8% of bigrams
+
+
+def _bigrams_nondistinct(dialect: str, toks: str) -> str:
+    """Non-distinct word bigram list (repetition needs multiplicity, so
+    word_shingles' array_distinct would be wrong here)."""
+    if dialect == tx.SPARK:
+        m = f"greatest(size({toks}) - 1, 0)"
+        return (
+            f"zip_with(slice({toks}, 1, {m}), slice({toks}, 2, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return (
+        f"list_transform(generate_series(0, len({toks}) - 2), "
+        f"i -> {toks}[i + 1] || ' ' || {toks}[i + 2])"
+    )
+
+
+def _repetition_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, g
+      FROM tok, unnest({_bigrams_nondistinct(tx.DUCK, 'toks')}) AS u(g)
+      WHERE len(toks) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, lang, g, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST({_r6(tx.DUCK, 'CAST(max(c) AS DOUBLE) / sum(c)')}
+                  AS DECIMAL(18, 6)) AS r
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(r) AS DOUBLE) / count(*) AS avg_top_bigram_ratio,
+           CAST(max(r) AS DOUBLE) AS max_top_bigram_ratio,
+           count(*) FILTER (r > {REP_THRESHOLD})::BIGINT AS n_repetitive
+    FROM per_doc GROUP BY lang
+    """
+
+
+@_register("doc_repetition_stats", _repetition_oracle())
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: per doc, the fraction of word bigrams
+    taken by the most frequent bigram (the Gopher repetition-rule family);
+    per language, the average/max ratio and how many docs exceed the
+    {t} flag threshold.
+
+    Per-doc ratios are floor-rounded to 6 dp and summed in DECIMAL so the
+    per-lang average is order-independent (cross-engine double-sum
+    discipline). Scale: explode → partial-agg on (doc_id, gram) — the
+    shuffle carries per-partition-collapsed gram counts, then two cheap
+    reductions. Bigrams are built with aligned-slice zip_with (one array
+    traversal per row, no per-element lambda re-evaluation).""".format(
+        t=REP_THRESHOLD
+    )
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(tx.tokens(tx.SPARK, "text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+    )
+    cnt = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(_bigrams_nondistinct(tx.SPARK, "toks"))).alias("g"),
+        )
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.expr(
+            _r6(tx.SPARK, "CAST(max(c) AS DOUBLE) / sum(c)")
+        )
+        .cast("decimal(18,6)")
+        .alias("r")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias(
+            "avg_top_bigram_ratio"
+        ),
+        F.max("r").cast("double").alias("max_top_bigram_ratio"),
+        F.count_if(F.col("r") > REP_THRESHOLD)
+        .cast("bigint")
+        .alias("n_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction accounting
+# ---------------------------------------------------------------------------
+
+# Backslash-free patterns (identical semantics under Java regex and RE2):
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def _pii_planted(dialect: str) -> str:
+    """Deterministically plant synthetic PII so the redactor has known
+    ground truth (the fixture corpus contains none): every 11th doc gains
+    an email, every 13th a phone number."""
+    if dialect == tx.SPARK:
+        email = "concat(' contact user', CAST(doc_id AS STRING), '@example.com now')"
+        phone = "concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ok')"
+        return (
+            f"concat(text, CASE WHEN doc_id % 11 = 0 THEN {email} ELSE '' END, "
+            f"CASE WHEN doc_id % 13 = 0 THEN {phone} ELSE '' END)"
+        )
+    email = "(' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now')"
+    phone = "(' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok')"
+    return (
+        f"(text || CASE WHEN doc_id % 11 = 0 THEN {email} ELSE '' END || "
+        f"CASE WHEN doc_id % 13 = 0 THEN {phone} ELSE '' END)"
+    )
+
+
+def _pii_oracle() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, lang, {_pii_planted(tx.DUCK)} AS t FROM documents
+    ),
+    scanned AS (
+      SELECT lang,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}'))::BIGINT AS n_phone,
+             length(t) - length(
+               regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g')
+             ) AS shrunk
+      FROM planted
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (n_email + n_phone > 0)::BIGINT AS n_docs_with_pii,
+           sum(n_email)::BIGINT AS total_emails,
+           sum(n_phone)::BIGINT AS total_phones,
+           sum(shrunk)::BIGINT AS chars_redacted
+    FROM scanned GROUP BY lang
+    """
+
+
+@_register("pii_redaction_counts", _pii_oracle())
+def q_pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with an audit trail: regex-detect emails/phones, redact
+    with typed placeholders, and report per-language match counts plus
+    net characters removed. PII is planted deterministically (fixture
+    corpus has none), so counts have exact ground truth.
+
+    Patterns are backslash-free so Java regex (Spark) and RE2 (DuckDB)
+    agree byte-for-byte. Scale: pure per-row projection — no shuffle
+    before the final partial+final aggregate; at 100 TB the redacted text
+    would be written back via a partitioned sink while this same
+    aggregate streams out as the audit report."""
+    planted = load_table(spark, "documents", sf_dir).select(
+        "lang", F.expr(_pii_planted(tx.SPARK)).alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    scanned = planted.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phone"),
+        (F.length("t") - F.length(redacted)).alias("shrunk"),
+    )
+    return scanned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_email") + F.col("n_phone") > 0)
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum("shrunk").cast("bigint").alias("chars_redacted"),
+    )

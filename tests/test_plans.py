@@ -63,13 +63,21 @@ def test_no_python_udf_in_relational_suite(spark):
     vectorized cosine is the one deliberate ArrowEvalPython)."""
     from pedri_analysis_spark.plans import (
         dedup_queries,
+        pipeline_queries,
         relational,
         relational_ext,
         sampling_queries,
         text_queries,
     )
 
-    for mod in (relational, relational_ext, sampling_queries, dedup_queries, text_queries):
+    for mod in (
+        relational,
+        relational_ext,
+        sampling_queries,
+        dedup_queries,
+        text_queries,
+        pipeline_queries,
+    ):
         for name, fn in mod.QUERIES.items():
             plan = _plan(fn(spark, SF))
             assert "BatchEvalPython" not in plan, f"row-at-a-time python UDF in {name}"
