@@ -168,3 +168,67 @@ def read_ivf_candidates(
     The ``isin`` filter lands in the scan's PartitionFilters — Spark never
     lists, opens, or decodes any other bucket's files."""
     return spark.read.parquet(path).filter(F.col(cluster_col).isin(clusters))
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (the 4x-cheaper index representation)
+# ---------------------------------------------------------------------------
+
+
+def maxabs_scale(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row DataFrame with the corpus max-|x| quantization scale.
+    max() is order-independent, so the scale is deterministic under any
+    partitioning; it stays a DataFrame (broadcast into the quantizer)
+    rather than a collect()ed driver scalar."""
+    return embeddings.agg(
+        F.max(
+            F.expr(
+                f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("_sqscale")
+    )
+
+
+def scalar_quantize(
+    embeddings: DataFrame,
+    scale: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric int8 quantization: q_i = clamp(floor(x_i/s*127 + .5)).
+    floor(x + 0.5) rounding is engine-portable (unlike round()); the
+    output is an array<bigint> holding int8-range values — at rest it
+    would be written as a 1-byte-per-dim column, 4x smaller than fp32,
+    and scoring becomes exact integer math (no float-fold ulps at all)."""
+    q = (
+        f"transform({vec_col}, x -> CAST(greatest(-127.0D, least(127.0D, "
+        f"floor(CAST(x AS DOUBLE) / _sqscale * 127.0D + 0.5D))) AS BIGINT))"
+    )
+    return embeddings.crossJoin(F.broadcast(scale)).withColumn(
+        out_col, F.expr(q)
+    ).drop("_sqscale")
+
+
+def int_dot(a: str, b: str) -> Column:
+    """Exact integer dot product of two quantized arrays (bit-identical on
+    every engine — integer adds have no fold-order sensitivity)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def dot_fast(a: str, b: str) -> Column:
+    """Arrow-vectorized double dot product (same rationale as
+    cosine_fast: Catalyst HOF lambdas are interpreted per element; one
+    einsum per batch is ~10x faster; last-ulp fold differences are
+    collapsed by round6 at every comparison boundary)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx = np.stack(x.values).astype(np.float64)
+        my = np.stack(y.values).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", mx, my))
+
+    return _dot(F.col(a), F.col(b))

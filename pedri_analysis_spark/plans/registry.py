@@ -72,6 +72,7 @@ _PRIORITY = [
     "embedding_near_dups",
     "ann_lsh_near_dups",
     "kmeans_embeddings",
+    "sq_recall_at_k",
     # sampling family
     "sample_hash_bernoulli",
     "train_test_split_counts",
@@ -82,7 +83,6 @@ _PRIORITY = [
     #  anti_join_no_orders were driver-verified green in round 1 and moved
     #  out of the window to make room for never-checked queries)
     "pricing_summary",
-    "global_rollup",
     "topk_orders",
     "quantile_binning_price",
 ]

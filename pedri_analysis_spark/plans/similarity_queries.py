@@ -359,3 +359,104 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         *[pround(F.col(f"_c{i}"), 6).alias(f"c{i}") for i in range(4)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization + recall audit
+# ---------------------------------------------------------------------------
+
+SQ_NQ = 8  # query vectors (vec_id < SQ_NQ)
+SQ_K = 10  # top-k depth
+EMB_DIM = 64
+
+
+def _sq_recall_oracle() -> str:
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"
+    idot = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, {EMB_DIM}), i -> e.qv[i] * q.qqv[i])), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""
+    WITH mx AS (
+      SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS s
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor(x::DOUBLE / mx.s * 127.0 + 0.5))) AS BIGINT)) AS qv
+      FROM embeddings, mx
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qvec, qv AS qqv
+      FROM qz WHERE vec_id < {SQ_NQ}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {r6('list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])')} AS ex,
+             {idot} AS qs
+      FROM qz e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY ex DESC, vec_id) AS rne,
+             row_number() OVER (PARTITION BY qid ORDER BY qs DESC, vec_id) AS rnq
+      FROM scored
+    )
+    SELECT qid AS query_id,
+           count(*) FILTER (rne <= {SQ_K} AND rnq <= {SQ_K})::BIGINT AS n_overlap,
+           CAST(count(*) FILTER (rne <= {SQ_K} AND rnq <= {SQ_K}) AS DOUBLE)
+             / {SQ_K} AS recall_at_k
+    FROM ranked GROUP BY qid
+    """
+
+
+@_register("sq_recall_at_k", _sq_recall_oracle())
+def q_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization recall audit: per query vector, how much
+    of the exact dot-product top-{k} survives when retrieval runs on the
+    4x-smaller symmetric-int8 representation (operators.similarity
+    maxabs_scale / scalar_quantize / int_dot). This is the check a
+    deployment runs before switching its 100 TB index to the cheap
+    representation.
+
+    Scale: the quantization scale is a 1-row broadcast agg (max is
+    order-independent -> deterministic under any partitioning); the
+    {nq}-query side broadcasts; scoring is one narrow pass producing both
+    scores per pair; the two per-query rankings share one shuffle (same
+    window partition key). Quantized scores are exact integer math —
+    zero float-fold sensitivity — while the exact-dot ranking uses the
+    6-dp-floor discipline; recall itself is count ratios, so the final
+    values are engine-exact.""".format(k=SQ_K, nq=SQ_NQ)
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    qz = sim.scalar_quantize(spread(emb), sim.maxabs_scale(emb))
+    queries = qz.filter(F.col("vec_id") < SQ_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("qvec").alias("_qqv"),
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.round6(sim.dot_fast("embedding", "_qvec")).alias("ex"),
+            sim.int_dot("qvec", "_qqv").alias("qs"),
+        )
+    )
+    we = W.partitionBy("qid").orderBy(F.desc("ex"), F.asc("vec_id"))
+    wq = W.partitionBy("qid").orderBy(F.desc("qs"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(we).alias("rne"),
+        F.row_number().over(wq).alias("rnq"),
+    )
+    hit = (F.col("rne") <= SQ_K) & (F.col("rnq") <= SQ_K)
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count_if(hit).cast("bigint").alias("n_overlap"),
+        (F.count_if(hit).cast("double") / SQ_K).alias("recall_at_k"),
+    )

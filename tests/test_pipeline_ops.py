@@ -73,3 +73,23 @@ def test_pii_counts_match_planted_ground_truth(spark):
     # redaction must strictly shrink exactly the docs that had PII
     assert all(r.chars_redacted > 0 for r in rows if r.n_docs_with_pii > 0)
     assert all(r.chars_redacted == 0 for r in rows if r.n_docs_with_pii == 0)
+
+
+def test_scalar_quantize_bounds_and_recall_range(spark):
+    from pedri_analysis_spark.operators import similarity as sim
+    from pedri_analysis_spark.plans import similarity_queries as sq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    qz = sim.scalar_quantize(emb, sim.maxabs_scale(emb))
+    mx = qz.select(
+        F.max(F.expr("array_max(transform(qvec, x -> abs(x)))")).alias("m")
+    ).collect()[0].m
+    assert mx == 127  # the max-|x| element quantizes exactly to full scale
+
+    rows = sq.QUERIES["sq_recall_at_k"](spark, SF).collect()
+    assert len(rows) == sq.SQ_NQ
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_overlap == int(r.recall_at_k * sq.SQ_K)
+    # int8 over 64 dims barely perturbs the ranking — recall stays high
+    assert sum(r.recall_at_k for r in rows) / len(rows) >= 0.8
