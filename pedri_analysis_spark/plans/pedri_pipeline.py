@@ -80,16 +80,20 @@ def with_direction(events: DataFrame) -> DataFrame:
     and teams switch ends at halftime, so period 2 flips it (reference
     extended.py:261-263). Default True when the team has no qualifying
     first-half passes."""
-    dirs = attack_directions(events).withColumnRenamed("team", "_dir_team")
+    dirs = (
+        attack_directions(events)
+        .withColumnRenamed("team", "_dir_team")
+        .withColumnRenamed("match_id", "_dir_match")
+    )
     base = F.coalesce(F.col("attacks_right"), F.lit(True))
     return (
         events.join(
             F.broadcast(dirs),
-            (events.match_id == dirs.match_id)
-            & (events["team"]["name"] == dirs["_dir_team"]),
+            (F.col("match_id") == F.col("_dir_match"))
+            & (F.col("team")["name"] == F.col("_dir_team")),
             "left",
         )
-        .drop(dirs.match_id)
+        .drop("_dir_match")
         .drop("_dir_team")
         .withColumn(
             "attacks_right",

@@ -45,6 +45,7 @@ _PRIORITY = [
     "tumbling_window_counts",
     "sliding_window_sums",
     "session_windows",
+    "streaming_dedup_counts",
     # dedup family
     "dedup_exact_by_lang",
     "doc_fingerprint",
@@ -83,7 +84,6 @@ _PRIORITY = [
     #  anti_join_no_orders were driver-verified green in round 1 and moved
     #  out of the window to make room for never-checked queries)
     "pricing_summary",
-    "topk_orders",
     "quantile_binning_price",
 ]
 

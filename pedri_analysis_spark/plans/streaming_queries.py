@@ -122,3 +122,57 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end_us",
         "n_events",
     )
+
+
+@_register(
+    "streaming_dedup_counts",
+    """
+    WITH replayed AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 13 = 0
+    ),
+    raw AS (
+      SELECT event_type, count(*)::BIGINT AS n_raw FROM replayed GROUP BY 1
+    ),
+    uniq AS (
+      SELECT event_type, count(*)::BIGINT AS n_unique
+      FROM (SELECT event_type, event_id, row_number()
+              OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+            FROM replayed) WHERE rn = 1
+      GROUP BY 1
+    )
+    SELECT r.event_type, r.n_raw, u.n_unique,
+           (r.n_raw - u.n_unique)::BIGINT AS n_replayed
+    FROM raw r JOIN uniq u ON r.event_type = u.event_type
+    """,
+)
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup (SURVEY §2.8 + the reference's seen-set
+    dedup re-expressed for continuous ingestion): a deterministic 1/13th
+    of events is replayed, ``dedup_within_watermark`` collapses them, and
+    the query reports per-type raw/unique/replayed counts.
+
+    The same builder runs under readStream as
+    ``dropDuplicatesWithinWatermark`` with bounded keyed state
+    (tests/test_streaming.py proves batch/stream equivalence). Scale:
+    dedup shuffles on event_id once; both count branches reuse one scan;
+    streaming state is bounded by arrival-rate x watermark, never stream
+    length."""
+    from pedri_analysis_spark.sources.tables import load_table
+    from pedri_analysis_spark.streaming.windows import dedup_within_watermark
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 13 == 0))
+    raw = replayed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw"))
+    uniq = (
+        dedup_within_watermark(replayed, ("event_id",))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return raw.join(uniq, "event_type").select(
+        "event_type",
+        "n_raw",
+        "n_unique",
+        (F.col("n_raw") - F.col("n_unique")).cast("bigint").alias("n_replayed"),
+    )

@@ -139,3 +139,21 @@ def interval_join_stream(
         & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
     return left.join(right, cond)
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    time_col: str = "event_time",
+) -> DataFrame:
+    """At-least-once delivery dedup: keep one row per key.
+
+    Batch: plain ``dropDuplicates``. Streaming: the caller sets a
+    watermark first and this becomes ``dropDuplicatesWithinWatermark`` —
+    keyed state holds each key only until the watermark passes it, so
+    state is bounded by (key arrival rate × watermark), not by stream
+    length. Exactly the Spark-native replacement for the reference's
+    seen-set dedup (FileIndex-style) under continuous ingestion."""
+    if df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))

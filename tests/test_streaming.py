@@ -113,3 +113,49 @@ def test_streaming_interval_join(spark, stream_dir):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark through a real readStream must keep
+    exactly the rows plain dropDuplicates keeps in batch."""
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+    from pedri_analysis_spark.sources.tables import ensure_session_conf
+    from pedri_analysis_spark.streaming.windows import (
+        dedup_within_watermark,
+        with_event_time,
+        with_watermark,
+    )
+
+    ensure_session_conf(spark)
+    d = str(tmp_path / "replayed")
+    base = spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(
+        os.path.join(SF_DIR, "events.parquet")
+    )
+    base.unionByName(base.filter(F.col("event_id") % 13 == 0)).write.parquet(d)
+
+    batch = with_event_time(spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(d))
+    expected = _canon(
+        dedup_within_watermark(batch).groupBy("event_type").count().collect()
+    )
+
+    stream = with_watermark(
+        with_event_time(spark.readStream.schema(EVENTS_TABLE_SCHEMA).parquet(d)),
+        "1 hour",
+    )
+    deduped = dedup_within_watermark(stream).select("event_id", "event_type")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _canon(
+            spark.sql(
+                "SELECT event_type, count(*) FROM dedup_out GROUP BY event_type"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
