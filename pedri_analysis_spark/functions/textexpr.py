@@ -17,6 +17,13 @@ Cross-engine primitives verified to agree exactly:
 
 NOTE: Spark SQL arrays are 0-indexed, DuckDB lists are 1-indexed — the
 builders account for this.
+
+NOTE: deduplicated lists agree cross-engine as SETS, not sequences —
+Spark ``array_distinct`` keeps first-occurrence order while DuckDB
+``list_distinct`` does not. Every consumer of ``word_shingles`` /
+``char_ngrams`` is therefore order-insensitive (min-folds, intersects,
+distinct counts); tests/test_property_parity.py pins both halves of this
+contract on hypothesis-generated input.
 """
 
 from __future__ import annotations

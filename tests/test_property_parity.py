@@ -1,0 +1,87 @@
+"""Property-based cross-engine parity: the textexpr builders must agree
+between Spark and DuckDB on ARBITRARY input, not just the fixture corpus.
+Hypothesis generates adversarial ASCII texts (empty strings, runs of
+whitespace, repeated tokens, punctuation); each example evaluates the
+dual-dialect expressions on both engines and compares:
+
+- tokens: exact sequence equality;
+- word shingles / char n-grams: set equality (dedup order is
+  engine-specific by documented contract — see textexpr module note);
+- seeded_hash64 / simhash: exact value equality (order-independent
+  folds by construction).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pedri_analysis_spark.functions import textexpr as tx
+
+# printable ASCII incl. whitespace runs; excludes quotes/backslash only to
+# keep the focus on tokenizer behavior, not SQL literal escaping
+_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t.,-_!?"
+texts = st.lists(
+    st.text(alphabet=_CHARS, min_size=0, max_size=60), min_size=1, max_size=12
+)
+
+
+def _spark_eval(spark, rows):
+    df = spark.createDataFrame(list(enumerate(rows)), "i long, text string")
+    toks = tx.tokens(tx.SPARK, "text")
+    out = df.selectExpr(
+        "i",
+        f"{toks} AS toks",
+        f"{tx.word_shingles(tx.SPARK, toks, 2)} AS sh2",
+        f"{tx.char_ngrams(tx.SPARK, 'text', 3)} AS cg3",
+        f"{tx.seeded_hash64(tx.SPARK, 'text', 'prop')} AS h",
+        f"{tx.simhash_from_bitsums(tx.SPARK, f'({tx.simhash_bitsums(tx.SPARK, toks)})')} AS simh",
+    ).collect()
+    return {r.i: (list(r.toks), set(r.sh2), set(r.cg3), r.h, r.simh) for r in out}
+
+
+def _duck_eval(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(rows)))
+    toks = tx.tokens(tx.DUCK, "text")
+    got = con.sql(
+        f"""SELECT i, {toks} AS toks,
+               {tx.word_shingles(tx.DUCK, toks, 2)} AS sh2,
+               {tx.char_ngrams(tx.DUCK, 'text', 3)} AS cg3,
+               {tx.seeded_hash64(tx.DUCK, 'text', 'prop')} AS h,
+               {tx.simhash_from_bitsums(tx.DUCK, f'({tx.simhash_bitsums(tx.DUCK, toks)})')} AS simh
+        FROM t"""
+    ).fetchall()
+    return {r[0]: (list(r[1]), set(r[2]), set(r[3]), r[4], r[5]) for r in got}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts)
+def test_textexpr_builders_agree_cross_engine(spark_session_holder, rows):
+    spark = spark_session_holder
+    s = _spark_eval(spark, rows)
+    d = _duck_eval(rows)
+    assert s.keys() == d.keys()
+    for i in s:
+        st_, ss2, sc3, sh, ssim = s[i]
+        dt_, ds2, dc3, dh, dsim = d[i]
+        assert st_ == dt_, f"tokens diverge on {rows[i]!r}: {st_} vs {dt_}"
+        assert ss2 == ds2, f"shingles diverge on {rows[i]!r}"
+        assert sc3 == dc3, f"char-ngrams diverge on {rows[i]!r}"
+        assert sh == dh, f"seeded_hash64 diverges on {rows[i]!r}"
+        assert ssim == dsim, f"simhash diverges on {rows[i]!r}"
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    # hypothesis forbids function-scoped fixtures regenerating per example;
+    # the session is module-scoped anyway — this just renames it out of
+    # hypothesis' health-check scope
+    return spark
