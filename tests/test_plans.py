@@ -145,3 +145,43 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
     assert clusters == {1, 3}
     total = load_table(spark, "embeddings", SF).count()
     assert probe.count() < total
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval n-gram set must broadcast (corpus-side explode never
+    shuffles for the match) and the pair match must not be cartesian."""
+    from pedri_analysis_spark.plans.pipeline_queries import QUERIES
+
+    plan = _plan(QUERIES["contamination_ngram_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq_recall_single_ranking_shuffle(spark):
+    """Both per-query rankings (exact + quantized) share one window
+    partition key, so they must plan over a single qid exchange; the
+    query side joins via broadcast."""
+    from pedri_analysis_spark.plans.similarity_queries import QUERIES
+
+    plan = _plan(QUERIES["sq_recall_at_k"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # one hash exchange on qid feeds both window sorts
+    import re
+
+    qid_exchanges = len(re.findall(r"Exchange hashpartitioning\(qid", plan))
+    assert qid_exchanges == 1, f"expected 1 qid exchange, got {qid_exchanges}"
+
+
+def test_sequence_packing_shuffles_only_on_shard(spark):
+    """Packing must never shuffle document text — only the narrow
+    (doc_id, shard, n_tok) projection reaches the exchange."""
+    from pedri_analysis_spark.plans.pipeline_queries import QUERIES
+
+    plan = _plan(QUERIES["sequence_packing"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # plans print top-down: everything before the Exchange line is above
+    # the shuffle — the text column must not survive past the map side
+    assert "text#" not in plan.split("Exchange", 1)[0]
+    assert plan.count("Exchange hashpartitioning") == 1  # shard only
