@@ -81,9 +81,10 @@ _PRIORITY = [
     "stratified_source_mix",
     # relational representatives (one per §2 operator group)
     # (filter_project / join_revenue_by_nation / semi_join_big_spenders /
-    #  anti_join_no_orders were driver-verified green in round 1 and moved
-    #  out of the window to make room for never-checked queries)
-    "pricing_summary",
+    #  anti_join_no_orders / global_rollup / topk_orders / pricing_summary
+    #  were driver-verified green in round 1 and moved out of the window
+    #  to make room for never-checked queries)
+    "table_health_report",
     "quantile_binning_price",
 ]
 

@@ -843,3 +843,87 @@ def q_quantile_binning_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (the Deequ-style ingestion gate)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "table_health_report",
+    """
+    WITH m AS (
+      SELECT count(*)::BIGINT AS total,
+             count(*) FILTER (o_custkey IS NULL)::BIGINT AS null_custkey,
+             (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_orderkey,
+             count(*) FILTER (o_totalprice <= 0)::BIGINT AS bad_price,
+             count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+               AS bad_status
+      FROM orders
+    ),
+    ri AS (
+      SELECT count(*)::BIGINT AS orphans, (SELECT total FROM m) AS total
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT 'completeness:o_custkey' AS check_name, null_custkey AS violations,
+           total, null_custkey = 0 AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey', dup_orderkey, total, dup_orderkey = 0 FROM m
+    UNION ALL
+    SELECT 'range:o_totalprice>0', bad_price, total, bad_price = 0 FROM m
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', bad_status, total, bad_status = 0
+    FROM m
+    UNION ALL
+    SELECT 'referential:o_custkey->customer', orphans, total, orphans = 0
+    FROM ri
+    """,
+)
+def q_table_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite health report over ``orders`` (the Deequ-style
+    ingestion gate a 100 TB pipeline runs before publishing a table):
+    completeness, key uniqueness, range, accepted values, and referential
+    integrity against ``customer`` — each as (check, violations, total,
+    passed).
+
+    Scale: the four scan checks fuse into ONE partial+final aggregate
+    pass over the fact table (no per-check scans); the RI check is a
+    key-only anti join (broadcast when the dimension fits, shuffle on the
+    key otherwise — never carries payload columns). The report itself is
+    5 rows regardless of table size."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    m = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "bad_status"
+        ),
+    )
+    orphans = (
+        o.select("o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    checks = m.crossJoin(F.broadcast(orphans)).select(
+        F.expr(
+            """stack(5,
+            'completeness:o_custkey', null_custkey,
+            'uniqueness:o_orderkey', dup_orderkey,
+            'range:o_totalprice>0', bad_price,
+            'accepted_values:o_orderstatus', bad_status,
+            'referential:o_custkey->customer', orphans
+            ) AS (check_name, violations)"""
+        ),
+        F.col("total"),
+    )
+    return checks.select(
+        "check_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+    )

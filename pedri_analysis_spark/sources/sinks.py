@@ -68,3 +68,14 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> st
     for anything that does NOT fit the single-file contract."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def write_jsonl_sharded(df: DataFrame, path: str) -> str:
+    """Training-export sink: JSON-Lines shards (one JSON object per line,
+    one file per partition — the interchange format LLM data pipelines
+    feed to tokenizer/packing stages). This is Spark's native distributed
+    json writer: no coalesce, shard count = partition count, so it scales
+    to any corpus; pair with ``repartition(n)`` upstream to size shards.
+    Returns the directory path."""
+    df.write.mode("overwrite").json(path)
+    return path

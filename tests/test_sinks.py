@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import csv
+import glob
 import json
 import os
 
@@ -51,3 +52,25 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan  # partition pruning active
     assert back.count() == 2
+
+
+def test_write_jsonl_sharded_roundtrip(spark, tmp_path):
+    import json as _json
+
+    from pedri_analysis_spark.sources.sinks import write_jsonl_sharded
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = write_jsonl_sharded(df.repartition(3), str(tmp_path / "export"))
+    files = glob.glob(os.path.join(out, "part-*"))
+    assert len(files) == 3  # shard count = partition count
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                rows.append(_json.loads(line))  # every line is standalone JSON
+    assert len(rows) == df.count()
+    assert {r["doc_id"] for r in rows} == {
+        r.doc_id for r in df.select("doc_id").collect()
+    }
