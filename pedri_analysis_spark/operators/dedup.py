@@ -133,7 +133,9 @@ def jaccard_verify(
     key_col: str = "doc_id",
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only."""
+    """Exact Jaccard over shingle sets for candidate pairs only.
+    Extra columns on ``pairs`` (e.g. a side tag) pass through — verifying
+    is a filter+score, never a projection that loses pair metadata."""
     left = shingled.select(F.col(key_col).alias("a"), F.col("sh").alias("sh_a"))
     right = shingled.select(F.col(key_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -145,7 +147,7 @@ def jaccard_verify(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .select(*pairs.columns, "jaccard")
     )
 
 
@@ -263,4 +265,82 @@ def simhash_prefix_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
         .distinct()
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Dedup an ingestion DELTA against an existing CORPUS without ever
+    pairing corpus x corpus — the shape that keeps LSH dedup viable under
+    continuous ingestion (per-batch cost is |delta| signatures + the
+    delta-side bucket join, independent of corpus growth; at 100 TB the
+    corpus signature/bucket table is a persisted columnar artifact and
+    only the delta side is computed fresh).
+
+    Pairs are asymmetric: a delta doc pairs with any corpus bucket-mate,
+    and with EARLIER (lower-key) delta docs for within-batch dups. Exact
+    Jaccard verifies candidates; the verdict per delta doc is
+    'dup_of_corpus' > 'dup_in_batch' > 'new' (corpus match wins), with
+    best_jaccard the max verified similarity (NULL for 'new')."""
+    tagged = corpus.select(
+        F.lit("c").alias("_tag"), F.col(key_col), F.col(text_col)
+    ).unionByName(
+        delta.select(F.lit("d").alias("_tag"), F.col(key_col), F.col(text_col))
+    )
+    # persist: signatures feed the bucket join AND the Jaccard verify
+    # (same rationale as minhash_near_dups; LRU eviction reclaims it)
+    sigs = minhash_signatures(spread(tagged), text_col, n_hashes, shingle_k).persist()
+    rows_per_band = n_hashes // bands
+    sig_cols = [f"mh{i}" for i in range(n_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(tx.band_key(tx.SPARK, sig_cols, b, rows_per_band)).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "_tag", F.col(key_col), F.explode(band_structs).alias("e")
+    ).select("_tag", key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    x = sized.filter(F.col("_tag") == "d").select(
+        F.col(key_col).alias("a"), "band", "bk"
+    )
+    y = sized.select(
+        F.col(key_col).alias("b"), F.col("_tag").alias("btag"), "band", "bk"
+    )
+    pairs = (
+        x.join(y, ["band", "bk"])
+        .filter(
+            (F.col("btag") == "c")
+            | ((F.col("btag") == "d") & (F.col("b") < F.col("a")))
+        )
+        .select("a", "b", "btag")
+        .distinct()
+    )
+    verified = jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
+    return (
+        delta.select(F.col(key_col))
+        .join(verified, F.col(key_col) == F.col("a"), "left")
+        .groupBy(key_col)
+        .agg(
+            F.when(F.bool_or(F.col("btag") == "c"), "dup_of_corpus")
+            .when(F.count("b") > 0, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
     )

@@ -454,3 +454,121 @@ def _components_propagate(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) MinHash dedup
+# ---------------------------------------------------------------------------
+
+_DELTA_MUT_SUFFIX = " zz yy xx ww vv uu tt ss"
+
+
+def _incremental_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    sh = tx.word_shingles(tx.DUCK, "toks", SHINGLE_K)
+    hv = tx.base_hash_array(tx.DUCK, "sh")
+    mh = tx.minhash_from_base(tx.DUCK, "hv", N_HASHES)
+    mh_cols = ",\n             ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    sig_cols = [f"mh{i}" for i in range(N_HASHES)]
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT tag, doc_id, {b} AS band, "
+        f"{tx.band_key(tx.DUCK, sig_cols, b, ROWS_PER_BAND)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH delta AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || '{_DELTA_MUT_SUFFIX}'
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_reverse(string_split_regex(trim(lower(text)), '\\s+')), ' ')
+      FROM documents WHERE doc_id % 7 = 5
+    ),
+    allt AS (
+      SELECT 'c' AS tag, doc_id, text FROM documents
+      UNION ALL
+      SELECT 'd', doc_id, text FROM delta
+    ),
+    tok AS (SELECT tag, doc_id, {toks} AS toks FROM allt),
+    shng AS (SELECT tag, doc_id, {sh} AS sh FROM tok),
+    hvt AS (SELECT tag, doc_id, sh, {hv} AS hv FROM shng),
+    sig AS (SELECT tag, doc_id, sh,
+             {mh_cols}
+            FROM hvt),
+    buckets AS (
+{band_selects}
+    ),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bk) AS bucket_n FROM buckets
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, y.tag AS btag
+      FROM sized x JOIN sized y USING (band, bk)
+      WHERE x.tag = 'd'
+        AND (y.tag = 'c' OR (y.tag = 'd' AND y.doc_id < x.doc_id))
+        AND x.bucket_n <= {MAX_BUCKET} AND y.bucket_n <= {MAX_BUCKET}
+    ),
+    verified AS (
+      SELECT p.a, p.b, p.btag,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      FROM pairs p
+      JOIN shng sa ON sa.doc_id = p.a
+      JOIN shng sb ON sb.doc_id = p.b
+      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+    )
+    SELECT d.doc_id,
+           CASE WHEN bool_or(v.btag = 'c') THEN 'dup_of_corpus'
+                WHEN count(v.b) > 0 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           max(v.jaccard) AS best_jaccard
+    FROM delta d LEFT JOIN verified v ON v.a = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@_register("incremental_dedup_verdicts", _incremental_oracle())
+def q_incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: a synthetic delta batch (exact re-keyed
+    copies, suffix-mutated copies, and token-reversed decoys) is deduped
+    against the existing corpus via operators.dedup.incremental_minhash_dedup
+    — per delta doc: 'dup_of_corpus' / 'dup_in_batch' / 'new' + best
+    verified Jaccard.
+
+    Scale: corpus x corpus pairs are never generated — the bucket join is
+    delta-sided, so per-batch cost tracks |delta|, not corpus growth; at
+    100 TB the corpus signature table is a persisted artifact re-read per
+    batch. The oracle mirrors the full LSH topology (bands, bucket caps,
+    asymmetric pairing), so recall decisions — not just similarity math —
+    are hash-checked."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    delta = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_DELTA_MUT_SUFFIX)).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 5).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.expr(
+                    "array_join(reverse(split(trim(lower(text)), '\\\\s+')), ' ')"
+                ).alias("text"),
+            )
+        )
+    )
+    return dd.incremental_minhash_dedup(
+        d,
+        delta,
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_T,
+        max_bucket=MAX_BUCKET,
+    )

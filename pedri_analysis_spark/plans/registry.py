@@ -48,8 +48,8 @@ _PRIORITY = [
     "streaming_dedup_counts",
     # dedup family
     "dedup_exact_by_lang",
-    "doc_fingerprint",
     "minhash_near_dups",
+    "incremental_dedup_verdicts",
     "simhash_near_dups",
     "simhash_prefix_near_dups",
     "ngram_jaccard_near_dups",

@@ -93,3 +93,22 @@ def test_scalar_quantize_bounds_and_recall_range(spark):
         assert r.n_overlap == int(r.recall_at_k * sq.SQ_K)
     # int8 over 64 dims barely perturbs the ranking — recall stays high
     assert sum(r.recall_at_k for r in rows) / len(rows) >= 0.8
+
+
+def test_incremental_dedup_verdicts_ground_truth(spark):
+    from pedri_analysis_spark.plans import dedup_queries as dq
+
+    rows = dq.QUERIES["incremental_dedup_verdicts"](spark, "/root/testdata/sf0.01").collect()
+    by_branch = {}
+    for r in rows:
+        branch = r.doc_id // 1000000  # 1=exact copy, 2=mutated, 3=reversed
+        by_branch.setdefault(branch, []).append(r)
+    # exact re-keyed copies must all be caught as corpus dups at jaccard 1.0
+    exact = by_branch[1]
+    assert all(r.verdict == "dup_of_corpus" for r in exact)
+    assert all(r.best_jaccard == 1.0 for r in exact)
+    # token-reversed decoys destroy word shingles -> overwhelmingly 'new'
+    reversed_ = by_branch[3]
+    assert sum(r.verdict == "new" for r in reversed_) >= 0.9 * len(reversed_)
+    # 'new' verdicts never carry a similarity
+    assert all(r.best_jaccard is None for r in rows if r.verdict == "new")
