@@ -415,3 +415,61 @@ def q_pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("total_phones"),
         F.sum("shrunk").cast("bigint").alias("chars_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window splitting)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+
+
+def _chunking_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    chunk = f"array_to_string(list_slice(toks, j * {CHUNK_S} + 1, j * {CHUNK_S} + {CHUNK_W}), ' ')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, j AS chunk_idx, {chunk} AS chunk_text
+      FROM tok, unnest(generate_series(0, (len(toks) - 1) // {CHUNK_S})) AS u(j)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens,
+           md5(chunk_text) AS chunk_hash
+    FROM chunks
+    """
+
+
+@_register("doc_chunking", _chunking_oracle())
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({w}-token windows, {s}-token
+    stride) — the splitting stage every RAG / embedding-index pipeline
+    runs before vectorizing. Emits one row per chunk with its token count
+    and content fingerprint (md5), so chunk boundaries AND contents are
+    hash-verified, not just counts.
+
+    Scale: pure per-row generate+explode — no shuffle at all; output size
+    is corpus x (1/stride) rows. At 100 TB this feeds the embedding stage
+    via mapInPandas batches; chunk fingerprints double as the exact-dedup
+    key for chunk-level dedup.""".format(w=CHUNK_W, s=CHUNK_S)
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    chunk = (
+        f"transform(sequence(0, CAST(floor((size(toks) - 1) / {CHUNK_S}) AS INT)), "
+        f"j -> concat_ws(' ', slice(toks, j * {CHUNK_S} + 1, {CHUNK_W})))"
+    )
+    return (
+        d.filter(F.size("toks") > 0)
+        .select("doc_id", F.posexplode(F.expr(chunk)).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_chunk_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )

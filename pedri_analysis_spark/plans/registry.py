@@ -67,6 +67,7 @@ _PRIORITY = [
     "contamination_ngram_overlap",
     "doc_repetition_stats",
     "pii_redaction_counts",
+    "doc_chunking",
     # similarity / ANN family
     "cosine_topk_bruteforce",
     "ivf_topk",
@@ -74,8 +75,7 @@ _PRIORITY = [
     "ann_lsh_near_dups",
     "kmeans_embeddings",
     "sq_recall_at_k",
-    # sampling family
-    "sample_hash_bernoulli",
+    # sampling family (sample_hash_bernoulli was r1-green, demoted)
     "train_test_split_counts",
     "class_balanced_sample",
     "stratified_source_mix",
