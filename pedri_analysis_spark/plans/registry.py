@@ -50,12 +50,13 @@ _PRIORITY = [
     "dedup_exact_by_lang",
     "minhash_near_dups",
     "incremental_dedup_verdicts",
-    "simhash_near_dups",
+    # (simhash_near_dups was r1-green; the prefix variant represents simhash)
     "simhash_prefix_near_dups",
     "ngram_jaccard_near_dups",
     "dedup_connected_components",
     # text-analysis family
     "text_stats_by_lang",
+    "bpe_token_stats",
     "token_topk",
     "lang_id_confusion",
     "doc_quality_scores",

@@ -482,3 +482,52 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").alias("tokens_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style subword token counting (SURVEY: whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the RE2-safe subset (DuckDB is
+# RE2: no lookahead) so one pattern string is bit-identical on both
+# engines: runs of letters / digits / other, each absorbing one leading
+# space — the shape BPE vocabularies are trained over.
+BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@_register(
+    "bpe_token_stats",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(len({tx.tokens(tx.DUCK, 'text')}))::BIGINT AS ws_tokens,
+           sum(len(regexp_extract_all(lower(text), '{BPE_RE}')))::BIGINT
+             AS bpe_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS DOUBLE)
+             / sum(len({tx.tokens(tx.DUCK, 'text')})) AS bpe_per_ws
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under BOTH tokenizers the survey names: whitespace
+    tokens and a BPE-ish pre-tokenizer regex (letter/digit/punct runs with
+    leading-space absorption, the GPT-2 shape restricted to the RE2-safe
+    subset so Spark's Java regex and DuckDB's RE2 agree byte-for-byte).
+    The bpe/ws ratio per language is the fertility estimate pipelines use
+    to convert corpus sizes into training-token budgets.
+
+    Scale: two per-row counts + one partial+final aggregate — no shuffle
+    beyond |langs| groups, text never leaves the map side."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = F.size(F.expr(tx.tokens(tx.SPARK, "text")))
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+            (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
+        )
+    )
