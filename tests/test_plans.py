@@ -185,3 +185,40 @@ def test_sequence_packing_shuffles_only_on_shard(spark):
     # the shuffle — the text column must not survive past the map side
     assert "text#" not in plan.split("Exchange", 1)[0]
     assert plan.count("Exchange hashpartitioning") == 1  # shard only
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Scale feature: for a selective dim filter joined against a big
+    fact, Spark injects a runtime bloom filter on the probe side (rows
+    failing might_contain never reach the shuffle). Pinned here with the
+    size thresholds lowered — at 100 TB the defaults trigger it on real
+    fact/dim sizes."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        keep[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan  # built on the selective side
+        assert "partial_bloom_filter_agg" in plan  # distributed, two-phase
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
