@@ -177,9 +177,11 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     and the worst per-doc matched-gram count.
 
     Scale: the eval split's distinct gram set is small by construction
-    (eval benchmarks are KBs-MBs, the corpus is TBs) — it is BROADCAST,
-    so the corpus-side explode never shuffles: explode → broadcast-semi
-    match → per-doc partial count. The corpus is read once.""".format(
+    (eval benchmarks are KBs-MBs, the corpus is TBs) — it is collapsed to
+    a single BROADCAST array row, and each corpus doc scores itself with
+    one JVM-side ``array_intersect`` — the corpus side never explodes and
+    never shuffles before the per-lang aggregate. The corpus is read
+    once.""".format(
         k=CONTAM_K, m=CONTAM_EVAL_MOD
     )
     d = load_table(spark, "documents", sf_dir).select(
@@ -191,32 +193,27 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("grams"),
     )
-    eval_grams = (
+    eval_arr = (
         d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
         .select(F.explode("grams").alias("g"))
         .distinct()
+        .agg(F.collect_list("g").alias("_eg"))
     )
-    train = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    hits = (
-        train.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_matched"))
-    )
-    return (
-        train.select("doc_id", "lang")
-        .join(hits, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_train_docs"),
-            F.count("n_matched").alias("n_contaminated"),
-            (F.count("n_matched").cast("double") / F.count(F.lit(1))).alias(
-                "contamination_rate"
-            ),
-            F.coalesce(F.max("n_matched"), F.lit(0))
-            .cast("bigint")
-            .alias("max_matched_grams"),
+    scored = (
+        d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .crossJoin(F.broadcast(eval_arr))
+        .select(
+            "lang",
+            F.size(F.array_intersect("grams", "_eg")).alias("n_matched"),
         )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.count_if(F.col("n_matched") > 0).alias("n_contaminated"),
+        (F.count_if(F.col("n_matched") > 0).cast("double") / F.count(F.lit(1))).alias(
+            "contamination_rate"
+        ),
+        F.max("n_matched").cast("bigint").alias("max_matched_grams"),
     )
 
 
