@@ -148,14 +148,18 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
 
 
 def test_contamination_broadcasts_eval_grams(spark):
-    """The eval n-gram set must broadcast (corpus-side explode never
-    shuffles for the match) and the pair match must not be cartesian."""
+    """The eval gram set must reach the corpus as a broadcast 1-row
+    array (per-row intersect) — never a shuffle of the corpus side, never
+    a cartesian product."""
     from pedri_analysis_spark.plans.pipeline_queries import QUERIES
 
     plan = _plan(QUERIES["contamination_ngram_overlap"](spark, SF))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+    assert "collect_list" in plan  # the eval set collapses to one array row
+    assert "array_intersect" in plan  # per-row JVM scoring
     assert "CartesianProduct" not in plan
+    # corpus rows shuffle only for the final per-lang aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_sq_recall_single_ranking_shuffle(spark):
