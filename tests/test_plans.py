@@ -158,8 +158,14 @@ def test_contamination_broadcasts_eval_grams(spark):
     assert "collect_list" in plan  # the eval set collapses to one array row
     assert "array_intersect" in plan  # per-row JVM scoring
     assert "CartesianProduct" not in plan
-    # corpus rows shuffle only for the final per-lang aggregate
-    assert plan.count("Exchange hashpartitioning") == 1
+    # exactly two hash exchanges: the eval-split's tiny gram distinct and
+    # the final per-lang aggregate — the corpus rows themselves reach the
+    # join straight from the scan (no corpus-side shuffle)
+    assert plan.count("Exchange hashpartitioning") == 2
+    corpus_branch = plan.split("BroadcastNestedLoopJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in corpus_branch
 
 
 def test_sq_recall_single_ranking_shuffle(spark):
