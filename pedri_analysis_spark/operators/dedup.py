@@ -163,8 +163,12 @@ def minhash_near_dups(
     """End-to-end MinHash-LSH near-duplicate detection: returns
     (a, b, jaccard) with jaccard ≥ threshold."""
     # persist: the signature table feeds both the bucket self-join and the
-    # Jaccard verify — without it the tokenize/shingle/hash chain runs twice
-    sigs = minhash_signatures(spread(df), text_col, n_hashes, shingle_k).persist()
+    # Jaccard verify — without it the tokenize/shingle/hash chain runs
+    # twice. Narrowed to (key, sh, mh*) first: the raw text column is dead
+    # weight in the cache.
+    sigs = minhash_signatures(spread(df), text_col, n_hashes, shingle_k).select(
+        key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands)
     return jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
 
@@ -297,8 +301,11 @@ def incremental_minhash_dedup(
         delta.select(F.lit("d").alias("_tag"), F.col(key_col), F.col(text_col))
     )
     # persist: signatures feed the bucket join AND the Jaccard verify
-    # (same rationale as minhash_near_dups; LRU eviction reclaims it)
-    sigs = minhash_signatures(spread(tagged), text_col, n_hashes, shingle_k).persist()
+    # (same rationale as minhash_near_dups; LRU eviction reclaims it);
+    # narrowed — the cached frame never needs the raw text
+    sigs = minhash_signatures(spread(tagged), text_col, n_hashes, shingle_k).select(
+        "_tag", key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
+    ).persist()
     rows_per_band = n_hashes // bands
     sig_cols = [f"mh{i}" for i in range(n_hashes)]
     band_structs = F.array(
