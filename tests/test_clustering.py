@@ -59,3 +59,30 @@ def test_kmeans_iterations_monotone_inertia(spark, emb):
     c1, _ = kmeans_fit(emb, k=4, iters=1)
     c3, _ = kmeans_fit(emb, k=4, iters=3)
     assert inertia(c3) <= inertia(c1) + 1e-9
+
+
+def test_kmeans_centroids_drive_partitioned_ivf_index(spark, tmp_path):
+    """Integration: kmeans_fit centroids feed ivf_assign and the written
+    index partition-prunes probes — the honest 100 TB ANN layout
+    (sampled-kmeans centroids + cluster-partitioned index)."""
+    from pedri_analysis_spark.operators import similarity as sim
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids, _assigned = kmeans_fit(emb, k=4, iters=2)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, embedding array<float>",
+    )
+    assigned = sim.ivf_assign(emb, cent_df)
+    path = str(tmp_path / "ivf_kmeans")
+    sim.write_ivf_index(assigned, path)
+
+    probe = sim.read_ivf_candidates(spark, path, [0, 2])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = {r.cluster for r in probe.select("cluster").distinct().collect()}
+    assert got <= {0, 2} and got  # only probed buckets are read
+    assert probe.count() < emb.count()
