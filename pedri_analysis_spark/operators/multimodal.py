@@ -95,12 +95,26 @@ def extract_features(
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan* shape: one row per sampled frame index,
-    exploded Spark-side so the decode UDF receives (payload, frame_idx)
-    pairs — the decode itself is stubbed (see extract_features)."""
+def frame_sample_plan(
+    media: DataFrame,
+    stride: int = 10,
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Metadata-driven video frame sampling: one row per sampled frame
+    index (0, stride, 2*stride, ... < duration*fps), exploded Spark-side
+    so the decode UDF receives (media, frame_idx) pairs — the decode
+    itself is stubbed (see extract_features).
+
+    Scale: the explode multiplies rows by duration*fps/stride but carries
+    only ids + indices (payload bytes are joined back per-batch inside the
+    decode stage, or fetched by URI), so the frame manifest is a narrow
+    shuffle-free projection."""
+    n_frames = (F.col(duration_col) * F.col(fps_col)).cast("bigint")
     return media.filter(F.col("mime").startswith("video/")).select(
         "media_id",
-        "payload",
-        F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_idx"),
+        n_frames.alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
+        ).alias("frame_idx"),
     )

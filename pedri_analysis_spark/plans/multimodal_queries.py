@@ -1,0 +1,116 @@
+"""Multimodal-pipeline queries: frame-sampling manifests (oracle-checked
+arithmetic) and the mapInPandas decode/feature plumbing (rows-only —
+genuinely non-SQL-expressible, the one place Python is the operator).
+
+Media metadata is derived deterministically from the ``documents`` table
+(media_id = doc_id, payload = utf-8 text bytes) so the family runs at
+every sf without a separate fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+FRAME_STRIDE = 7
+FRAME_FPS = 24
+# every 3rd document doubles as a synthetic video asset; duration 5..30 s
+_VIDEO_MOD = 3
+
+
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.filter(F.col("doc_id") % _VIDEO_MOD == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/mp4").alias("mime"),
+        (F.lit(5) + F.col("doc_id") % 26).cast("int").alias("duration_s"),
+        F.lit(FRAME_FPS).alias("fps"),
+    )
+
+
+@_register(
+    "frame_sample_manifest",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, (5 + doc_id % 26) * {FRAME_FPS} AS n_frames
+      FROM documents WHERE doc_id % {_VIDEO_MOD} = 0
+    ),
+    frames AS (
+      SELECT media_id, n_frames, f AS frame_idx
+      FROM media, unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS u(f)
+    )
+    SELECT media_id,
+           max(n_frames)::BIGINT AS n_frames,
+           count(*)::BIGINT AS n_sampled,
+           min(frame_idx)::BIGINT AS first_idx,
+           max(frame_idx)::BIGINT AS last_idx
+    FROM frames GROUP BY media_id
+    """,
+)
+def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest (every {s}th frame of each asset's
+    duration x fps): per asset, total frames, sampled count, first/last
+    sampled index — the work list a multimodal decode stage fans out
+    over (operators.multimodal.frame_sample_plan builds the exploded
+    per-frame rows the decode UDF consumes).
+
+    Scale: pure generate+explode of ids and indices — no shuffle before
+    the per-asset aggregate, payload bytes never travel.""".format(
+        s=FRAME_STRIDE
+    )
+    from pedri_analysis_spark.operators.multimodal import frame_sample_plan
+
+    frames = frame_sample_plan(_video_media(spark, sf_dir), FRAME_STRIDE)
+    return frames.groupBy("media_id").agg(
+        F.max("n_frames").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("frame_idx").cast("bigint").alias("first_idx"),
+        F.max("frame_idx").cast("bigint").alias("last_idx"),
+    )
+
+
+@_register("multimodal_feature_stub")  # rows-only: mapInPandas, non-SQL
+def q_multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode/feature path over real table bytes
+    (payload = utf-8 document text; the codec kernel is the documented
+    deterministic stub): per-mime feature accounting. Registered
+    rows-only — this is the one operator family where Python IS the
+    operator (per-partition codec init, Arrow batch streaming), so no
+    SQL oracle exists by design; schema + row-count stability is the
+    driver's check, and tests/test_multimodal.py pins the kernel
+    semantics."""
+    from pedri_analysis_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, "documents", sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(48).alias("height"),
+    )
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.avg(F.element_at("feature", 1)).alias("avg_f0"),
+    )

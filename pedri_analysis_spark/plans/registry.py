@@ -69,6 +69,9 @@ _PRIORITY = [
     "doc_repetition_stats",
     "pii_redaction_counts",
     "doc_chunking",
+    # multimodal family
+    "frame_sample_manifest",
+    "multimodal_feature_stub",
     # similarity / ANN family
     "cosine_topk_bruteforce",
     "ivf_topk",
@@ -76,9 +79,8 @@ _PRIORITY = [
     "ann_lsh_near_dups",
     "kmeans_embeddings",
     "sq_recall_at_k",
-    # sampling family (sample_hash_bernoulli was r1-green, demoted)
-    "train_test_split_counts",
-    "class_balanced_sample",
+    # sampling family (3 of 4 were r1-green and demoted; the mixture
+    # query represents the hash-threshold sampling discipline)
     "stratified_source_mix",
     # relational representatives (one per §2 operator group)
     # (filter_project / join_revenue_by_nation / semi_join_big_spenders /
@@ -100,6 +102,7 @@ def _modules():
         "dedup_queries",
         "text_queries",
         "pipeline_queries",
+        "multimodal_queries",
         "similarity_queries",
         "streaming_queries",
         "pedri_queries",
