@@ -46,9 +46,11 @@ _PRIORITY = [
     "sliding_window_sums",
     "session_windows",
     "streaming_dedup_counts",
+    "hierarchical_rollup_hours",
     # dedup family
     "dedup_exact_by_lang",
-    "minhash_near_dups",
+    # (minhash_near_dups was r1-green; the incremental variant runs the
+    #  same signature/bucket/verify stack end-to-end)
     "incremental_dedup_verdicts",
     # (simhash_near_dups was r1-green; the prefix variant represents simhash)
     "simhash_prefix_near_dups",

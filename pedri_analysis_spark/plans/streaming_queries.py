@@ -176,3 +176,48 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         (F.col("n_raw") - F.col("n_unique")).cast("bigint").alias("n_replayed"),
     )
+
+
+MIN_US = 60_000_000
+
+
+@_register(
+    "hierarchical_rollup_hours",
+    f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_start_us,
+           count(*)::BIGINT AS n,
+           CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_hierarchical_rollup_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading time rollup: the hour table is derived from MINUTE-level
+    partials (sum of counts, sum of DECIMAL partial sums), never from raw
+    events — the hypertable/materialized-rollup pattern where each coarser
+    granularity re-aggregates the previous one at 1/60th the input size.
+
+    The oracle aggregates the raw events directly; the hash match proves
+    the two-level composition is EXACT — which it is only because the
+    partials are decimal (order-independent) counts and sums. At 100 TB
+    the minute table is a persisted artifact and every downstream
+    granularity (hour/day/month) reads partials, not events."""
+    ev = events_us(spark, sf_dir)
+    minutes = (
+        ev.groupBy(
+            (F.expr(f"ts_us div {MIN_US}") * MIN_US).alias("min_start_us")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("val_partial"),
+        )
+    )
+    return (
+        minutes.groupBy(
+            (F.expr(f"min_start_us div {HOUR_US}") * HOUR_US).alias("hour_start_us")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("val_partial").cast("double").alias("total_value"),
+        )
+    )
