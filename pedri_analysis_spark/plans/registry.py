@@ -47,8 +47,8 @@ _PRIORITY = [
     "session_windows",
     "streaming_dedup_counts",
     "hierarchical_rollup_hours",
-    # dedup family
-    "dedup_exact_by_lang",
+    # dedup family (dedup_exact_by_lang was r1-green; corpus_curation_report
+    # keeps the exact-dedup rank logic inside the window)
     # (minhash_near_dups was r1-green; the incremental variant runs the
     #  same signature/bucket/verify stack end-to-end)
     "incremental_dedup_verdicts",
@@ -90,6 +90,7 @@ _PRIORITY = [
     #  were driver-verified green in round 1 and moved out of the window
     #  to make room for never-checked queries)
     "table_health_report",
+    "funnel_conversion",
     "quantile_binning_price",
 ]
 

@@ -927,3 +927,101 @@ def q_table_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (staged sequence analysis, ClickHouse-windowFunnel pattern)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT 'view' AS stage, 1::BIGINT AS stage_idx, n1::BIGINT AS n_users,
+           1.0::DOUBLE AS conv_rate FROM n
+    UNION ALL
+    SELECT 'click', 2, n2,
+           CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / n1 END FROM n
+    UNION ALL
+    SELECT 'purchase', 3, n3,
+           CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(n3 AS DOUBLE) / n2 END FROM n
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel (view -> click-after-view -> purchase-after-click):
+    users reaching each stage + stage-over-stage conversion.
+
+    Spark side is the ClickHouse-windowFunnel shape: ONE shuffle on
+    user_id, each user's (ts, type) sequence sorted in the aggregation
+    buffer and folded left-to-right by a Catalyst lambda that advances the
+    stage cursor — per-user state is 3 timestamps, per-user cost is one
+    linear scan, and adding stages never adds shuffles or joins. The
+    oracle is a deliberately DIFFERENT algorithm (chained min-joins), so
+    the hash match checks funnel semantics, not a mirrored
+    implementation. Strict time ordering (>) on both sides makes
+    same-microsecond ties engine-independent."""
+    ev = events_us(spark, sf_dir).filter(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    ).select("user_id", "ts_us", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_type"))).alias("seq")
+    )
+    fold = """
+    aggregate(
+      seq,
+      named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+                   't3', CAST(NULL AS BIGINT)),
+      (acc, e) -> named_struct(
+        't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                   THEN e.ts_us ELSE acc.t1 END,
+        't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                        AND e.event_type = 'click' AND e.ts_us > acc.t1
+                   THEN e.ts_us ELSE acc.t2 END,
+        't3', CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL
+                        AND e.event_type = 'purchase' AND e.ts_us > acc.t2
+                   THEN e.ts_us ELSE acc.t3 END))
+    """
+    counts = seq.select(F.expr(fold).alias("f")).agg(
+        F.count("f.t1").alias("n1"),
+        F.count("f.t2").alias("n2"),
+        F.count("f.t3").alias("n3"),
+    )
+    return counts.select(
+        F.expr(
+            """stack(3,
+            'view', 1L, n1, CAST(1.0 AS DOUBLE),
+            'click', 2L, n2,
+              CASE WHEN n1 = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(n2 AS DOUBLE) / n1 END,
+            'purchase', 3L, n3,
+              CASE WHEN n2 = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(n3 AS DOUBLE) / n2 END
+            ) AS (stage, stage_idx, n_users, conv_rate)"""
+        )
+    ).select(
+        "stage",
+        "stage_idx",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "conv_rate",
+    )
