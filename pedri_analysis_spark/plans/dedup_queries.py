@@ -158,15 +158,13 @@ def _minhash_oracle() -> str:
 
 @_register("minhash_near_dups", _minhash_oracle())
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash({n}) + LSH({b}×{r}) near-dup pairs verified at Jaccard ≥ {t}.
+    """MinHash(16) + LSH(8×2) near-dup pairs verified at Jaccard ≥ 0.6.
 
     Scale: signatures are per-row HOF math (no shuffle); pair generation
     shuffles once on (band, band_key) with a bucket-size cap; the exact
     verify joins shingles only for candidates. This is the standard
     web-scale dedup topology (cf. the public MinHashLSH literature).
-    """.format(
-        n=N_HASHES, b=BANDS, r=ROWS_PER_BAND, t=JACCARD_T
-    )
+    """
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return dd.minhash_near_dups(
         d,
@@ -200,9 +198,9 @@ def _simhash_oracle() -> str:
 @_register("simhash_near_dups", _simhash_oracle())
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs within a language block at Hamming
-    ≤ {t}. The fingerprint is one Catalyst fold per row; pairing is a
+    ≤ 1. The fingerprint is one Catalyst fold per row; pairing is a
     blocked self-join (the block-column-free scale variant is
-    simhash_prefix_near_dups).""".format(t=HAMMING_T)
+    simhash_prefix_near_dups)."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
     out = dd.simhash_near_dups(d, max_hamming=HAMMING_T)
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
@@ -230,11 +228,11 @@ def _simhash_prefix_oracle() -> str:
 def q_simhash_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups over the WHOLE corpus — no domain block column —
     via pigeonhole bit-chunk blocking (operators.dedup.
-    simhash_prefix_near_dups): Hamming ≤ {t} implies at least one of
-    {t}+1 disjoint bit chunks is identical, so candidates only meet
+    simhash_prefix_near_dups): Hamming ≤ 1 implies at least one of
+    1+1 disjoint bit chunks is identical, so candidates only meet
     inside shared-chunk buckets.  One shuffle on (chunk, value); the
     DuckDB oracle is the unblocked quadratic join, pinning recall at
-    100%.""".format(t=HAMMING_T)
+    100%."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     out = dd.simhash_prefix_near_dups(d, max_hamming=HAMMING_T)
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))

@@ -65,16 +65,14 @@ def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling manifest (every {s}th frame of each asset's
+    """Video frame-sampling manifest (every 7th frame of each asset's
     duration x fps): per asset, total frames, sampled count, first/last
     sampled index — the work list a multimodal decode stage fans out
     over (operators.multimodal.frame_sample_plan builds the exploded
     per-frame rows the decode UDF consumes).
 
     Scale: pure generate+explode of ids and indices — no shuffle before
-    the per-asset aggregate, payload bytes never travel.""".format(
-        s=FRAME_STRIDE
-    )
+    the per-asset aggregate, payload bytes never travel."""
     from pedri_analysis_spark.operators.multimodal import frame_sample_plan
 
     frames = frame_sample_plan(_video_media(spark, sf_dir), FRAME_STRIDE)

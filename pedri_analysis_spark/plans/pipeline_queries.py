@@ -172,8 +172,8 @@ def _contamination_oracle() -> str:
 @_register("contamination_ngram_overlap", _contamination_oracle())
 def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set leakage audit: a train document is contaminated when it
-    shares any distinct word {k}-gram with the held-out split
-    (doc_id % {m} == 0). Reports per-language contamination counts/rate
+    shares any distinct word 3-gram with the held-out split
+    (doc_id % 97 == 0). Reports per-language contamination counts/rate
     and the worst per-doc matched-gram count.
 
     Scale: the eval split's distinct gram set is small by construction
@@ -181,9 +181,7 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     a single BROADCAST array row, and each corpus doc scores itself with
     one JVM-side ``array_intersect`` — the corpus side never explodes and
     never shuffles before the per-lang aggregate. The corpus is read
-    once.""".format(
-        k=CONTAM_K, m=CONTAM_EVAL_MOD
-    )
+    once."""
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id",
         "lang",
@@ -273,16 +271,14 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: per doc, the fraction of word bigrams
     taken by the most frequent bigram (the Gopher repetition-rule family);
     per language, the average/max ratio and how many docs exceed the
-    {t} flag threshold.
+    0.08 flag threshold.
 
     Per-doc ratios are floor-rounded to 6 dp and summed in DECIMAL so the
     per-lang average is order-independent (cross-engine double-sum
     discipline). Scale: explode → partial-agg on (doc_id, gram) — the
     shuffle carries per-partition-collapsed gram counts, then two cheap
     reductions. Bigrams are built with aligned-slice zip_with (one array
-    traversal per row, no per-element lambda re-evaluation).""".format(
-        t=REP_THRESHOLD
-    )
+    traversal per row, no per-element lambda re-evaluation)."""
     d = (
         load_table(spark, "documents", sf_dir)
         .select(
@@ -443,7 +439,7 @@ def _chunking_oracle() -> str:
 
 @_register("doc_chunking", _chunking_oracle())
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking ({w}-token windows, {s}-token
+    """Overlapping token-window chunking (32-token windows, 24-token
     stride) — the splitting stage every RAG / embedding-index pipeline
     runs before vectorizing. Emits one row per chunk with its token count
     and content fingerprint (md5), so chunk boundaries AND contents are
@@ -452,7 +448,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row generate+explode — no shuffle at all; output size
     is corpus x (1/stride) rows. At 100 TB this feeds the embedding stage
     via mapInPandas batches; chunk fingerprints double as the exact-dedup
-    key for chunk-level dedup.""".format(w=CHUNK_W, s=CHUNK_S)
+    key for chunk-level dedup."""
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
     )

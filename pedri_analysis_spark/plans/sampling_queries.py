@@ -82,13 +82,13 @@ _DSPLIT = _bucket(tx.DUCK, "doc_id::VARCHAR", "split")
     """,
 )
 def q_sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform {p}% Bernoulli sample by content-hash threshold.
+    """Uniform 20.0% Bernoulli sample by content-hash threshold.
 
     Unlike ``df.sample(fraction)`` the selection is a pure per-row
     predicate — reproducible across engines/partitionings, pushed down
     like any filter, zero shuffle. Growing the sample (raising the
     threshold) keeps every previously selected row (nested samples).
-    """.format(p=SAMPLE_RATE_BP / 100)
+    """
     d = load_table(spark, "documents", sf_dir)
     bucket = F.expr(_SB)
     return (
@@ -110,10 +110,10 @@ def q_sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic {p}% train/test split with per-(lang, split)
+    """Deterministic 10.0% train/test split with per-(lang, split)
     accounting. The split key is hashed with its own seed so membership is
     independent of the sampling hash — a doc's split never changes as the
-    corpus grows (stable eval sets).""".format(p=TEST_RATE_BP / 100)
+    corpus grows (stable eval sets)."""
     d = load_table(spark, "documents", sf_dir)
     split = F.when(F.expr(_SSPLIT) < TEST_RATE_BP, "test").otherwise("train")
     return (
@@ -142,13 +142,13 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced downsample: at most {n} docs per language, chosen by
+    """Class-balanced downsample: at most 40 docs per language, chosen by
     hash order (NOT doc_id order, which would bias toward old docs; NOT
     RNG, which would be irreproducible).
 
     Scale: one shuffle on the class key; if one class dominates (skew),
     pre-filter with a per-class hash threshold ≈ n/count estimate first so
-    the window only ranks a small superset.""".format(n=BALANCED_PER_CLASS)
+    the window only ranks a small superset."""
     d = load_table(spark, "documents", sf_dir)
     w = W.partitionBy("lang").orderBy(F.expr(_SB).asc(), F.col("doc_id").asc())
     return (

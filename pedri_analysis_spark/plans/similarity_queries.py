@@ -97,14 +97,12 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: bucket vectors by nearest
-    centroid once, probe only the {p} nearest buckets at query time.
+    centroid once, probe only the 2 nearest buckets at query time.
 
-    Centroids are a deterministic subset (vec_id < {c}) so the operator is
+    Centroids are a deterministic subset (vec_id < 8) so the operator is
     oracle-checkable; at scale they come from sampled k-means and the
     bucketed table is written partitioned by cluster, making each probe a
-    partition-pruned scan (sub-linear in corpus size).""".format(
-        p=NPROBE, c=N_CENTROIDS
-    )
+    partition-pruned scan (sub-linear in corpus size)."""
     emb = load_table(spark, "embeddings", sf_dir)
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
@@ -226,8 +224,8 @@ def _bucket_keys_udf():
 def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup candidates + exact cosine verify —
     the blocking-free ANN topology (vs. embedding_near_dups' label
-    block): {L} hash tables x {k} sign bits; candidate pairs come only
-    from shared buckets, then exact cosine filters at {t}.
+    block): 8 hash tables x 8 sign bits; candidate pairs come only
+    from shared buckets, then exact cosine filters at 0.4.
 
     Scale: bucketing is one Arrow-batched numpy kernel per partition (no
     shuffle); the pair join shuffles on (table, bucket) — the same
@@ -239,9 +237,7 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: planes are literal constants generated in Python
     (functions.lshplanes) shared by both engines, and the UDF accumulates
     dimensions in the oracle fold's exact order — bit-identical bucket
-    assignment in both engines.""".format(
-        L=LSH_TABLES, k=LSH_BITS, t=LSH_SIM_T
-    )
+    assignment in both engines."""
     # persist both reused frames: emb feeds the bucket kernel AND both
     # verify sides; buckets feeds both sides of the pair self-join —
     # without persist the Arrow bucket kernel runs twice in one plan.
@@ -333,7 +329,7 @@ def _kmeans_oracle() -> str:
 
 @_register("kmeans_embeddings", _kmeans_oracle())
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (operators.clustering): {k} clusters, {it}
+    """Distributed k-means (operators.clustering): 4 clusters, 2
     Lloyd iterations, deterministic lowest-id init.  Reports final
     cluster sizes plus the first 4 centroid components (6-dp floor
     rounded).  The oracle unrolls the identical fixed-round algorithm as
@@ -341,7 +337,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold orders all mirror, so the model itself is hash-checked, not just
     row counts.  This is the honest centroid source for the IVF index
     (ivf_topk keeps a deterministic-subset init so both styles are
-    covered).""".format(k=KMEANS_K, it=KMEANS_ITERS)
+    covered)."""
     from pedri_analysis_spark.operators.clustering import kmeans_fit
     from pedri_analysis_spark.plans.pedri_pipeline import pround
 
@@ -415,7 +411,7 @@ def _sq_recall_oracle() -> str:
 @_register("sq_recall_at_k", _sq_recall_oracle())
 def q_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization recall audit: per query vector, how much
-    of the exact dot-product top-{k} survives when retrieval runs on the
+    of the exact dot-product top-10 survives when retrieval runs on the
     4x-smaller symmetric-int8 representation (operators.similarity
     maxabs_scale / scalar_quantize / int_dot). This is the check a
     deployment runs before switching its 100 TB index to the cheap
@@ -423,12 +419,12 @@ def q_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quantization scale is a 1-row broadcast agg (max is
     order-independent -> deterministic under any partitioning); the
-    {nq}-query side broadcasts; scoring is one narrow pass producing both
+    8-query side broadcasts; scoring is one narrow pass producing both
     scores per pair; the two per-query rankings share one shuffle (same
     window partition key). Quantized scores are exact integer math —
     zero float-fold sensitivity — while the exact-dot ranking uses the
     6-dp-floor discipline; recall itself is count ratios, so the final
-    values are engine-exact.""".format(k=SQ_K, nq=SQ_NQ)
+    values are engine-exact."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")

@@ -292,7 +292,7 @@ def _tfidf_oracle() -> str:
 
 @_register("tfidf_top_terms", _tfidf_oracle())
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{n} TF-IDF terms per document — the classic keyword/feature
+    """Top-3 TF-IDF terms per document — the classic keyword/feature
     extraction op of a text pipeline.
 
     Scale: explode → two hash aggregates (term frequency per doc, doc
@@ -301,7 +301,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast. Ranking happens on the 6-dp-rounded score (not the
     raw double) so the cross-engine row selection is deterministic; ulp
     noise in ln() sits ~8 orders of magnitude below the rounding grid.
-    """.format(n=TFIDF_TOP_N)
+    """
     from pyspark.sql.window import Window as W
 
     from pedri_analysis_spark.operators import spread
@@ -366,14 +366,14 @@ CHUNK_BYTES = 256
 def q_binary_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads as first-class relational columns: each document's
     UTF-8 byte stream becomes an opaque BINARY with byte length, content
-    checksum, and a {n}-byte chunk layout (one row per chunk) — exactly
+    checksum, and a 256-byte chunk layout (one row per chunk) — exactly
     the storage/manifest shape a multimodal pipeline uses for images or
     audio (operators/multimodal.py holds the decode side; this is the
     relational side the oracle can check byte-exactly).
 
     Scale: chunk rows come from an explode over a computed range — row
     count is Σ ceil(bytes/chunk), no shuffle; the checksum rides the scan.
-    """.format(n=CHUNK_BYTES)
+    """
     d = load_table(spark, "documents", sf_dir)
     payload = F.encode("text", "UTF-8")
     n_bytes = F.length(payload).cast("long")

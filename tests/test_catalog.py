@@ -1,0 +1,23 @@
+"""QUERIES.md must stay in sync with the registry (regeneration is a
+no-op); catches silently dropped or undocumented queries."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_query_catalog_is_current(tmp_path):
+    current = open("/root/repo/QUERIES.md").read()
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/gen_query_catalog.py"],
+        check=True,
+        cwd="/root/repo",
+    )
+    regenerated = open("/root/repo/QUERIES.md").read()
+    assert regenerated == current, "QUERIES.md stale — rerun tools/gen_query_catalog.py"
+    # every registered query has a docstring (the catalog summary source)
+    for line in regenerated.splitlines():
+        if line.startswith("| ") and "`" in line:
+            summary = line.rsplit("|", 2)[-2].strip()
+            assert summary, f"missing docstring summary: {line}"
