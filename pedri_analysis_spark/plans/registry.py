@@ -81,9 +81,10 @@ _PRIORITY = [
     "ann_lsh_near_dups",
     "kmeans_embeddings",
     "sq_recall_at_k",
-    # sampling family (3 of 4 were r1-green and demoted; the mixture
-    # query represents the hash-threshold sampling discipline)
-    "stratified_source_mix",
+    # (the whole sampling family — sample_hash_bernoulli,
+    #  train_test_split_counts, class_balanced_sample,
+    #  stratified_source_mix — was driver-verified green in round 1
+    #  and is demoted to make room for never-checked queries)
     # relational representatives (one per §2 operator group)
     # (filter_project / join_revenue_by_nation / semi_join_big_spenders /
     #  anti_join_no_orders / global_rollup / topk_orders / pricing_summary
@@ -91,6 +92,7 @@ _PRIORITY = [
     #  to make room for never-checked queries)
     "table_health_report",
     "funnel_conversion",
+    "winsorized_price_stats",
     "quantile_binning_price",
 ]
 

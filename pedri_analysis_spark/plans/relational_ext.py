@@ -1025,3 +1025,65 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("bigint").alias("n_users"),
         "conv_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (outlier clipping at exact percentile bounds)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "winsorized_price_stats",
+    """
+    WITH cut AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           count(*) FILTER (l_extendedprice < lo OR l_extendedprice > hi)
+             ::BIGINT AS n_clipped,
+           CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / count(*)
+             AS mean_raw,
+           CAST(sum(CAST(greatest(lo, least(hi, l_extendedprice))
+                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS mean_winsorized
+    FROM lineitem, cut
+    GROUP BY l_returnflag
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (the outlier-robust cleaning op): clip values to the
+    exact [p01, p99] band, report per-group clipped counts and raw vs
+    winsorized means.
+
+    Scale: cutpoints come from operators.quantiles.exact_quantiles (the
+    distributed sketch-bracketed scheme — never a single-reducer
+    percentile), broadcast as one row; clipping is per-row greatest/least;
+    means aggregate in DECIMAL so both engines sum order-independently.
+    Cutpoint doubles are bit-identical cross-engine, so clip decisions
+    are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cut = exact_quantiles(
+        li, "l_extendedprice", [0.01, 0.99], names=["lo", "hi"]
+    )
+    p = F.col("l_extendedprice")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), p))
+    return (
+        li.crossJoin(F.broadcast(cut))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if((p < F.col("lo")) | (p > F.col("hi")))
+            .cast("bigint")
+            .alias("n_clipped"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_raw"
+            ),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+    )
