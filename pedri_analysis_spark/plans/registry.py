@@ -63,7 +63,8 @@ _PRIORITY = [
     "lang_id_confusion",
     "doc_quality_scores",
     "tfidf_top_terms",
-    "binary_payload_chunks",
+    # (binary_payload_chunks defers to the repo suite; frame_sample_manifest
+    #  keeps the multimodal family inside the window)
     "corpus_curation_report",
     # training-data pipeline family
     "sequence_packing",
@@ -91,6 +92,7 @@ _PRIORITY = [
     #  were driver-verified green in round 1 and moved out of the window
     #  to make room for never-checked queries)
     "table_health_report",
+    "cdc_merge_orders",
     "funnel_conversion",
     "winsorized_price_stats",
     "quantile_binning_price",

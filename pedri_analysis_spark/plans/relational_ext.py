@@ -1087,3 +1087,78 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert (MERGE INTO semantics without a lake format)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cdc_merge_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 7
+    ),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                  ELSE 'update' END AS action
+      FROM orders b FULL OUTER JOIN updates u USING (o_orderkey)
+    )
+    SELECT action,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(o_totalprice::DECIMAL(14,2)) AS DOUBLE) AS total_price
+    FROM merged GROUP BY action
+    """,
+)
+def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE INTO semantics): a deterministic change batch
+    (10% price corrections + 1% new orders) merges into the base table
+    via a full outer join on the key; per-action accounting
+    (insert/update/unchanged) + decimal checksums prove the merge.
+
+    Scale: the canonical lake-format merge shape — one shuffle of both
+    sides on the merge key (or a broadcast when the change batch is
+    small, which AQE picks automatically here); per-action counts are the
+    audit record a production merge job emits. Updated values compose
+    identically cross-engine because the mutation (+100.0) is a
+    deterministic IEEE double op and checksums aggregate in DECIMAL."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    u = updates.select(
+        F.col("o_orderkey").alias("u_key"),
+        F.col("o_orderstatus").alias("u_status"),
+        F.col("o_totalprice").alias("u_price"),
+    )
+    merged = o.join(u, o.o_orderkey == u.u_key, "full_outer").select(
+        F.coalesce("u_status", "o_orderstatus").alias("status"),
+        F.coalesce("u_price", "o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("u_key").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
