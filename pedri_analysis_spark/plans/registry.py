@@ -47,6 +47,7 @@ _PRIORITY = [
     "session_windows",
     "streaming_dedup_counts",
     "hierarchical_rollup_hours",
+    "resample_ffill_daily",
     # dedup family (dedup_exact_by_lang was r1-green; corpus_curation_report
     # keeps the exact-dedup rank logic inside the window)
     # (minhash_near_dups was r1-green; the incremental variant runs the
@@ -59,7 +60,8 @@ _PRIORITY = [
     # text-analysis family
     "text_stats_by_lang",
     "bpe_token_stats",
-    "token_topk",
+    # (token_topk defers to the repo suite; text_stats + bpe cover token
+    #  accounting inside the window)
     "lang_id_confusion",
     "doc_quality_scores",
     "tfidf_top_terms",

@@ -1162,3 +1162,112 @@ def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling with forward-fill (gap filling onto a dense grid)
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+@_register(
+    "resample_ffill_daily",
+    f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts) // {DAY_US}) AS d0,
+             max(epoch_us(ts) // {DAY_US}) AS d1
+      FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT user_id, d FROM users, bounds,
+             unnest(generate_series(d0, d1)) AS u(d)
+    ),
+    obs AS (
+      SELECT user_id, d, value AS close FROM (
+        SELECT user_id, epoch_us(ts) // {DAY_US} AS d, value,
+               row_number() OVER (
+                 PARTITION BY user_id, epoch_us(ts) // {DAY_US}
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    ff AS (
+      SELECT g.user_id, g.d, o.close,
+             last_value(o.close IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.d = o.d
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_days,
+           count(close)::BIGINT AS n_observed,
+           (count(filled) - count(close))::BIGINT AS n_filled,
+           (count(*) - count(filled))::BIGINT AS n_leading_gaps,
+           CAST(sum(filled::DECIMAL(12,2)) AS DOUBLE) AS filled_checksum
+    FROM ff GROUP BY user_id
+    """,
+)
+def q_resample_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto the dense daily grid and
+    forward-fill gaps (the observability / feature-store gap-fill op):
+    per user, observed vs filled vs never-observed days plus a decimal
+    checksum of the filled series.
+
+    Daily close = last value of the day (ties broken on event_id, so the
+    pick is deterministic under any partitioning). Scale: the grid is
+    |users| x |days| skinny rows generated by sequence-explode (never a
+    cartesian of real data); the fill is one window scan per user;
+    everything shuffles once on user_id (grid build, join, window, and
+    final aggregate share the key)."""
+    ev = events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("d"), "value", "event_id"
+    )
+    from pyspark.sql import Window as W
+
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    obs = (
+        events_us(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr(f"ts_us div {DAY_US}").alias("d"),
+            "value",
+            "ts_us",
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "d").orderBy(
+                    F.desc("ts_us"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", F.col("value").alias("close"))
+    )
+    w_ff = (
+        W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    ff = (
+        grid.join(obs, ["user_id", "d"], "left")
+        .withColumn("filled", F.last("close", ignorenulls=True).over(w_ff))
+    )
+    return ff.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("close").alias("n_observed"),
+        (F.count("filled") - F.count("close")).cast("bigint").alias("n_filled"),
+        (F.count(F.lit(1)) - F.count("filled")).cast("bigint").alias(
+            "n_leading_gaps"
+        ),
+        F.sum(F.col("filled").cast("decimal(12,2)")).cast("double").alias(
+            "filled_checksum"
+        ),
+    )
