@@ -1218,9 +1218,10 @@ def q_resample_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Daily close = last value of the day (ties broken on event_id, so the
     pick is deterministic under any partitioning). Scale: the grid is
     |users| x |days| skinny rows generated by sequence-explode (never a
-    cartesian of real data); the fill is one window scan per user;
-    everything shuffles once on user_id (grid build, join, window, and
-    final aggregate share the key)."""
+    cartesian of real data); the close pick shuffles on (user_id, day)
+    with the events pre-collapsed by the rank filter, then the
+    join/fill/aggregate chain runs keyed on user_id — each shuffle
+    carries only (user, day, value) skinny rows, never event payloads."""
     ev = events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us div {DAY_US}").alias("d"), "value", "event_id"
     )
