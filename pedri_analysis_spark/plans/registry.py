@@ -62,7 +62,7 @@ _PRIORITY = [
     "bpe_token_stats",
     # (token_topk defers to the repo suite; text_stats + bpe cover token
     #  accounting inside the window)
-    "lang_id_confusion",
+    # (lang_id_confusion defers to the repo suite)
     "doc_quality_scores",
     "tfidf_top_terms",
     # (binary_payload_chunks defers to the repo suite; frame_sample_manifest
@@ -95,6 +95,7 @@ _PRIORITY = [
     #  to make room for never-checked queries)
     "table_health_report",
     "cdc_merge_orders",
+    "record_linkage_suppliers",
     "funnel_conversion",
     "winsorized_price_stats",
     "quantile_binning_price",
