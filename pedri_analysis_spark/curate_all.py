@@ -76,8 +76,10 @@ def curate_all(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     for sub in ("health", "curation", "dedup", "packing", "tokens", "export"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-    # 1. ingestion gate over the relational side (fail-fast signal)
+    # 1. ingestion gate over the relational side (fail-fast signal).
+    # 5 rows — collect once, reuse for both the CSV and the manifest.
     health = REL_EXT["table_health_report"](spark, sf_dir)
+    health_rows = health.collect()
     write_csv_single(
         health, os.path.join(out_dir, "health", "table_health.csv"), ["check_name"]
     )
@@ -90,8 +92,10 @@ def curate_all(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         ["lang", "reason"],
     )
 
-    # 3. near-dup pairs over the kept corpus
-    kept = _kept_documents(spark, sf_dir)
+    # 3. near-dup pairs over the kept corpus. `kept` feeds the pair scan,
+    # the anti-join, both counts, and the export — persist so the
+    # md5-rank window + quality projection run once, not four times.
+    kept = _kept_documents(spark, sf_dir).persist()
     pairs = dd.minhash_near_dups(kept)
     write_csv_single(
         pairs, os.path.join(out_dir, "dedup", "near_dup_pairs.csv"), ["a", "b"]
@@ -126,10 +130,11 @@ def curate_all(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "n_near_dup_dropped": n_kept - n_final,
         "n_exported": n_final,
         "export_dir": export_dir,
-        "health_checks": {r["check_name"]: bool(r["passed"]) for r in health.collect()},
+        "health_checks": {r["check_name"]: bool(r["passed"]) for r in health_rows},
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
+    kept.unpersist(False)
     return manifest
 
 

@@ -68,10 +68,16 @@ def kmeans_assign(
     return embeddings.withColumn("cluster", F.array_min(pairs)["cid"])
 
 
-def _update(assigned: DataFrame, k: int, vec_col: str = "embedding") -> list[list[float]]:
+def _update(
+    assigned: DataFrame,
+    prev: list[list[float]],
+    vec_col: str = "embedding",
+) -> list[list[float]]:
     """Per-(cluster, dim) decimal-exact means, collected as the next
-    k×dim model. Empty clusters keep no entry (callers re-use the old
-    centroid — cannot happen with lowest-id init on distinct vectors)."""
+    k×dim model. A cluster that lost every point (possible with
+    duplicate vectors in the init set, or after any update) KEEPS its
+    previous centroid at its ORIGINAL id — cluster ids are stable across
+    iterations, never silently renumbered."""
     rows = (
         assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
         .groupBy("cluster", "dim")
@@ -87,7 +93,8 @@ def _update(assigned: DataFrame, k: int, vec_col: str = "embedding") -> list[lis
     for r in rows:
         cents.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
     return [
-        [cents[c][d] for d in sorted(cents[c])] for c in sorted(cents)
+        [cents[c][d] for d in sorted(cents[c])] if c in cents else prev[c]
+        for c in range(len(prev))
     ]
 
 
@@ -115,5 +122,5 @@ def kmeans_fit(
     emb = embeddings.persist()
     for _ in range(iters):
         assigned = kmeans_assign(emb, centroids, vec_col)
-        centroids = _update(assigned, k, vec_col)
+        centroids = _update(assigned, centroids, vec_col)
     return centroids, kmeans_assign(emb, centroids, vec_col)

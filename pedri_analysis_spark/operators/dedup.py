@@ -169,6 +169,10 @@ def minhash_near_dups(
     sigs = minhash_signatures(spread(df), text_col, n_hashes, shingle_k).select(
         key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
     ).persist()
+    # materialize BEFORE the multi-consumer job: two scans of a lazily-
+    # persisted frame inside one job race the cache fill and both
+    # recompute the signature kernel (the ann_lsh double-execution bug)
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands)
     return jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
 
@@ -201,6 +205,7 @@ def simhash_near_dups(
         .select(F.col(key_col), F.col(block_col), "simhash")
         .persist()  # feeds both sides of the self-join
     )
+    hashed.count()  # materialize before the self-join (cache-race guard)
     a = hashed.select(
         F.col(key_col).alias("a"), F.col(block_col).alias("blk"), F.col("simhash").alias("sh_a")
     )
@@ -247,6 +252,7 @@ def simhash_prefix_near_dups(
         .select(F.col(key_col), "simhash")
         .persist()  # feeds both sides of the chunk self-join
     )
+    hashed.count()  # materialize before the self-join (cache-race guard)
     chunk_vals = F.array(
         *[
             F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
@@ -294,7 +300,14 @@ def incremental_minhash_dedup(
     and with EARLIER (lower-key) delta docs for within-batch dups. Exact
     Jaccard verifies candidates; the verdict per delta doc is
     'dup_of_corpus' > 'dup_in_batch' > 'new' (corpus match wins), with
-    best_jaccard the max verified similarity (NULL for 'new')."""
+    best_jaccard the max verified similarity (NULL for 'new').
+
+    PRECONDITION: ``key_col`` values must be disjoint between corpus and
+    delta (keys identify rows across BOTH tables once tagged — a shared
+    id would join one pair against two shingle rows and merge two
+    entities into one verdict). Real ingestion pipelines namespace batch
+    ids (as the registered query does with +1e6 offsets); violations are
+    a caller bug this operator cannot detect without an extra pass."""
     tagged = corpus.select(
         F.lit("c").alias("_tag"), F.col(key_col), F.col(text_col)
     ).unionByName(
@@ -306,6 +319,7 @@ def incremental_minhash_dedup(
     sigs = minhash_signatures(spread(tagged), text_col, n_hashes, shingle_k).select(
         "_tag", key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
     ).persist()
+    sigs.count()  # materialize before multi-consumer scans (see minhash_near_dups)
     rows_per_band = n_hashes // bands
     sig_cols = [f"mh{i}" for i in range(n_hashes)]
     band_structs = F.array(

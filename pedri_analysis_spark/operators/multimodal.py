@@ -111,10 +111,18 @@ def frame_sample_plan(
     decode stage, or fetched by URI), so the frame manifest is a narrow
     shuffle-free projection."""
     n_frames = (F.col(duration_col) * F.col(fps_col)).cast("bigint")
-    return media.filter(F.col("mime").startswith("video/")).select(
-        "media_id",
-        n_frames.alias("n_frames"),
-        F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
-        ).alias("frame_idx"),
+    return (
+        media.filter(F.col("mime").startswith("video/"))
+        .withColumn("n_frames", n_frames)
+        # zero-length assets have no frames to sample; Spark's sequence()
+        # raises on (0, -1) boundaries where the SQL generate_series would
+        # return empty, so they are filtered, not exploded
+        .filter(F.col("n_frames") > 0)
+        .select(
+            "media_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+            ).alias("frame_idx"),
+        )
     )

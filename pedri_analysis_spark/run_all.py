@@ -201,7 +201,9 @@ def run_all(
         artifacts["profile_json"] = profile_out
 
         # -- stage 3: match-id discovery (reference find_pedri_matches) --
-        mids = events.filter(F.col("player.id") == 30486).select("match_id")
+        from pedri_analysis_spark.functions.predicates import PLAYER_ID
+
+        mids = events.filter(F.col("player.id") == PLAYER_ID).select("match_id")
         artifacts["match_ids_txt"] = write_text_list(
             mids, os.path.join(out_dir, "pedri_match_ids.txt"), "match_id"
         )

@@ -173,8 +173,12 @@ def radar_percentile_data(stats: DataFrame, metrics: list[str]) -> DataFrame:
     per90 = stats.select(
         *[p90(c).alias(f"{c}_p90") for c in metrics]
     )
+    # the mean is an order-dependent double fold — round it to 6 dp
+    # BEFORE the <= comparison so the percentile boundary is engine-
+    # independent (per-match p90 values are per-row math, identical on
+    # both engines; the mean is the only fold in the comparison)
     means = per90.agg(
-        *[F.avg(f"{c}_p90").alias(f"_m_{c}") for c in metrics]
+        *[pround(F.avg(f"{c}_p90"), 6).alias(f"_m_{c}") for c in metrics]
     )
     joined = per90.crossJoin(F.broadcast(means))
     outs = []

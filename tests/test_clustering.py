@@ -86,3 +86,23 @@ def test_kmeans_centroids_drive_partitioned_ivf_index(spark, tmp_path):
     got = {r.cluster for r in probe.select("cluster").distinct().collect()}
     assert got <= {0, 2} and got  # only probed buckets are read
     assert probe.count() < emb.count()
+
+
+def test_kmeans_empty_cluster_keeps_id_stable(spark):
+    """Duplicate vectors in the init set empty a cluster after the first
+    assignment; its id must survive with the previous centroid rather
+    than silently renumbering the model."""
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+
+    rows = [(i, [1.0, 1.0]) for i in range(3)] + [
+        (3, [9.0, 9.0]),
+        (4, [9.5, 9.5]),
+        (5, [1.1, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, assigned = kmeans_fit(df, k=4, iters=2)
+    assert len(centroids) == 4  # ids 0..3 all present, none dropped
+    got = {r.cluster for r in assigned.collect()}
+    assert got <= {0, 1, 2, 3}
+    # the duplicate-init clusters (1, 2) kept their original centroid
+    assert centroids[1] == [1.0, 1.0] and centroids[2] == [1.0, 1.0]
