@@ -120,7 +120,15 @@ def kmeans_fit(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     emb = embeddings.persist()
-    for _ in range(iters):
-        assigned = kmeans_assign(emb, centroids, vec_col)
-        centroids = _update(assigned, centroids, vec_col)
-    return centroids, kmeans_assign(emb, centroids, vec_col)
+    try:
+        for _ in range(iters):
+            assigned = kmeans_assign(emb, centroids, vec_col)
+            centroids = _update(assigned, centroids, vec_col)
+    finally:
+        # Each iteration materializes via _update's collect, so the cache
+        # has served its purpose; release executor memory before handing
+        # the (lazy) final assignment back.  The returned plan binds to
+        # the caller's original frame, so it recomputes from lineage —
+        # one scan — rather than pinning cache for the library's caller.
+        emb.unpersist()
+    return centroids, kmeans_assign(embeddings, centroids, vec_col)

@@ -143,7 +143,8 @@ def q_pedri_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_XI_CTE}
     SELECT pos AS position,
            count(*)::BIGINT AS n_matches,
-           list_slice(list_sort(list(match_id)), 1, 10) AS match_ids_preview
+           array_to_string(list_slice(list_sort(list(match_id)), 1, 10), ',')
+             AS match_ids_preview
     FROM xi
     GROUP BY pos
     """,
@@ -156,11 +157,14 @@ def q_pedri_lineup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: groupBy over the tiny (match, position) frame; the preview list
     is a bounded slice of a sorted collect_list — collect_list is safe
     here because the pre-aggregated grain is one row per match, not per
-    event."""
+    event.  The preview is serialized to a comma-joined string (numeric
+    sort first, then cast) so the result is flat scalar columns — array
+    cells are not hashable by pandas-based result comparators."""
     pos = lineup_position(_events(spark))
+    preview = F.slice(F.sort_array(F.collect_list("match_id")), 1, 10)
     return pos.groupBy(F.col("position_xi").alias("position")).agg(
         F.count(F.lit(1)).alias("n_matches"),
-        F.slice(F.sort_array(F.collect_list("match_id")), 1, 10).alias(
-            "match_ids_preview"
-        ),
+        F.array_join(
+            F.transform(preview, lambda x: x.cast("string")), ","
+        ).alias("match_ids_preview"),
     )

@@ -104,10 +104,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(tx.tokens(tx.SPARK, "text"))).cast("bigint").alias("n_tok"),
     )
     w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    # Integer `div` (not double `/` + cast): floor-division by construction,
+    # so the bucket boundary agrees with the oracle's integer floor-div for
+    # ANY budget, not just powers of two / sums below 2^53.
     packed = d.withColumn(
-        "seq_id",
-        ((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("bigint"),
-    )
+        "start_tok", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("seq_id", F.expr(f"start_tok div {PACK_BUDGET}"))
     seqs = packed.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("seq_tokens"),

@@ -297,7 +297,12 @@ def _kmeans_oracle() -> str:
       ) WHERE rn = 1
     )"""
 
-    def update(assign_cte: str, out: str) -> str:
+    def update(assign_cte: str, out: str, prev_cte: str) -> str:
+        # Left-join the fresh means onto the PREVIOUS centroid set so an
+        # emptied cluster keeps its old centroid at its original cid —
+        # the same id-stability rule as operators.clustering._update
+        # (otherwise the next assign round would argmin over fewer
+        # centroids than the Spark side and diverge spuriously).
         return f"""
     {out}_u AS (
       SELECT a.cluster AS cid, p.pos,
@@ -307,8 +312,13 @@ def _kmeans_oracle() -> str:
       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
       GROUP BY 1, 2
     ),
-    {out} AS (
+    {out}_n AS (
       SELECT cid, list(m ORDER BY pos) AS cent FROM {out}_u GROUP BY cid
+    ),
+    {out} AS (
+      SELECT p.cid,
+             coalesce(n.cent, list_transform(p.cent, x -> x::DOUBLE)) AS cent
+      FROM {prev_cte} p LEFT JOIN {out}_n n ON n.cid = p.cid
     )"""
 
     r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
@@ -316,7 +326,7 @@ def _kmeans_oracle() -> str:
     WITH init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
-    ),{assign('init', 'a0')},{update('a0', 'c1')},{assign('c1', 'a1')},{update('a1', 'c2')},{assign('c2', 'a2')}
+    ),{assign('init', 'a0')},{update('a0', 'c1', 'init')},{assign('c1', 'a1')},{update('a1', 'c2', 'c1')},{assign('c2', 'a2')}
     SELECT a.cluster, count(*)::BIGINT AS n_vecs,
            {r6('min(c.cent[1])')} AS c0,
            {r6('min(c.cent[2])')} AS c1,

@@ -19,7 +19,7 @@ def first_sentence(doc: str) -> str:
     return text
 
 
-def main() -> None:
+def main(out_path: str = "/root/repo/QUERIES.md") -> None:
     from pedri_analysis_spark.plans.registry import _PRIORITY, all_oracle_sql, all_queries
 
     qs = all_queries()
@@ -42,10 +42,10 @@ def main() -> None:
         orc = "sql" if name in oracles else "rows-only"
         summary = first_sentence(fn.__doc__ or "").replace("|", "\\|")
         lines.append(f"| {i} | `{name}` | {orc} | {mark} | {summary} |")
-    with open("/root/repo/QUERIES.md", "w") as f:
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote QUERIES.md: {len(qs)} queries")
+    print(f"wrote {out_path}: {len(qs)} queries")
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])
