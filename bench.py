@@ -62,16 +62,23 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in sorted(queries):
         fn = queries[name]
         best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # Force full execution of the plan without collecting rows.
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # Force full execution of the plan without collecting rows.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # zero out the whole benchmark (round-3/4 lesson): record the
+            # failure, keep measuring the rest.
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
         # Clear BETWEEN queries, not between runs: operators that persist()
         # intermediates (LSH signatures, the pedri fixture cache) would
         # otherwise accumulate heap and GC-tax later queries — but within
@@ -79,7 +86,8 @@ def main() -> None:
         # pipeline would run at, not re-pay cache fill every run.
         spark.catalog.clearCache()
         # best-of-N: steady-state engine time, robust to GC/host noise
-        timings[name] = round(best, 4)
+        if best is not None:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     # Full per-query map goes to a file; stdout gets ONE compact line the
@@ -94,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failures": failures,
                 "sf": _sf_label(SF_DIR),
                 "runs": runs,
             },
@@ -108,6 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "n_failed": len(failures),
         "sf": _sf_label(SF_DIR),
         "detail": "BENCH_DETAIL.json",
     }

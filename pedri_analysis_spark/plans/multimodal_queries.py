@@ -84,16 +84,29 @@ def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_feature_stub")  # rows-only: mapInPandas, non-SQL
+@_register(
+    "multimodal_feature_stub",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+               AS mime,
+           count(*)::BIGINT AS n_assets,
+           sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+           sum(ord(substr(text, 1, 1)))::BIGINT AS sum_f0_byte
+    FROM documents GROUP BY 1
+    """,
+)
 def q_multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode/feature path over real table bytes
     (payload = utf-8 document text; the codec kernel is the documented
-    deterministic stub): per-mime feature accounting. Registered
-    rows-only — this is the one operator family where Python IS the
-    operator (per-partition codec init, Arrow batch streaming), so no
-    SQL oracle exists by design; schema + row-count stability is the
-    driver's check, and tests/test_multimodal.py pins the kernel
-    semantics."""
+    deterministic stub): per-mime feature accounting.
+
+    The stub decode is deterministic arithmetic over the payload bytes
+    (feature[0] = first_byte / 255 in float32, since every document is
+    ≥ 8 bytes), so the aggregate IS oracle-expressible: recovering the
+    byte via round(feature[0] * 255) makes every output column exact
+    integer math the DuckDB oracle mirrors byte-for-byte — the one
+    mapInPandas operator in the registry with a full hash check.
+    tests/test_multimodal.py additionally pins the kernel semantics."""
     from pedri_analysis_spark.operators.multimodal import extract_features
 
     d = load_table(spark, "documents", sf_dir)
@@ -107,8 +120,12 @@ def q_multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(48).alias("height"),
     )
     feats = extract_features(media, dim=8, decode_stub=True)
+    # feature[0] = float32(first_byte / 255); ×255 + round recovers the
+    # exact byte (float32 relative error ≪ 1/510), keeping the aggregate
+    # in exact integer space for cross-engine determinism.
+    first_byte = F.round(F.element_at("feature", 1) * 255).cast("bigint")
     return feats.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
-        F.avg(F.element_at("feature", 1)).alias("avg_f0"),
+        F.sum(first_byte).alias("sum_f0_byte"),
     )

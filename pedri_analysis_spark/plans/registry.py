@@ -38,9 +38,10 @@ _PRIORITY = [
     "pedri_heat_grid",
     "pedri_profile_build",
     "pedri_lineup_positions",
-    "pedri_trend_per90",
-    "pedri_scatter_pp_pc",
-    "pedri_radar_percentiles",
+    # (pedri_trend_per90 / pedri_scatter_pp_pc / pedri_radar_percentiles
+    #  were driver-verified green in r03 AND r04; demoted to rotate the
+    #  three never-checked queries below into the window — pedri_heat_grid
+    #  keeps the viz-data family represented)
     # structured-streaming windows (batch-equivalent oracle forms)
     "tumbling_window_counts",
     "sliding_window_sums",
@@ -57,16 +58,14 @@ _PRIORITY = [
     "simhash_prefix_near_dups",
     "ngram_jaccard_near_dups",
     "dedup_connected_components",
-    # text-analysis family
+    # text-analysis family (token_topk and lang_id_confusion had never
+    # had a driver CORRECTNESS row through r04 — rotated in)
     "text_stats_by_lang",
     "bpe_token_stats",
-    # (token_topk defers to the repo suite; text_stats + bpe cover token
-    #  accounting inside the window)
-    # (lang_id_confusion defers to the repo suite)
+    "token_topk",
+    "lang_id_confusion",
     "doc_quality_scores",
     "tfidf_top_terms",
-    # (binary_payload_chunks defers to the repo suite; frame_sample_manifest
-    #  keeps the multimodal family inside the window)
     "corpus_curation_report",
     # training-data pipeline family
     "sequence_packing",
@@ -74,9 +73,11 @@ _PRIORITY = [
     "doc_repetition_stats",
     "pii_redaction_counts",
     "doc_chunking",
-    # multimodal family
+    # multimodal family (binary_payload_chunks never driver-checked
+    # through r04 — rotated in)
     "frame_sample_manifest",
     "multimodal_feature_stub",
+    "binary_payload_chunks",
     # similarity / ANN family
     "cosine_topk_bruteforce",
     "ivf_topk",

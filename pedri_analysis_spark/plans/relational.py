@@ -32,6 +32,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -84,13 +85,27 @@ def epoch_us(c: str | Column) -> Column:
 def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with event time as epoch-microseconds (``ts_us``).
 
-    The engine reads the nanosecond parquet timestamps as epoch-nanos
-    BIGINT (session.py); DuckDB *truncates* them to microseconds at read
-    time — so every event-time comparison and output goes through the same
-    ``div 1000`` truncation to stay bit-identical with the oracle."""
-    return load_table(spark, "events", sf_dir).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    Dispatches on the dtype ``ts`` actually arrives as, so the plan is
+    correct for either parquet encoding of the testdata:
+
+    - ``timestamp[us]`` parquet → Spark reads TIMESTAMP_NTZ; with the
+      session timezone pinned to UTC, ``unix_micros(cast(ts AS
+      timestamp))`` equals DuckDB's ``epoch_us(ts)`` on the same naive
+      values (see :func:`epoch_us`).
+    - ``timestamp[ns]`` parquet → unreadable as a timestamp by Spark 4;
+      the session's ``nanosAsLong`` conf surfaces it as epoch-nanos
+      BIGINT, and ``ts div 1000`` is the same integer truncation DuckDB
+      applies reading ns→µs.
+
+    Both branches produce identical BIGINT epoch-µs, so every downstream
+    event-time comparison stays bit-identical with the oracle."""
+    df = load_table(spark, "events", sf_dir)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_us = epoch_us("ts")
+    else:  # BIGINT epoch-nanos via spark.sql.legacy.parquet.nanosAsLong
+        ts_us = F.expr("ts div 1000")
+    return df.withColumn("ts_us", ts_us)
 
 
 # ---------------------------------------------------------------------------

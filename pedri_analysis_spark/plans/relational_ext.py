@@ -440,33 +440,101 @@ def q_salted_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered WITHOUT oracle SQL (rows-only check): approximate algorithms
-# are seed/implementation-specific by design — the exact counterparts above
-# (global_rollup's countDistinct, percentiles_quantity) are the
-# correctness-checked versions; these are their at-scale replacements.
+# Approximate algorithms are seed/implementation-specific, so their raw
+# estimates can't be hash-compared cross-engine. Instead each query
+# computes the EXACT answer plus a boolean asserting the approximate
+# answer lands within its published error bound — the oracle mirrors the
+# exact side and expects the assertion TRUE, so a sketch regression
+# (estimate drifting out of bound) flips the hash and fails the driver.
 
 
-@_register("approx_distinct_parts")
+@_register(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           count(*)::BIGINT AS n_lines,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB replacement for
     exact COUNT(DISTINCT) — one pass, fixed-size sketch, no expand plan.
-    rsd=0.01 keeps the estimate within ~1% of the exact count."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    rsd=0.01 keeps the estimate within ~1% of the exact count; the query
+    asserts |approx − exact| / exact ≤ 5% (generous vs the 3σ ≈ 3% bound)
+    so the driver hash check verifies the sketch, not just the schema.
+    The exact side is test-harness-only; at 100 TB you run the sketch
+    alone."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # Two-stage exact distinct (partial-agg on (flag, partkey), then count)
+    # instead of count_distinct mixed into the same agg, which would force
+    # an Expand over the full scan. HLL sketches are duplicate-insensitive,
+    # so running approx_count_distinct over the deduped keys yields the
+    # identical estimate the one-pass sketch gives at 100 TB.
+    per_key = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("kn")
+    )
+    return per_key.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("kn").cast("bigint").alias("n_lines"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        "n_lines",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )
 
 
-@_register("approx_percentiles_price")
+@_register(
+    "approx_percentiles_price",
+    """
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_lines,
+           TRUE AS p50_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (KLL/GK sketch): bounded-memory quantiles for
-    data too large to sort — the at-scale version of
-    percentiles_quantity."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    data too large to sort — the at-scale version of percentiles_quantity.
+
+    The sketch guarantees a RANK bound (the returned value's true rank is
+    within ~n/accuracy of the target rank), so the check is rank-based:
+    the fraction of rows ≤ the approximate quantile must sit within ±2%
+    of the target fraction (accuracy=10000 ⇒ theoretical slack 0.01%,
+    checked generously). One extra broadcast join of the k-row quantile
+    table — the verification pass exists only for the harness."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
+    joined = li.join(F.broadcast(ap), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("p50_approx")).cast("long")
+        ).alias("n_le_p50"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("p99_approx")).cast("long")
+        ).alias("n_le_p99"),
+    ).select(
+        "l_returnflag",
+        "n_lines",
+        (
+            (F.col("n_le_p50") / F.col("n_lines") >= 0.48)
+            & (F.col("n_le_p50") / F.col("n_lines") <= 0.52)
+        ).alias("p50_rank_ok"),
+        (
+            (F.col("n_le_p99") / F.col("n_lines") >= 0.97)
+            & (F.col("n_le_p99") / F.col("n_lines") <= 1.0)
+        ).alias("p99_rank_ok"),
     )
 
 

@@ -98,15 +98,16 @@ PROFILE_SCHEMA = _struct(
 # are not required for parquet (self-describing) but are kept here as the
 # authoritative contract for tests and for the streaming reader, which
 # requires a schema up front.
-# NOTE: ts is nanosecond-precision in parquet, which Spark 4 cannot read as
-# a timestamp — the session sets spark.sql.legacy.parquet.nanosAsLong, so
-# the engine sees ts as epoch-nanos BIGINT (exact integer event time).
-# Use F.timestamp_micros(F.expr("ts div 1000")) where a real timestamp is
-# required (streaming windows).
+# NOTE: ts is microsecond-precision parquet (verified at all SFs), which
+# Spark reads as TIMESTAMP_NTZ; with the session TZ pinned to UTC the cast
+# to TIMESTAMP is an identity, matching the DuckDB oracle's naive values.
+# (The session still sets spark.sql.legacy.parquet.nanosAsLong so a future
+# NANOS-precision regeneration degrades to BIGINT epoch-nanos instead of
+# failing; events_us / with_event_time dispatch on the actual dtype.)
 EVENTS_TABLE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -54,13 +54,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        # Parquet ms/us timestamps arrive as TIMESTAMP_NTZ; with the UTC
-        # session timezone casting NTZ -> TIMESTAMP is an identity shift,
-        # matching the DuckDB oracle's naive timestamps. NANOS-precision
-        # parquet timestamps (the events table) are unreadable by Spark 4 —
-        # read them as epoch-nanos BIGINT instead (exact integer event-time
-        # arithmetic; convert with timestamp_micros(ns div 1000) when a real
-        # timestamp is needed, e.g. for streaming windows).
+        # Parquet ms/us timestamps (the current events table is
+        # timestamp[us]) arrive as TIMESTAMP_NTZ; with the UTC session
+        # timezone casting NTZ -> TIMESTAMP is an identity shift, matching
+        # the DuckDB oracle's naive timestamps. nanosAsLong is kept as a
+        # safety net: should a regeneration ever emit NANOS-precision
+        # parquet (unreadable as timestamps by Spark 4), it degrades to
+        # BIGINT epoch-nanos instead of failing — events_us /
+        # with_event_time dispatch on whichever dtype actually arrives.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

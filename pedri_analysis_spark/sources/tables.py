@@ -21,9 +21,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # own SparkSession without our factory):
 #  - UTC session TZ: NTZ->TIMESTAMP casts are identity, matching the
 #    DuckDB oracle's naive timestamps.
-#  - nanosAsLong: Spark 4 cannot read the events table's NANOS-precision
-#    parquet timestamps as timestamps at all; as BIGINT epoch-nanos the
-#    event-time arithmetic is exact integer math.
+#  - nanosAsLong: safety net only — the current events table is
+#    timestamp[us] (reads as TIMESTAMP_NTZ), but a NANOS-precision
+#    regeneration would be unreadable as timestamps by Spark 4; with this
+#    set it degrades to BIGINT epoch-nanos, which events_us handles.
 # All are runtime-settable (spark.sql.*), unlike JVM-level settings.
 _REQUIRED_SQL_CONF = {
     "spark.sql.session.timeZone": "UTC",

@@ -7,9 +7,13 @@ general-engine surface for time windowing.  These builders produce the
 SAME logical plan for a batch DataFrame or a streaming one — in streaming
 mode add ``with_watermark`` so state can be evicted.
 
-Event time enters as epoch-nanos BIGINT (see schema.py note) and is
-converted with ``timestamp_micros(ts div 1000)`` — exact integer
-truncation matching the DuckDB oracle's ns→µs read behavior.
+Event time enters either as a parquet ``timestamp[us]`` (read as
+TIMESTAMP_NTZ; with the session TZ pinned to UTC the cast to TIMESTAMP
+is an identity) or — for nanosecond parquet, which Spark 4 can only read
+via ``nanosAsLong`` — as epoch-nanos BIGINT converted with
+``timestamp_micros(ts div 1000)`` (the same integer truncation the
+DuckDB oracle applies reading ns→µs).  ``with_event_time`` dispatches on
+the actual dtype so both encodings yield the same event time.
 
 Scale: windowed aggregation shuffles on (window, keys); watermarks bound
 state size; sliding windows multiply rows by width/slide (use the
@@ -23,12 +27,25 @@ from pyspark.sql import functions as F
 
 
 def ns_to_timestamp(ts_ns: str | Column = "ts") -> Column:
+    """Epoch-nanos BIGINT → TIMESTAMP (integer µs truncation). Only for
+    columns known to be BIGINT nanos; prefer :func:`with_event_time`,
+    which inspects the actual dtype."""
     c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
-    return F.timestamp_micros(F.expr(f"{ts_ns} div 1000") if isinstance(ts_ns, str) else c)
+    # exact integer div (never float: epoch-nanos exceed double's 53-bit mantissa)
+    whole = (c - (c % F.lit(1000))).cast("decimal(38,0)")
+    return F.timestamp_micros((whole / F.lit(1000)).cast("long"))
 
 
-def with_event_time(df: DataFrame, ts_ns: str = "ts", out: str = "event_time") -> DataFrame:
-    return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts_ns} div 1000")))
+def with_event_time(df: DataFrame, ts: str = "ts", out: str = "event_time") -> DataFrame:
+    """Add an ``out`` TIMESTAMP column from ``ts``, whatever dtype it is:
+    TIMESTAMP/TIMESTAMP_NTZ → identity cast (UTC session TZ), BIGINT →
+    treated as epoch-nanos (the ``nanosAsLong`` legacy read path)."""
+    from pyspark.sql import types as T
+
+    ts_type = df.schema[ts].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn(out, F.col(ts).cast("timestamp"))
+    return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts} div 1000")))
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes", col: str = "event_time") -> DataFrame:

@@ -232,3 +232,43 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_events_us_handles_both_parquet_ts_encodings(spark, tmp_path):
+    """Regression (round-4 outage): events_us must yield identical epoch-µs
+    whether the events parquet stores timestamp[us] (reads as
+    TIMESTAMP_NTZ) or timestamp[ns] (BIGINT epoch-nanos under the
+    session's nanosAsLong) — a testdata regeneration flipped the encoding
+    once and silently broke every event-time query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ts_us_vals = [1_700_000_000_000_000 + i * 1_234_567 for i in range(10)]
+    base = {
+        "event_id": pa.array(range(10), pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(10)], pa.int64()),
+        "event_type": pa.array(["click"] * 10),
+        "value": pa.array([float(i) for i in range(10)]),
+        "props": pa.array(["{}"] * 10),
+    }
+
+    us_dir = tmp_path / "us"
+    ns_dir = tmp_path / "ns"
+    for d, ts_arr in (
+        (us_dir, pa.array(ts_us_vals, pa.timestamp("us"))),
+        (ns_dir, pa.array([v * 1000 for v in ts_us_vals], pa.timestamp("ns"))),
+    ):
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}), str(d / "events.parquet")
+        )
+
+    got_us = events_us(spark, str(us_dir))
+    got_ns = events_us(spark, str(ns_dir))
+    assert dict(got_us.dtypes)["ts_us"] == "bigint"
+    assert dict(got_ns.dtypes)["ts_us"] == "bigint"
+    for got in (got_us, got_ns):
+        rows = {r["event_id"]: r["ts_us"] for r in got.select("event_id", "ts_us").collect()}
+        assert rows == dict(enumerate(ts_us_vals))
