@@ -5,15 +5,24 @@ is the single source the driver contract (``__spark_entry__``) reads.
 
 Ordering matters: the correctness driver verifies queries in registration
 order and caps how many it checks per round (round 1 recorded exactly the
-first 50).  ``_PRIORITY`` therefore pins the flagship pedri pipeline,
-streaming windows, and one representative per beyond-reference family into
-the front of the registry so they are always inside the driver's window;
-everything else follows in module order and is covered by the repo's own
-driver-identical oracle suite (tests/test_oracle_parity.py).
+first 50).  The registry therefore rotates: it parses the committed
+``CORRECTNESS_r*.json`` files (the driver's own per-round verdicts) and
+orders queries least-recently-verified first — every round the driver's
+window lands on the queries with the stalest (or no) green verdict, so
+the whole catalog cycles through driver verification instead of a fixed
+50 being re-checked forever.  With no history present (fresh clone), the
+hand-curated ``_PRIORITY`` list pins the flagship pedri pipeline and one
+representative per family.  Everything is additionally covered every
+round by the repo's own driver-identical oracle suite
+(tests/test_oracle_parity.py).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 import warnings
 from collections.abc import Callable
 
@@ -136,10 +145,66 @@ def _modules():
     return mods
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
+    """Parse the committed CORRECTNESS_r*.json files (the driver's own
+    per-round verdicts) into (last_green, last_seen) round maps.  "Green"
+    means a FULL verdict — rows + schema + hash all matched; errors,
+    mismatches, and weaker rows-only checks do not count."""
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            last_seen[name] = max(last_seen.get(name, -1), rnd)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, -1), rnd)
+    return last_green, last_seen
+
+
 def _ordered(names: dict[str, object]) -> list[str]:
-    prio = [n for n in _PRIORITY if n in names]
-    rest = [n for n in names if n not in set(prio)]
-    return prio + rest
+    last_green, last_seen = _verification_history()
+    if not last_seen:
+        # fresh clone, no driver history: hand-curated flagship order
+        prio = [n for n in _PRIORITY if n in names]
+        rest = [n for n in names if n not in set(prio)]
+        return prio + rest
+    reg = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        # tier 0: latest driver check FAILED (error/mismatch after the
+        #         last green) — must be re-proven immediately;
+        # tier 1: never driver-checked at all;
+        # tier 2: green — least-recently-verified first, so the window
+        #         sweeps the whole catalog over successive rounds.
+        green, seen = last_green.get(n, -1), last_seen.get(n, -1)
+        if seen > green:
+            tier = 0
+        elif seen < 0:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, green, reg[n])
+
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

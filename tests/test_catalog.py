@@ -26,3 +26,36 @@ def test_query_catalog_is_current(tmp_path):
         if line.startswith("| ") and "`" in line:
             summary = line.rsplit("|", 2)[-2].strip()
             assert summary, f"missing docstring summary: {line}"
+
+
+def test_registry_rotation_prioritizes_unverified(tmp_path, monkeypatch):
+    """The driver checks only the first N registered queries per round, so
+    the registry orders by verification debt: latest-check-failed first,
+    then never-checked, then least-recently-green — parsed from the
+    committed CORRECTNESS_r*.json files."""
+    import json
+
+    from pedri_analysis_spark.plans import registry
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    broken = {"rows_match": None, "schema_match": None, "hash_match": None,
+              "spark_rows": None, "oracle_rows": None, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": green, "c": broken})
+    )
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+
+    names = {n: None for n in ("a", "b", "c", "d")}
+    # c: failed its LATEST check (r02 error after r01 green) -> tier 0
+    # d: never driver-checked -> tier 1
+    # a: green r01 (stalest) before b: green r02
+    assert registry._ordered(names) == ["c", "d", "a", "b"]
+
+    # no history at all -> falls back to the hand-curated priority order
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path / "empty"))
+    ordered = registry._ordered(names)
+    assert set(ordered) == set(names)

@@ -20,28 +20,28 @@ def first_sentence(doc: str) -> str:
 
 
 def main(out_path: str = "/root/repo/QUERIES.md") -> None:
-    from pedri_analysis_spark.plans.registry import _PRIORITY, all_oracle_sql, all_queries
+    from pedri_analysis_spark.plans.registry import all_oracle_sql, all_queries
 
     qs = all_queries()
     oracles = all_oracle_sql()
-    window = set(list(qs)[:50])
     lines = [
         "# QUERIES — registered query inventory",
         "",
-        f"{len(qs)} queries; {len(oracles)} with DuckDB oracles "
-        "(the rest are rows-only by design: approximate sketches and the "
-        "mapInPandas decode path). ⚒ = inside the driver's 50-query "
-        "correctness window this round; everything is covered by the "
-        "repo's own driver-identical suite (tests/test_oracle_parity.py).",
+        f"{len(qs)} queries; {len(oracles)} with DuckDB oracles. "
+        "The driver's 50-query correctness window rotates every round "
+        "(least-recently-verified first — see plans/registry.py), so this "
+        "inventory is listed alphabetically; everything is additionally "
+        "covered every round by the repo's own driver-identical suite "
+        "(tests/test_oracle_parity.py).",
         "",
-        "| # | query | oracle | window | summary |",
-        "|---|---|---|---|---|",
+        "| # | query | oracle | summary |",
+        "|---|---|---|---|",
     ]
-    for i, (name, fn) in enumerate(qs.items(), 1):
-        mark = "⚒" if name in window else ""
+    for i, name in enumerate(sorted(qs), 1):
+        fn = qs[name]
         orc = "sql" if name in oracles else "rows-only"
         summary = first_sentence(fn.__doc__ or "").replace("|", "\\|")
-        lines.append(f"| {i} | `{name}` | {orc} | {mark} | {summary} |")
+        lines.append(f"| {i} | `{name}` | {orc} | {summary} |")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}: {len(qs)} queries")
