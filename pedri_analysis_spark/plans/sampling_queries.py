@@ -191,3 +191,54 @@ def q_stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 16
+
+_SSHARD = f"({tx.seeded_hash64(tx.SPARK, 'CAST(doc_id AS STRING)', 'shard')} % {SHUFFLE_SHARDS})"
+_DSHARD = f"({tx.seeded_hash64(tx.DUCK, 'doc_id::VARCHAR', 'shard')} % {SHUFFLE_SHARDS})"
+_SORDER = tx.seeded_hash64(tx.SPARK, "CAST(doc_id AS STRING)", "order")
+_DORDER = tx.seeded_hash64(tx.DUCK, "doc_id::VARCHAR", "order")
+
+
+@_register(
+    "training_shuffle_shards",
+    f"""
+    SELECT {_DSHARD} AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           arg_min(doc_id, {_DORDER}) AS first_doc,
+           arg_max(doc_id, {_DORDER}) AS last_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    hash-derived shard and an independent hash-derived position, and the
+    manifest reports per-shard sizes plus the first/last doc in read
+    order. Unlike ``df.orderBy(rand())`` the permutation is a pure
+    function of doc_id — reproducible across engines, partitionings and
+    re-runs (training-data lineage), and trivially resumable.
+
+    Scale: the write path is ``repartition(N, shard)`` +
+    ``sortWithinPartitions(order_hash)`` + per-partition writes — one
+    shuffle, no global sort; N is sized to target shard files (e.g.
+    corpus/1 GB). The manifest here is the same single shuffle on the
+    shard key."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.expr(_SSHARD).alias("shard"),
+        F.expr(_SORDER).alias("order_h"),
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min_by("doc_id", "order_h").alias("first_doc"),
+        F.max_by("doc_id", "order_h").alias("last_doc"),
+    )

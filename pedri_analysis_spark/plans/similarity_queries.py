@@ -274,10 +274,13 @@ KMEANS_K = 4
 KMEANS_ITERS = 2
 
 
-def _kmeans_oracle() -> str:
-    """The SAME fixed-iteration Lloyd's, unrolled as chained CTEs: each
-    round is assign (argmin over (dist, cid) via window) + update
-    (per-(cluster, dim) decimal-exact mean re-collected into an array)."""
+def _kmeans_cte_prefix(k: int) -> str:
+    """The fixed-iteration Lloyd's, unrolled as chained CTEs: each round
+    is assign (argmin over (dist, cid) via window) + update (per-
+    (cluster, dim) decimal-exact mean re-collected into an array).
+    Returns the ``WITH ... a2`` prefix whose final CTE ``a2`` is the
+    converged assignment (vec_id, embedding, cluster) — shared by the
+    kmeans report and the semantic-dedup oracle."""
     d2 = (
         "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
         "i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE) "
@@ -321,12 +324,16 @@ def _kmeans_oracle() -> str:
       FROM {prev_cte} p LEFT JOIN {out}_n n ON n.cid = p.cid
     )"""
 
-    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
     return f"""
     WITH init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
-    ),{assign('init', 'a0')},{update('a0', 'c1', 'init')},{assign('c1', 'a1')},{update('a1', 'c2', 'c1')},{assign('c2', 'a2')}
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),{assign('init', 'a0')},{update('a0', 'c1', 'init')},{assign('c1', 'a1')},{update('a1', 'c2', 'c1')},{assign('c2', 'a2')}"""
+
+
+def _kmeans_oracle() -> str:
+    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""{_kmeans_cte_prefix(KMEANS_K)}
     SELECT a.cluster, count(*)::BIGINT AS n_vecs,
            {r6('min(c.cent[1])')} AS c0,
            {r6('min(c.cent[2])')} AS c1,
@@ -364,6 +371,90 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         "n_vecs",
         *[pround(F.col(f"_c{i}"), 6).alias(f"c{i}") for i in range(4)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster, then prune within-cluster near-dups
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # cluster count (scale knob: at corpus scale ~N/target_size)
+SEMDEDUP_T = 0.4  # within-cluster cosine prune threshold
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""{_kmeans_cte_prefix(SEMDEDUP_K)},
+    pairs AS (
+      SELECT x.cluster, y.vec_id AS b
+      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_dcos('x.embedding', 'y.embedding')} >= {SEMDEDUP_T}
+    ),
+    dropped AS (SELECT cluster, b AS vec_id FROM pairs GROUP BY 1, 2)
+    SELECT v.cluster,
+           count(*)::BIGINT AS n_vecs,
+           count(d.vec_id)::BIGINT AS n_dropped,
+           (count(*) - count(d.vec_id))::BIGINT AS n_kept,
+           CAST(count(*) - count(d.vec_id) AS DOUBLE) / count(*) AS retention
+    FROM a2 v
+    LEFT JOIN dropped d ON d.cluster = v.cluster AND d.vec_id = v.vec_id
+    GROUP BY v.cluster
+    """
+
+
+@_register("semantic_dedup_prune", _semantic_dedup_oracle())
+def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023): k-means-cluster
+    the embeddings, then within each cluster drop every vector that has a
+    lower-id near-duplicate at cosine ≥ 0.4; report per-cluster
+    kept/dropped counts and the retention rate (the curation decision the
+    pipeline acts on).
+
+    The deterministic keep-lowest-id rule replaces the paper's
+    keep-random so both engines select identical survivors. Scale: the
+    cluster is the blocking key — pair work is Σ|cluster|², bounded by
+    choosing k ≈ N / target_cluster_size (the paper uses ~50k clusters
+    for LAION-scale); assignment itself is one broadcast-argmin map, so
+    the whole operator is one shuffle (pair join) after a k-row
+    broadcast."""
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+
+    emb = spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
+    _, assigned = kmeans_fit(emb, k=SEMDEDUP_K, iters=KMEANS_ITERS)
+    # assigned feeds three consumers (both pair sides + the rollup); the
+    # persist is MATERIALIZED before fan-out (same cache-fill-race
+    # discipline as ann_lsh above).
+    assigned = assigned.persist()
+    assigned.count()
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        # JVM fold (not the Arrow UDF): the pair join already ships both
+        # vectors per row; keeping scoring in the JVM avoids a second
+        # Arrow transfer of every pair (see embedding_near_dups)
+        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        .filter(F.col("sim") >= SEMDEDUP_T)
+        .select("cluster", F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("_dropped")).alias("n_kept"),
+            (
+                (F.count(F.lit(1)) - F.count("_dropped")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("retention"),
+        )
     )
 
 
