@@ -272,3 +272,26 @@ def test_events_us_handles_both_parquet_ts_encodings(spark, tmp_path):
     for got in (got_us, got_ns):
         rows = {r["event_id"]: r["ts_us"] for r in got.select("event_id", "ts_us").collect()}
         assert rows == dict(enumerate(ts_us_vals))
+
+
+def test_training_shuffle_single_exchange_pruned_scan(spark):
+    """The shard manifest must be one partial-agg shuffle over a scan
+    pruned to (doc_id, n_chars) — no sort, no join."""
+    from pedri_analysis_spark.plans.sampling_queries import QUERIES
+
+    plan = _plan(QUERIES["training_shuffle_shards"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "doc_id" in read and "n_chars" in read and "text" not in read
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's pair generation must be keyed on the cluster (blocked
+    self-join), never a cartesian product; centroid assignment is a
+    broadcast-free literal argmin map."""
+    from pedri_analysis_spark.plans.similarity_queries import QUERIES
+
+    plan = _plan(QUERIES["semantic_dedup_prune"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
