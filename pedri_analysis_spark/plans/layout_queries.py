@@ -1,0 +1,159 @@
+"""Data-layout queries: multi-dimensional clustering for scan pruning.
+
+Parquet/Delta/Iceberg data skipping works off per-file min/max column
+stats, but a single-column sort only localizes ONE predicate column. The
+Z-order (Morton) curve interleaves the bits of several quantized sort
+keys so that rows close on the curve are close in EVERY dimension — each
+written file then covers a small hyper-rectangle of the key space and a
+selective predicate on ANY of the interleaved columns prunes most files
+(the Delta Lake ``OPTIMIZE ... ZORDER BY`` / Iceberg sort-order
+technique; no reference counterpart — this is beyond-reference
+scale-engineering surface).
+
+The whole computation is integer arithmetic (quantize → interleave →
+bucket), generated once per dialect from the same Python template, so
+the DuckDB oracle runs the byte-identical formula.
+
+Scale: quantization bounds come from a 1-row global aggregate
+(broadcast); the z-key is a narrow per-row map; the per-bucket rollup is
+one shuffle. The real write path is ``repartitionByRange(z)`` + per-file
+stats — the manifest here measures what that layout buys: how small a
+rectangle of (custkey × orderdate) each bucket actually covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+Z_BITS = 8  # per-dimension quantization (16-bit z-key)
+Z_BUCKETS = 64  # simulated files: z div (2^16 / 64)
+
+
+def _idiv(dialect: str, a: str, b: str) -> str:
+    return f"({a}) div ({b})" if dialect == "spark" else f"(({a}) // ({b}))"
+
+
+def _quantize(dialect: str, col: str, lo: str, hi: str) -> str:
+    """Map col into [0, 2^Z_BITS) over its [lo, hi] data range — pure
+    integer math so both engines land every row in the same cell."""
+    span = f"(({hi}) - ({lo}) + 1)"
+    scaled = f"((({col}) - ({lo})) * {1 << Z_BITS})"
+    q = _idiv(dialect, scaled, span)
+    return f"least({q}, {(1 << Z_BITS) - 1})"
+
+
+def _interleave(dialect: str, qx: str, qy: str) -> str:
+    """Morton interleave: bit i of qx -> bit 2i, bit i of qy -> bit 2i+1.
+    Emitted as a sum of div/mod terms — identical integer semantics in
+    Spark SQL and DuckDB (no reliance on shift-operator parity)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({_idiv(dialect, qx, 1 << i)}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({_idiv(dialect, qy, 1 << i)}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _epoch_day(dialect: str, col: str) -> str:
+    if dialect == "spark":
+        return f"(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000)"
+    return f"(epoch_us({col}) // 86400000000)"
+
+
+def _zorder_sql(dialect: str) -> str:
+    day = _epoch_day(dialect, "o_orderdate")
+    qx = _quantize(dialect, "o_custkey", "b.min_ck", "b.max_ck")
+    qy = _quantize(dialect, day, "b.min_day", "b.max_day")
+    z = _interleave(dialect, "qx", "qy")
+    bucket = _idiv(dialect, "z", (1 << (2 * Z_BITS)) // Z_BUCKETS)
+    cast_big = "CAST({} AS BIGINT)" if dialect == "spark" else "({})::BIGINT"
+    return f"""
+    WITH b AS (
+      SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+             min({_epoch_day(dialect, 'o_orderdate')}) AS min_day,
+             max({_epoch_day(dialect, 'o_orderdate')}) AS max_day
+      FROM orders
+    ),
+    q AS (
+      SELECT {qx} AS qx, {qy} AS qy
+      FROM orders, b
+    ),
+    zed AS (
+      SELECT qx, qy, {z} AS z FROM q
+    )
+    SELECT {bucket} AS z_bucket,
+           {cast_big.format('count(*)')} AS n_orders,
+           {cast_big.format('min(qx)')} AS min_qx,
+           {cast_big.format('max(qx)')} AS max_qx,
+           {cast_big.format('min(qy)')} AS min_qy,
+           {cast_big.format('max(qy)')} AS max_qy,
+           {cast_big.format('(max(qx) - min(qx) + 1) * (max(qy) - min(qy) + 1)')}
+               AS covered_cells
+    FROM zed
+    GROUP BY 1
+    """
+
+
+@_register("zorder_layout_orders", _zorder_sql("duck"))
+def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout manifest over orders(o_custkey, o_orderdate): rows
+    are quantized to an 8-bit grid per dimension, Morton-interleaved into
+    a 16-bit z-key, and grouped into 64 curve-contiguous buckets (the
+    simulated files). Per bucket the manifest reports the (custkey × day)
+    rectangle the bucket actually covers — ``covered_cells`` ≪ the 65 536
+    total cells is the data-skipping win: a point predicate on EITHER
+    column overlaps only a handful of buckets' min/max ranges.
+
+    Scale: 1-row bounds aggregate broadcast into a narrow integer map,
+    then one shuffle on z_bucket. The write-path analogue is
+    ``repartitionByRange(Z_BUCKETS, z)`` + parquet, whose per-file stats
+    this rollup predicts exactly."""
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    bounds = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.expr(f"min({_epoch_day('spark', 'o_orderdate')})").alias("min_day"),
+            F.expr(f"max({_epoch_day('spark', 'o_orderdate')})").alias("max_day"),
+        )
+    )
+    day = _epoch_day("spark", "o_orderdate")
+    q = o.crossJoin(bounds).select(
+        F.expr(_quantize("spark", "o_custkey", "min_ck", "max_ck")).alias("qx"),
+        F.expr(_quantize("spark", day, "min_day", "max_day")).alias("qy"),
+    )
+    zed = q.withColumn("z", F.expr(_interleave("spark", "qx", "qy")))
+    bucket = F.expr(_idiv("spark", "z", (1 << (2 * Z_BITS)) // Z_BUCKETS))
+    return (
+        zed.withColumn("z_bucket", bucket)
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("qx").cast("bigint").alias("min_qx"),
+            F.max("qx").cast("bigint").alias("max_qx"),
+            F.min("qy").cast("bigint").alias("min_qy"),
+            F.max("qy").cast("bigint").alias("max_qy"),
+            (
+                (F.max("qx") - F.min("qx") + 1) * (F.max("qy") - F.min("qy") + 1)
+            )
+            .cast("bigint")
+            .alias("covered_cells"),
+        )
+    )

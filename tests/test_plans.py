@@ -295,3 +295,14 @@ def test_semantic_dedup_no_cartesian(spark):
     plan = _plan(QUERIES["semantic_dedup_prune"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_broadcasts_bounds_single_rollup_shuffle(spark):
+    """Z-order manifest: the quantization bounds join must be a broadcast
+    of the 1-row aggregate (never a shuffle join) and the per-bucket
+    rollup the only wide exchange."""
+    from pedri_analysis_spark.plans.layout_queries import QUERIES
+
+    plan = _plan(QUERIES["zorder_layout_orders"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
