@@ -112,3 +112,28 @@ def test_incremental_dedup_verdicts_ground_truth(spark):
     assert sum(r.verdict == "new" for r in reversed_) >= 0.9 * len(reversed_)
     # 'new' verdicts never carry a similarity
     assert all(r.best_jaccard is None for r in rows if r.verdict == "new")
+
+
+def test_morton_interleave_generator_matches_reference_bits():
+    """The div/mod Morton formula both dialects share must equal true bit
+    interleaving for every grid cell (guards the expression generator
+    itself; oracle parity then guards the full pipeline)."""
+    import duckdb
+
+    from pedri_analysis_spark.plans.layout_queries import Z_BITS, _interleave
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expr = _interleave("duck", "x", "y")
+    rows = duckdb.sql(
+        f"SELECT x, y, {expr} AS z FROM "
+        f"(SELECT unnest(range(0, {1 << Z_BITS}, 37)) AS x), "
+        f"(SELECT unnest(range(0, {1 << Z_BITS}, 41)) AS y)"
+    ).fetchall()
+    assert len(rows) > 0
+    for x, y, z in rows:
+        assert z == morton(x, y), (x, y, z)
