@@ -409,6 +409,80 @@ def q_asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+SKEW_SALTS = 16  # fact-side salt fan-out (dim replicates this many times)
+
+
+@_register(
+    "salted_skew_join",
+    """
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS jkey,
+             l_extendedprice
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN p_partkey % 10 < 7 THEN 0 ELSE p_partkey END AS jkey,
+             min(p_type) AS ptype
+      FROM part
+      GROUP BY 1
+    )
+    SELECT CASE WHEN f.jkey = 0 THEN 'hot' ELSE 'cold' END AS key_class,
+           count(*)::BIGINT AS n_lines,
+           count(DISTINCT f.jkey)::BIGINT AS n_keys,
+           CAST(sum(f.l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+    FROM f JOIN d ON f.jkey = d.jkey
+    GROUP BY 1
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed equi-join via explicit key salting: ~70% of fact rows share
+    one join key (a planted hot key), which would pile onto a single
+    task in a plain shuffle join. The fact side appends a uniform salt in
+    [0, 16); the dim side is exploded once per salt value; joining on
+    (key, salt) splits the hot key across 16 tasks — results identical to
+    the unsalted join the oracle runs.
+
+    The join is hinted ``merge`` so the demonstration can't silently
+    degrade to a broadcast (where salting would be moot); at 100 TB the
+    dim is too big to broadcast and this is exactly the shape you ship.
+    Manual salting complements AQE skew-join splitting (enabled in the
+    session factory): AQE can only split what post-shuffle statistics
+    see, while salting fixes the partition layout up front for known-hot
+    keys. Salt values never reach the output, so determinism is
+    unaffected."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .alias("jkey"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SKEW_SALTS))
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            F.when(F.col("p_partkey") % 10 < 7, F.lit(0))
+            .otherwise(F.col("p_partkey"))
+            .alias("jkey")
+        )
+        .agg(F.min("p_type").alias("ptype"))
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(SKEW_SALTS)]))
+        )
+    )
+    joined = fact.join(dim.hint("merge"), ["jkey", "salt"])
+    return joined.groupBy(
+        F.when(F.col("jkey") == 0, "hot").otherwise("cold").alias("key_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("jkey").alias("n_keys"),
+        F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
 @_register(
     "salted_segment_counts",
     """

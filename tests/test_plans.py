@@ -306,3 +306,16 @@ def test_zorder_layout_broadcasts_bounds_single_rollup_shuffle(spark):
     plan = _plan(QUERIES["zorder_layout_orders"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_skew_join_stays_sort_merge_with_exploded_dim(spark):
+    """The salting demo must keep its shuffle-join shape: a sort-merge
+    join on (jkey, salt) with the dim side exploded per salt — if it
+    silently became a broadcast join the salting would demonstrate
+    nothing."""
+    from pedri_analysis_spark.plans.relational_ext import QUERIES
+
+    plan = _plan(QUERIES["salted_skew_join"](spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0]
