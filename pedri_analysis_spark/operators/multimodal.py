@@ -126,3 +126,65 @@ def frame_sample_plan(
             ).alias("frame_idx"),
         )
     )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_plan(
+    media: DataFrame, target: int = 128, decode_stub: bool = True
+) -> DataFrame:
+    """Aspect-fit thumbnail resize via mapInPandas (same per-partition
+    codec plumbing as extract_features: the real pixel resample needs
+    PIL/ffmpeg and raises behind ``decode_stub=False``; the stub computes
+    the EXACT output geometry a resampler would produce).
+
+    Fit rule (pure integer arithmetic, oracle-mirrorable): never
+    upscale; otherwise the longer edge becomes ``target`` and the short
+    edge scales as ``floor(short * target / long)`` (≥ 1). ``out_bytes``
+    is the RGB24 buffer size out_w*out_h*3 — the number a downstream
+    storage planner budgets with.
+
+    Scale: only (media_id, mime, width, height) travel — payload bytes
+    stay at rest until the real decode stage; batches amortize Arrow
+    transfer and the codec init happens once per partition."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real thumbnail resampling requires PIL/ffmpeg, not present "
+                "in this environment — run with decode_stub=True"
+            )
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            long_e = w.where(w >= h, h)
+            needs = long_e > target
+            out_w = w.where(
+                ~needs,
+                (w * target // long_e).where(w < long_e, target).clip(lower=1),
+            )
+            out_h = h.where(
+                ~needs,
+                (h * target // long_e).where(h < long_e, target).clip(lower=1),
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "out_bytes": (out_w * out_h * 3).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, THUMB_SCHEMA)

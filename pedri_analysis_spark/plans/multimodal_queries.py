@@ -1,6 +1,8 @@
-"""Multimodal-pipeline queries: frame-sampling manifests (oracle-checked
-arithmetic) and the mapInPandas decode/feature plumbing (rows-only —
-genuinely non-SQL-expressible, the one place Python is the operator).
+"""Multimodal-pipeline queries: frame-sampling manifests, the
+mapInPandas decode/feature plumbing, and thumbnail/resize planning — all
+oracle-checked (the deterministic stub kernels are integer/byte
+arithmetic the DuckDB oracle mirrors exactly, so even the Python
+mapInPandas paths get full hash checks).
 
 Media metadata is derived deterministically from the ``documents`` table
 (media_id = doc_id, payload = utf-8 text bytes) so the family runs at
@@ -128,4 +130,73 @@ def q_multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.sum(first_byte).alias("sum_f0_byte"),
+    )
+
+
+THUMB_TARGET = 128
+
+
+@_register(
+    "thumbnail_manifest",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+             (16 + doc_id % 937)::BIGINT AS w,
+             (16 + (doc_id * 7) % 613)::BIGINT AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT media_id, mime, w, h, greatest(w, h) AS long_e,
+             CASE WHEN greatest(w, h) <= {THUMB_TARGET} THEN w
+                  WHEN w = greatest(w, h) THEN {THUMB_TARGET}
+                  ELSE greatest(1, (w * {THUMB_TARGET}) // greatest(w, h)) END AS out_w,
+             CASE WHEN greatest(w, h) <= {THUMB_TARGET} THEN h
+                  WHEN h = greatest(w, h) THEN {THUMB_TARGET}
+                  ELSE greatest(1, (h * {THUMB_TARGET}) // greatest(w, h)) END AS out_h
+      FROM m
+    )
+    SELECT mime,
+           count(*)::BIGINT AS n_assets,
+           sum(w * h)::BIGINT AS in_pixels,
+           sum(out_w * out_h * 3)::BIGINT AS out_bytes,
+           count(*) FILTER (long_e <= {THUMB_TARGET})::BIGINT AS n_unscaled
+    FROM r GROUP BY mime
+    """,
+)
+def q_thumbnail_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize planning over the synthetic media table
+    (dimensions derived deterministically from doc_id): the aspect-fit
+    output geometry runs through the mapInPandas resize stub
+    (operators.multimodal.resize_plan — the same Arrow-batch plumbing the
+    real PIL/ffmpeg resampler plugs into), then rolls up per mime the
+    input pixels, output RGB24 bytes, and how many assets were already
+    within the 128-px box (never upscaled). The stub's integer fit rule
+    is mirrored exactly by the SQL oracle, so the Python path is
+    hash-checked end-to-end."""
+    from pedri_analysis_spark.operators.multimodal import resize_plan
+
+    d = load_table(spark, "documents", sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("mime"),
+        (16 + F.col("doc_id") % 937).cast("int").alias("width"),
+        (16 + (F.col("doc_id") * 7) % 613).cast("int").alias("height"),
+    )
+    thumbs = resize_plan(media, target=THUMB_TARGET, decode_stub=True)
+    dims = media.select(
+        "media_id", (F.col("width").cast("bigint") * F.col("height")).alias("in_px"),
+        (F.greatest("width", "height") <= THUMB_TARGET).alias("unscaled"),
+    )
+    return (
+        thumbs.join(dims, "media_id")
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("in_px").cast("bigint").alias("in_pixels"),
+            F.sum("out_bytes").cast("bigint").alias("out_bytes"),
+            F.count_if(F.col("unscaled")).cast("bigint").alias("n_unscaled"),
+        )
     )
