@@ -159,3 +159,48 @@ def test_streaming_dedup_within_watermark_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected and len(got) > 0
+
+
+def test_stream_static_enrichment_join(spark, stream_dir):
+    """Stream-static join: a streaming event feed enriched against a
+    static (broadcastable) dimension must produce exactly the batch
+    join's rows. No watermark is required — the static side is not
+    stateful; at scale the dim broadcasts to every micro-batch."""
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("error", "ops")],
+        "event_type string, category string",
+    )
+
+    batch = (
+        spark.read.schema(EVENTS_TABLE_SCHEMA)
+        .parquet(stream_dir)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .count()
+    )
+    expected = _canon(batch.collect())
+
+    stream = (
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA)
+        .parquet(stream_dir)
+        .join(F.broadcast(dim), "event_type")
+        .select("event_id", "category")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _canon(
+            spark.sql(
+                "SELECT category, count(*) FROM enrich_out GROUP BY category"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
