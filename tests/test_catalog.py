@@ -59,3 +59,24 @@ def test_registry_rotation_prioritizes_unverified(tmp_path, monkeypatch):
     monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path / "empty"))
     ordered = registry._ordered(names)
     assert set(ordered) == set(names)
+
+
+def test_bench_diff_flags_regressions_and_failures(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_diff import diff
+
+    old = {"value": 10.0, "queries": {"a": 1.0, "b": 2.0, "tiny": 0.05}}
+    ok_new = {"value": 11.0, "queries": {"a": 1.4, "b": 2.0, "tiny": 1.0,
+                                          "brand_new": 9.0}, "failures": {}}
+    # 1.4x and noise-floor/tiny/new queries never fail the gate
+    assert diff(old, ok_new, warn=1.5, fail=2.0) == 0
+
+    bad_new = {"value": 12.0, "queries": {"a": 2.5, "b": 2.0}, "failures": {}}
+    assert diff(old, bad_new, warn=1.5, fail=2.0) == 1  # 2.5x on a
+
+    broken = {"value": 5.0, "queries": {"a": 1.0},
+              "failures": {"b": "AnalysisException: boom"}}
+    assert diff(old, broken, warn=1.5, fail=2.0) == 1
