@@ -260,3 +260,71 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == base.count()  # nothing dropped, nothing doubled
     assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_native_session_window_matches_lag_gap_formulation(spark, stream_dir):
+    """Spark's native session_window (the streaming-scale path: merging
+    keyed state, watermark eviction) must produce the same sessions as
+    the batch lag-gap + running-sum formulation the oracle checks —
+    compared as (user_id, session_start, n_events) sets, batch-native
+    first, then the same native plan through a real readStream."""
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+    from pedri_analysis_spark.sources.tables import ensure_session_conf
+    from pedri_analysis_spark.streaming.windows import (
+        sessionize_batch,
+        with_event_time,
+    )
+
+    ensure_session_conf(spark)
+    gap_min = 30
+    base = with_event_time(
+        spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir)
+    ).withColumn("ts_us", F.unix_micros(F.col("event_time")))
+
+    lag_gap = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sessionize_batch(base, gap_minutes=gap_min).collect()
+    }
+
+    def native(df):
+        return df.groupBy(
+            F.session_window("event_time", f"{gap_min} minutes"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    batch_native = {
+        (r["user_id"], r["session_window"]["start"], r["n_events"])
+        for r in native(base).withColumn(
+            "session_window",
+            F.struct(
+                F.unix_micros("session_window.start").alias("start"),
+                F.unix_micros("session_window.end").alias("end"),
+            ),
+        ).collect()
+    }
+    got_batch = {(u, s, n) for (u, s, n) in batch_native}
+    assert got_batch == lag_gap and len(lag_gap) > 0
+
+    stream = with_event_time(
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA).parquet(stream_dir)
+    ).withWatermark("event_time", "1 hour")
+    q = (
+        native(stream)
+        .select(
+            F.unix_micros("session_window.start").alias("start"),
+            "user_id",
+            "n_events",
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (r["user_id"], r["start"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got_stream == lag_gap
