@@ -319,3 +319,21 @@ def test_salted_skew_join_stays_sort_merge_with_exploded_dim(spark):
     assert "SortMergeJoin" in plan
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
     assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0]
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """AQE must be live, not just configured: after execution the final
+    adaptive plan coalesces the low-cardinality aggregate's shuffle
+    partitions (the runtime re-plan that keeps small-group stages from
+    scheduling one task per static shuffle partition)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
