@@ -85,8 +85,11 @@ def main() -> None:
         # one query, best-of-N should see the steady state a resident
         # pipeline would run at, not re-pay cache fill every run.
         spark.catalog.clearCache()
-        # best-of-N: steady-state engine time, robust to GC/host noise
-        if best is not None:
+        # best-of-N: steady-state engine time, robust to GC/host noise.
+        # A query that failed on ANY run is a failure, full stop — never
+        # also a timing (a half-timed query would double-count in the
+        # total and contradict the failures map).
+        if best is not None and name not in failures:
             timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

@@ -132,6 +132,8 @@ THUMB_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("mime", T.StringType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
         T.StructField("out_w", T.IntegerType()),
         T.StructField("out_h", T.IntegerType()),
         T.StructField("out_bytes", T.LongType()),
@@ -181,6 +183,10 @@ def resize_plan(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
+                    # input geometry rides along so downstream accounting
+                    # needs no second scan/join back to the media table
+                    "in_w": w.astype("int32"),
+                    "in_h": h.astype("int32"),
                     "out_w": out_w.astype("int32"),
                     "out_h": out_h.astype("int32"),
                     "out_bytes": (out_w * out_h * 3).astype("int64"),

@@ -93,7 +93,11 @@ def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mime,
            count(*)::BIGINT AS n_assets,
            sum(octet_length(encode(text)))::BIGINT AS total_bytes,
-           sum(ord(substr(text, 1, 1)))::BIGINT AS sum_f0_byte
+           -- first UTF-8 BYTE of the payload (hex pair -> int), NOT
+           -- ord(): the first codepoint diverges from the byte the stub
+           -- sees whenever a document ever starts multi-byte
+           sum(('0x' || substr(hex(encode(text)), 1, 2))::BIGINT)::BIGINT
+               AS sum_f0_byte
     FROM documents GROUP BY 1
     """,
 )
@@ -186,17 +190,16 @@ def q_thumbnail_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (16 + (F.col("doc_id") * 7) % 613).cast("int").alias("height"),
     )
     thumbs = resize_plan(media, target=THUMB_TARGET, decode_stub=True)
-    dims = media.select(
-        "media_id", (F.col("width").cast("bigint") * F.col("height")).alias("in_px"),
-        (F.greatest("width", "height") <= THUMB_TARGET).alias("unscaled"),
-    )
-    return (
-        thumbs.join(dims, "media_id")
-        .groupBy("mime")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("in_px").cast("bigint").alias("in_pixels"),
-            F.sum("out_bytes").cast("bigint").alias("out_bytes"),
-            F.count_if(F.col("unscaled")).cast("bigint").alias("n_unscaled"),
-        )
+    # input geometry rides through the stub (THUMB_SCHEMA in_w/in_h), so
+    # the rollup is one scan + one shuffle — no join back to the media
+    # table just to recover the dimensions it already carried
+    return thumbs.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("in_w").cast("bigint") * F.col("in_h"))
+        .cast("bigint")
+        .alias("in_pixels"),
+        F.sum("out_bytes").cast("bigint").alias("out_bytes"),
+        F.count_if(F.greatest("in_w", "in_h") <= THUMB_TARGET)
+        .cast("bigint")
+        .alias("n_unscaled"),
     )

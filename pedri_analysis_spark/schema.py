@@ -101,9 +101,12 @@ PROFILE_SCHEMA = _struct(
 # NOTE: ts is microsecond-precision parquet (verified at all SFs), which
 # Spark reads as TIMESTAMP_NTZ; with the session TZ pinned to UTC the cast
 # to TIMESTAMP is an identity, matching the DuckDB oracle's naive values.
-# (The session still sets spark.sql.legacy.parquet.nanosAsLong so a future
-# NANOS-precision regeneration degrades to BIGINT epoch-nanos instead of
-# failing; events_us / with_event_time dispatch on the actual dtype.)
+# The nanosAsLong safety net (session.py) only protects the SCHEMA-LESS
+# batch path (load_table + events_us dtype dispatch): a NANOS-precision
+# regeneration surfaces ts as BIGINT there, which conflicts with the
+# TimestampNTZ field declared here — readers that pass this schema
+# explicitly (the streaming file source requires one) would error at read
+# and this field must then be flipped to LongType to match.
 EVENTS_TABLE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -22,18 +22,8 @@ state size; sliding windows multiply rows by width/slide (use the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def ns_to_timestamp(ts_ns: str | Column = "ts") -> Column:
-    """Epoch-nanos BIGINT → TIMESTAMP (integer µs truncation). Only for
-    columns known to be BIGINT nanos; prefer :func:`with_event_time`,
-    which inspects the actual dtype."""
-    c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
-    # exact integer div (never float: epoch-nanos exceed double's 53-bit mantissa)
-    whole = (c - (c % F.lit(1000))).cast("decimal(38,0)")
-    return F.timestamp_micros((whole / F.lit(1000)).cast("long"))
 
 
 def with_event_time(df: DataFrame, ts: str = "ts", out: str = "event_time") -> DataFrame:
