@@ -44,6 +44,43 @@ def _warm_udf():
     return warm
 
 
+def run_bench(
+    spark, queries, sf_dir: str, runs: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Measure each query best-of-``runs`` via a noop write; returns
+    (timings, failures). A query is either timed or failed, NEVER both —
+    one broken query must not zero out the benchmark (round-3/4 lesson),
+    and a query that fails on a later run records as a failure even if an
+    earlier run succeeded (a half-timed query would double-count in the
+    total and contradict the failures map)."""
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        best = None
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # Force full execution of the plan without collecting rows.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        # Clear BETWEEN queries, not between runs: operators that persist()
+        # intermediates (LSH signatures, the pedri fixture cache) would
+        # otherwise accumulate heap and GC-tax later queries — but within
+        # one query, best-of-N should see the steady state a resident
+        # pipeline would run at, not re-pay cache fill every run.
+        spark.catalog.clearCache()
+        # best-of-N: steady-state engine time, robust to GC/host noise
+        if best is not None and name not in failures:
+            timings[name] = round(best, 4)
+    return timings, failures
+
+
 def main() -> None:
     from pedri_analysis_spark.session import get_spark
     from pedri_analysis_spark.plans import all_queries
@@ -61,37 +98,7 @@ def main() -> None:
     spark.range(1024).select(_warm_udf()("id")).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
-    for name in sorted(queries):
-        fn = queries[name]
-        best = None
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                # Force full execution of the plan without collecting rows.
-                df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-        except Exception as exc:  # noqa: BLE001 — one broken query must not
-            # zero out the whole benchmark (round-3/4 lesson): record the
-            # failure, keep measuring the rest.
-            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
-        # Clear BETWEEN queries, not between runs: operators that persist()
-        # intermediates (LSH signatures, the pedri fixture cache) would
-        # otherwise accumulate heap and GC-tax later queries — but within
-        # one query, best-of-N should see the steady state a resident
-        # pipeline would run at, not re-pay cache fill every run.
-        spark.catalog.clearCache()
-        # best-of-N: steady-state engine time, robust to GC/host noise.
-        # A query that failed on ANY run is a failure, full stop — never
-        # also a timing (a half-timed query would double-count in the
-        # total and contradict the failures map).
-        if best is not None and name not in failures:
-            timings[name] = round(best, 4)
-
+    timings, failures = run_bench(spark, queries, SF_DIR, runs)
     total = round(sum(timings.values()), 4)
     # Full per-query map goes to a file; stdout gets ONE compact line the
     # driver can parse even if it keeps only a tail of the output.  (Round-1

@@ -80,3 +80,35 @@ def test_bench_diff_flags_regressions_and_failures(tmp_path):
     broken = {"value": 5.0, "queries": {"a": 1.0},
               "failures": {"b": "AnalysisException: boom"}}
     assert diff(old, broken, warn=1.5, fail=2.0) == 1
+
+
+def test_run_bench_isolates_failures(spark):
+    """One broken query must not zero the benchmark, and a query that
+    fails on a later run is a failure only — never also a timing."""
+    from pyspark.sql import functions as F
+
+    from bench import run_bench
+
+    calls = {"n": 0}
+
+    def ok(s, sf):
+        return s.range(10).agg(F.count(F.lit(1)).alias("n"))
+
+    def always_broken(s, sf):
+        return s.range(10).selectExpr("no_such_column + 1")
+
+    def breaks_on_second_run(s, sf):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("flaky on rerun")
+        return s.range(10).agg(F.count(F.lit(1)).alias("n"))
+
+    timings, failures = run_bench(
+        spark,
+        {"ok": ok, "broken": always_broken, "flaky": breaks_on_second_run},
+        sf_dir="unused",
+        runs=2,
+    )
+    assert set(timings) == {"ok"}
+    assert set(failures) == {"broken", "flaky"}
+    assert timings["ok"] > 0
