@@ -74,7 +74,12 @@ def run_bench(
         # otherwise accumulate heap and GC-tax later queries — but within
         # one query, best-of-N should see the steady state a resident
         # pipeline would run at, not re-pay cache fill every run.
-        spark.catalog.clearCache()
+        # Guarded: a query that killed the session (OOM, py4j death) must
+        # not abort the remaining measurements via clearCache itself.
+        try:
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: clearCache failed after {name}: {exc}", file=sys.stderr)
         # best-of-N: steady-state engine time, robust to GC/host noise
         if best is not None and name not in failures:
             timings[name] = round(best, 4)

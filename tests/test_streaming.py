@@ -16,8 +16,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="module")
 def stream_dir(tmp_path_factory):
+    # The streaming file source REQUIRES an explicit schema, and
+    # EVENTS_TABLE_SCHEMA declares ts as TimestampNTZ — valid only for the
+    # microsecond parquet encoding. A nanos regeneration would fail these
+    # reads with a generic parquet error, so probe the footer and fail with
+    # a pointed message instead (ADVICE r5 / schema.py:105 note).
+    from pedri_analysis_spark.sources.tables import parquet_ts_unit
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    unit = parquet_ts_unit(src, "ts")
+    assert unit == "us", (
+        f"events.ts on-disk encoding is {unit!r}, but EVENTS_TABLE_SCHEMA "
+        "declares TimestampNTZ (valid only for 'us'). The testdata was "
+        "regenerated with a different precision: flip schema.EVENTS_TABLE_SCHEMA "
+        "ts to LongType (nanosAsLong path) or regenerate as timestamp[us]."
+    )
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    shutil.copy(src, d / "events.parquet")
     return str(d)
 
 

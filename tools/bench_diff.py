@@ -26,9 +26,11 @@ NOISE_FLOOR_S = 0.2
 
 def diff(old: dict, new: dict, warn: float, fail: float) -> int:
     oq, nq = old["queries"], new["queries"]
-    added = sorted(set(nq) - set(oq))
-    removed = sorted(set(oq) - set(nq))
     failures = new.get("failures", {})
+    added = sorted(set(nq) - set(oq))
+    # A query that FAILED in the new run is reported on the failures line,
+    # not double-listed as an (intentional-sounding) removal.
+    removed = sorted(set(oq) - set(nq) - set(failures))
     worst: list[tuple[float, str, float, float]] = []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
