@@ -7,16 +7,22 @@ extraction runs as ``mapInPandas`` — per-partition Arrow batches into a
 Python worker holding the codec, so the expensive decoder initializes once
 per partition, not once per row, and batches amortize the transfer.
 
-The image/audio codec libraries are not available in this container, so
-the decode kernel is STUBBED: ``decode_stub=True`` derives deterministic
-fake features from the payload bytes (tested end-to-end); with
-``decode_stub=False`` the operator raises NotImplementedError at the point
-where a real codec (PIL/librosa/ffmpeg) would be invoked — the Spark-side
-plumbing (schema, batching, partitioning) is identical either way.
+Two kernels per operator, selected by ``decode_stub``:
+
+- ``decode_stub=True`` (the oracle-checked default): deterministic fake
+  features derived from the payload bytes — exercises the full Spark-side
+  plumbing (schema, Arrow batching, partitioning) with zero codec deps.
+- ``decode_stub=False``: REAL decode. WAV audio decodes via the stdlib
+  ``wave`` module (always available); image decode/resample requires
+  Pillow and is import-gated exactly like ``viz._matplotlib`` — absent
+  codec raises a pointed ImportError naming the stub fallback, present
+  codec decodes for real. The Spark-side plumbing is identical either way.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -57,10 +63,68 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     )
 
 
+def _pil_image():
+    """Import gate for Pillow, same idiom as ``viz._matplotlib``."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "Pillow is not installed in this environment; real image decode "
+            "is unavailable — run with decode_stub=True (the deterministic "
+            "byte-derived stub) or install Pillow"
+        ) from e
+
+
+def _image_features(payload: bytes, dim: int, image_mod) -> "np.ndarray":
+    """Real image feature: grayscale intensity histogram, ``dim`` equal
+    bins over [0, 256), normalized by pixel count (sums to 1)."""
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(bytes(payload))).convert("L")
+    px = np.asarray(img, dtype=np.uint8).ravel()
+    hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+    return (hist / max(px.size, 1)).astype(np.float32)
+
+
+def _wav_features(payload: bytes, dim: int) -> "np.ndarray":
+    """Real audio feature: per-chunk RMS energy, ``dim`` equal time chunks,
+    normalized to [0, 1] by full scale. Pure stdlib ``wave`` + numpy — no
+    external codec needed for RIFF/WAV."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # unsigned 8-bit PCM
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        scale = 128.0
+    elif sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        scale = 32768.0
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        scale = 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw} bytes")
+    if samples.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = np.array(
+        [np.sqrt(np.mean(c * c)) if c.size else 0.0 for c in np.array_split(samples, dim)]
+    )
+    return (rms / scale).astype(np.float32)
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, decode_stub: bool = True
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batch iterator).
+
+    Real kernel (``decode_stub=False``): ``image/*`` → Pillow grayscale
+    histogram (import-gated, see :func:`_pil_image`); ``audio/wav`` →
+    stdlib-``wave`` RMS energy profile; any other mime raises ValueError
+    (decode policy must be explicit, not silently stubbed).
 
     Scale: one Python worker per partition; the decoder (or model) loads
     once per partition in the closure; batches stream through Arrow. The
@@ -70,19 +134,29 @@ def extract_features(
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-partition init happens HERE (codec/model load) — once, not per row
-        if not decode_stub:
-            raise NotImplementedError(
-                "real media decode requires PIL/librosa/ffmpeg, not present "
-                "in this environment — run with decode_stub=True"
-            )
+        # per-partition init happens HERE — once, not per row; the image
+        # codec import is deferred to the first image row so audio-only
+        # partitions never require Pillow at all
+        image_mod = None
         for pdf in it:
             feats = []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-                # deterministic fake embedding: resampled byte histogram
-                hist = np.resize(b, dim) / 255.0
-                feats.append(hist)
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                if decode_stub:
+                    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                    # deterministic fake embedding: resampled byte histogram
+                    feats.append(np.resize(b, dim) / 255.0)
+                elif mime.startswith("image/"):
+                    if image_mod is None:
+                        image_mod = _pil_image()
+                    feats.append(_image_features(payload, dim, image_mod))
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    feats.append(_wav_features(payload, dim))
+                else:
+                    raise ValueError(
+                        f"no real decoder for mime {mime!r} (supported: "
+                        "image/* via Pillow, audio/wav via stdlib wave) — "
+                        "run with decode_stub=True for plumbing tests"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -141,13 +215,27 @@ THUMB_SCHEMA = T.StructType(
 )
 
 
+def _fit(w: int, h: int, target: int) -> tuple[int, int]:
+    """The aspect-fit rule as scalar integer arithmetic (shared by the
+    real kernel; the stub applies the same formula vectorized)."""
+    long_e = max(w, h)
+    if long_e <= target:
+        return w, h
+    return (
+        target if w == long_e else max(w * target // long_e, 1),
+        target if h == long_e else max(h * target // long_e, 1),
+    )
+
+
 def resize_plan(
     media: DataFrame, target: int = 128, decode_stub: bool = True
 ) -> DataFrame:
     """Aspect-fit thumbnail resize via mapInPandas (same per-partition
-    codec plumbing as extract_features: the real pixel resample needs
-    PIL/ffmpeg and raises behind ``decode_stub=False``; the stub computes
-    the EXACT output geometry a resampler would produce).
+    codec plumbing as extract_features). The stub computes the EXACT
+    output geometry from the metadata columns; the real kernel
+    (``decode_stub=False``, Pillow import-gated) decodes each payload,
+    applies the same fit rule to the DECODED dimensions, performs the
+    actual pixel resample, and reports the true RGB24 buffer size.
 
     Fit rule (pure integer arithmetic, oracle-mirrorable): never
     upscale; otherwise the longer edge becomes ``target`` and the short
@@ -155,17 +243,39 @@ def resize_plan(
     is the RGB24 buffer size out_w*out_h*3 — the number a downstream
     storage planner budgets with.
 
-    Scale: only (media_id, mime, width, height) travel — payload bytes
-    stay at rest until the real decode stage; batches amortize Arrow
-    transfer and the codec init happens once per partition."""
+    Scale: in stub mode only (media_id, mime, width, height) travel —
+    payload bytes stay at rest until the real decode stage; batches
+    amortize Arrow transfer and the codec init happens once per
+    partition."""
     import pandas as pd
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not decode_stub:
-            raise NotImplementedError(
-                "real thumbnail resampling requires PIL/ffmpeg, not present "
-                "in this environment — run with decode_stub=True"
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil_image()  # once per partition
+        for pdf in it:
+            rows = {k: [] for k in ("in_w", "in_h", "out_w", "out_h", "out_bytes")}
+            for payload in pdf["payload"]:
+                img = image_mod.open(io.BytesIO(bytes(payload))).convert("RGB")
+                w, h = img.size
+                ow, oh = _fit(w, h, target)
+                thumb = img.resize((ow, oh))
+                rows["in_w"].append(w)
+                rows["in_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["out_bytes"].append(len(thumb.tobytes()))  # == ow*oh*3
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "in_w": pd.Series(rows["in_w"], dtype="int32"),
+                    "in_h": pd.Series(rows["in_h"], dtype="int32"),
+                    "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                    "out_h": pd.Series(rows["out_h"], dtype="int32"),
+                    "out_bytes": pd.Series(rows["out_bytes"], dtype="int64"),
+                }
             )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             w = pdf["width"].astype("int64")
             h = pdf["height"].astype("int64")
@@ -193,4 +303,4 @@ def resize_plan(
                 }
             )
 
-    return media.mapInPandas(batches, THUMB_SCHEMA)
+    return media.mapInPandas(batches if decode_stub else real_batches, THUMB_SCHEMA)
