@@ -111,20 +111,16 @@ def _zorder_sql(dialect: str) -> str:
     """
 
 
-@_register("zorder_layout_orders", _zorder_sql("duck"))
-def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout manifest over orders(o_custkey, o_orderdate): rows
-    are quantized to an 8-bit grid per dimension, Morton-interleaved into
-    a 16-bit z-key, and grouped into 64 curve-contiguous buckets (the
-    simulated files). Per bucket the manifest reports the (custkey × day)
-    rectangle the bucket actually covers — ``covered_cells`` ≪ the 65 536
-    total cells is the data-skipping win: a point predicate on EITHER
-    column overlaps only a handful of buckets' min/max ranges.
+def zorder_keyed_orders(
+    spark: SparkSession, sf_dir: str, n_buckets: int = Z_BUCKETS
+) -> DataFrame:
+    """orders with (qx, qy, z, z_bucket) layout keys — the shared frame
+    behind both the manifest query and the materialized write path.
 
-    Scale: 1-row bounds aggregate broadcast into a narrow integer map,
-    then one shuffle on z_bucket. The write-path analogue is
-    ``repartitionByRange(Z_BUCKETS, z)`` + parquet, whose per-file stats
-    this rollup predicts exactly."""
+    ``n_buckets`` must divide ``4**Z_BITS``; when it is a power of 4 each
+    bucket is an ALIGNED square of the (qx, qy) grid (a block of
+    ``4**Z_BITS / n_buckets`` consecutive Morton codes), which is what
+    bounds every file's min/max rectangle."""
     o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
     bounds = F.broadcast(
         o.agg(
@@ -136,13 +132,57 @@ def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day = _epoch_day("spark", "o_orderdate")
     q = o.crossJoin(bounds).select(
+        "o_custkey",
+        "o_orderdate",
         F.expr(_quantize("spark", "o_custkey", "min_ck", "max_ck")).alias("qx"),
         F.expr(_quantize("spark", day, "min_day", "max_day")).alias("qy"),
     )
     zed = q.withColumn("z", F.expr(_interleave("spark", "qx", "qy")))
-    bucket = F.expr(_idiv("spark", "z", (1 << (2 * Z_BITS)) // Z_BUCKETS))
+    bucket = F.expr(_idiv("spark", "z", (1 << (2 * Z_BITS)) // n_buckets))
+    return zed.withColumn("z_bucket", bucket)
+
+
+def write_zorder_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_buckets: int = Z_BUCKETS
+) -> str:
+    """MATERIALIZE the z-ordered layout: one parquet file per non-empty
+    z-bucket (hash-colocate each bucket, then ``partitionBy`` so every
+    bucket value lands in exactly one file in its own directory), rows
+    sorted by z within the file so row-group stats nest the same way.
+
+    This is the write path the manifest query predicts: each file's
+    parquet footer min/max on (o_custkey, o_orderdate) covers one aligned
+    Morton square, so a stats-based reader (Delta/Iceberg-style file
+    skipping, or Spark's own row-group pruning) scans only the files
+    whose rectangle contains the predicate — verified against real
+    footers in tests/test_layout.py."""
+    zed = zorder_keyed_orders(spark, sf_dir, n_buckets)
+    (
+        zed.repartition(n_buckets, "z_bucket")
+        .sortWithinPartitions("z")
+        .write.partitionBy("z_bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+@_register("zorder_layout_orders", _zorder_sql("duck"))
+def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout manifest over orders(o_custkey, o_orderdate): rows
+    are quantized to an 8-bit grid per dimension, Morton-interleaved into
+    a 16-bit z-key, and grouped into 64 curve-contiguous buckets (the
+    simulated files). Per bucket the manifest reports the (custkey × day)
+    rectangle the bucket actually covers — ``covered_cells`` ≪ the 65 536
+    total cells is the data-skipping win: a point predicate on EITHER
+    column overlaps only a handful of buckets' min/max ranges.
+
+    Scale: 1-row bounds aggregate broadcast into a narrow integer map,
+    then one shuffle on z_bucket. The real write path is
+    :func:`write_zorder_layout`, whose per-file footer stats this rollup
+    predicts exactly (proven in tests/test_layout.py)."""
     return (
-        zed.withColumn("z_bucket", bucket)
+        zorder_keyed_orders(spark, sf_dir, Z_BUCKETS)
         .groupBy("z_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
