@@ -1,0 +1,116 @@
+"""Weak-scaling self-check: run the full query catalog at every locally
+available scale factor and flag super-linear growth.
+
+On a 1000-executor cluster the dangerous failure mode is invisible at one
+test SF: a hidden quadratic pair-generation, a driver-side bottleneck, or
+a broadcast that stops fitting. The local proxy detector is the per-query
+time RATIO across a 10x data step — linear-or-better operators grow ~10x
+or (for fixed-output aggregates) much less; anything growing >RATIO_MAX
+(default 15x, i.e. 1.5x the data growth) is flagged.
+
+Usage:
+    python tools/scaling_check.py            # sf0.001 -> sf0.01 -> sf0.1
+    python tools/scaling_check.py --runs 2   # best-of-2 (less noise)
+
+Writes SCALING.json at the repo root; exits non-zero if any query's
+largest 10x step is super-linear. Queries faster than NOISE_FLOOR_S at
+the LARGER scale factor are never flagged (pure scheduling noise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+RATIO_MAX = 15.0  # 10x data -> >15x time = super-linear
+NOISE_FLOOR_S = 0.5
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dirs", nargs="*", default=DEFAULT_SF_DIRS)
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"
+        ),
+    )
+    a = p.parse_args()
+
+    from bench import run_bench
+    from pedri_analysis_spark.plans import all_queries
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="pedri-scaling-check")
+    # same warmup rationale as bench.py: don't charge the first SF for
+    # JVM/codegen/Arrow-worker spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = all_queries()
+    timings: dict[str, dict[str, float]] = {}
+    failures: dict[str, dict[str, str]] = {}
+    for sf_dir in a.sf_dirs:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        t, f = run_bench(spark, queries, sf_dir, a.runs)
+        timings[label] = t
+        if f:
+            failures[label] = f
+        print(
+            f"{label}: {len(t)} queries, total {sum(t.values()):.1f}s, "
+            f"{len(f)} failed",
+            file=sys.stderr,
+        )
+
+    labels = [os.path.basename(d.rstrip("/")) for d in a.sf_dirs]
+    ratios: dict[str, dict[str, float]] = {}
+    superlinear: list[dict] = []
+    for name in sorted(queries):
+        r: dict[str, float] = {}
+        for lo, hi in zip(labels, labels[1:]):
+            t_lo = timings.get(lo, {}).get(name)
+            t_hi = timings.get(hi, {}).get(name)
+            if t_lo is None or t_hi is None or t_lo <= 0:
+                continue
+            step = f"{lo}->{hi}"
+            r[step] = round(t_hi / t_lo, 2)
+            if t_hi >= NOISE_FLOOR_S and r[step] > RATIO_MAX:
+                superlinear.append(
+                    {"query": name, "step": step, "ratio": r[step], "t_hi_s": t_hi}
+                )
+        ratios[name] = r
+
+    out = {
+        "sf_dirs": a.sf_dirs,
+        "runs": a.runs,
+        "ratio_max": RATIO_MAX,
+        "noise_floor_s": NOISE_FLOOR_S,
+        "timings": timings,
+        "ratios": ratios,
+        "failures": failures,
+        "superlinear": superlinear,
+    }
+    with open(a.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {a.out}")
+    for s in superlinear:
+        print(
+            f"SUPER-LINEAR {s['ratio']:5.1f}x {s['step']}: {s['query']} "
+            f"({s['t_hi_s']:.2f}s at the larger SF)"
+        )
+    if failures:
+        print(f"FAIL: broken queries: { {k: sorted(v) for k, v in failures.items()} }")
+    return 1 if superlinear or failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
