@@ -115,7 +115,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def minhash_pair_ctes(source: str) -> str:
+    """The DuckDB MinHash-LSH chain as a reusable CTE list over any
+    ``source`` relation with (doc_id, text), ending in a ``verified``
+    CTE of (a, b, jaccard) pairs at the engine's thresholds. Shared by
+    the minhash_near_dups oracle and the curate_all manifest oracle (the
+    assembled-artifact mirror must run the IDENTICAL chain)."""
     toks = tx.tokens(tx.DUCK, "text")
     sh = tx.word_shingles(tx.DUCK, "toks", SHINGLE_K)
     hv = tx.base_hash_array(tx.DUCK, "sh")
@@ -127,8 +132,7 @@ def _minhash_oracle() -> str:
         f"{tx.band_key(tx.DUCK, sig_cols, b, ROWS_PER_BAND)} AS bk FROM sig"
         for b in range(BANDS)
     )
-    return f"""
-    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    return f"""tok AS (SELECT doc_id, {toks} AS toks FROM {source}),
     shng AS (SELECT doc_id, {sh} AS sh FROM tok),
     hvt AS (SELECT doc_id, sh, {hv} AS hv FROM shng),
     sig AS (SELECT doc_id, sh,
@@ -144,15 +148,23 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM sized x JOIN sized y USING (band, bk)
       WHERE x.doc_id < y.doc_id AND x.bucket_n <= {MAX_BUCKET} AND y.bucket_n <= {MAX_BUCKET}
-    )
-    SELECT p.a, p.b,
-           len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / len(list_distinct(sa.sh || sb.sh)) AS jaccard
-    FROM pairs p
-    JOIN shng sa ON sa.doc_id = p.a
-    JOIN shng sb ON sb.doc_id = p.b
-    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+    ),
+    verified AS (
+      SELECT p.a, p.b,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      FROM pairs p
+      JOIN shng sa ON sa.doc_id = p.a
+      JOIN shng sb ON sb.doc_id = p.b
+      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_pair_ctes('documents')}
+    SELECT a, b, jaccard FROM verified
     """
 
 

@@ -473,3 +473,94 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("chunk_text").alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Assembled curation-orchestrator artifact (the curate_all manifest)
+# ---------------------------------------------------------------------------
+
+
+def _curate_manifest_oracle() -> str:
+    """DuckDB mirror of the WHOLE curate_all chain: md5-rank exact dedup
+    -> min-token + quality gates -> MinHash-LSH near-dup drop (identical
+    CTE chain as the minhash_near_dups oracle, via minhash_pair_ctes) ->
+    export accounting, plus the conjunction of the 5 health checks."""
+    from pedri_analysis_spark.curate_all import (
+        CURATION_MIN_TOKENS,
+        CURATION_QUALITY_T,
+    )
+    from pedri_analysis_spark.plans.dedup_queries import minhash_pair_ctes
+    from pedri_analysis_spark.plans.relational_ext import (
+        ORACLE_SQL as _REL_EXT_ORACLES,
+    )
+    from pedri_analysis_spark.plans.text_queries import _quality_exprs
+
+    toks = tx.tokens(tx.DUCK, "text")
+    q = _quality_exprs(tx.DUCK)["quality_score"]
+    health = _REL_EXT_ORACLES["table_health_report"]
+    return f"""
+    WITH kept_base AS (
+      SELECT doc_id, text, {toks} AS toks,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    kept_q AS (
+      SELECT doc_id, text, toks, {q} AS q FROM kept_base WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, text FROM kept_q
+      WHERE len(toks) >= {CURATION_MIN_TOKENS} AND q >= {CURATION_QUALITY_T}
+    ),
+    {minhash_pair_ctes('kept')},
+    losers AS (SELECT DISTINCT b FROM verified)
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_raw_docs,
+           (SELECT count(*) FROM kept)::BIGINT AS n_after_curation,
+           (SELECT count(*) FROM losers)::BIGINT AS n_near_dup_dropped,
+           ((SELECT count(*) FROM kept)
+             - (SELECT count(*) FROM losers))::BIGINT AS n_exported,
+           (SELECT bool_and(passed) FROM ({health})) AS health_all_passed
+    """
+
+
+_CURATE_CACHE: dict = {}
+
+
+@_register("curate_all_manifest", _curate_manifest_oracle())
+def q_curate_all_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation orchestrator's ASSEMBLED manifest.json, hash-checked:
+    run the real curate_all into a temp dir (once per session+sf — both
+    the artifact files and the manifest are products of the same run) and
+    return its end-to-end accounting — raw docs, curation survivors,
+    near-dup drops, exported rows, health-gate conjunction. Each stage is
+    independently oracle-checked; this row proves the COMPOSITION (stage
+    wiring, survivor anti-join, manifest arithmetic) matches a DuckDB
+    mirror of the whole chain."""
+    import tempfile
+    import weakref as _weakref
+
+    from pedri_analysis_spark.curate_all import curate_all
+
+    key = (id(spark), sf_dir)
+    entry = _CURATE_CACHE.get(key)
+    # keep a weakref to the session so a dead session's cache entry is
+    # never replayed for a recycled id()
+    if entry is not None and entry[0]() is spark:
+        manifest = entry[1]
+    else:
+        manifest = curate_all(
+            spark, sf_dir, tempfile.mkdtemp(prefix="curate_all_artifacts_")
+        )
+        _CURATE_CACHE[key] = (_weakref.ref(spark), manifest)
+    return spark.createDataFrame(
+        [
+            (
+                manifest["n_raw_docs"],
+                manifest["n_after_curation"],
+                manifest["n_near_dup_dropped"],
+                manifest["n_exported"],
+                all(manifest["health_checks"].values()),
+            )
+        ],
+        "n_raw_docs long, n_after_curation long, n_near_dup_dropped long, "
+        "n_exported long, health_all_passed boolean",
+    )
