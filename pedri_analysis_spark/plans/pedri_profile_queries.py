@@ -168,3 +168,75 @@ def q_pedri_lineup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(preview, lambda x: x.cast("string")), ","
         ).alias("match_ids_preview"),
     )
+
+
+# ---------------------------------------------------------------------------
+# run_all artifact read-backs for the side outputs (S4 profile JSON and
+# S7 text-list sink): the stages above are oracle-green as FRAMES; these
+# hash the FILES the orchestrator writes, covering the sink round-trips
+# (JSON array dump, string-sorted distinct text lines) that were
+# previously pinned by tests only.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pedri_run_all_profile_json",
+    f"""
+    WITH {_EVT},
+    {_TEAM_CTE},
+    {_MINS_CTE},
+    {_XI_CTE},
+    prof AS (
+      SELECT tm.match_id, tm.team AS team_name,
+             floor((coalesce(m.minutes_est, 90.0)) * 10.0 + 0.5) / 10.0 AS minutes,
+             x.pos AS position
+      FROM tm
+      LEFT JOIN mins m ON tm.match_id = m.match_id
+      LEFT JOIN xi x ON tm.match_id = x.match_id
+    )
+    SELECT row_number() OVER (ORDER BY match_id) - 1 AS row_idx,
+           match_id, team_name, minutes, position
+    FROM prof
+    """,
+)
+def q_pedri_run_all_profile_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orchestrator's pedri_profile.json read BACK from disk: the
+    stage-2 profile rows as the JSON-array artifact serializes them
+    (match_id order captured in row_idx), proving the side-input file the
+    extended analysis consumes — not just the frame that produced it."""
+    from pedri_analysis_spark.plans.pedri_queries import _runall_artifacts
+
+    path = _runall_artifacts(spark)["profile_json"]
+    df = (
+        spark.read.option("multiLine", True)
+        .schema("match_id long, team_name string, minutes double, position string")
+        .json(path)
+    )
+    return df.coalesce(1).withColumn("row_idx", F.monotonically_increasing_id())
+
+
+@_register(
+    "pedri_run_all_match_ids",
+    f"""
+    WITH {_EVT}
+    SELECT row_number() OVER (ORDER BY value) - 1 AS row_idx, value
+    FROM (
+      SELECT DISTINCT match_id::VARCHAR AS value
+      FROM evt WHERE player."id" = {PID}
+    )
+    """,
+)
+def q_pedri_run_all_match_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orchestrator's pedri_match_ids.txt read BACK from disk — the
+    S7 text-list sink's distinct + STRING-sorted one-per-line contract
+    (reference find_pedri_matches_in_events.py:71-74), with row_idx
+    capturing the physical line order."""
+    from pedri_analysis_spark.plans.pedri_queries import _runall_artifacts
+
+    path = _runall_artifacts(spark)["match_ids_txt"]
+    return (
+        spark.read.text(path)
+        .coalesce(1)
+        .withColumn("row_idx", F.monotonically_increasing_id())
+        .select("row_idx", "value")
+    )
