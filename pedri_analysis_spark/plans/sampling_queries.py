@@ -242,3 +242,122 @@ def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "order_h").alias("first_doc"),
         F.max_by("doc_id", "order_h").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis A-ES) and mixture planning
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 64  # weighted-sample size
+_H60_SPACE = float(1 << 60)  # seeded_hash64 is a 60-bit positive integer
+
+# pre-training mixture plan: target share (basis points) per source and
+# the total character budget the run will draw
+MIX_BP = {"src0": 3000, "src1": 2500, "src2": 2000, "src3": 1500, "src4": 700, "src5": 300}
+MIX_BUDGET_CHARS = 2_000_000
+
+
+def _aes_key(dialect: str) -> str:
+    """The A-ES priority key u^(1/w): u = (h+1)/2^60 from the shared
+    seeded-hash template, w = max(n_chars, 1). Identical IEEE double ops
+    in identical order on both engines (same pow-reliance as the pitch
+    geometry oracles)."""
+    h = tx.seeded_hash64(
+        dialect,
+        "CAST(doc_id AS STRING)" if dialect == tx.SPARK else "doc_id::VARCHAR",
+        "wsample",
+    )
+    cap = "greatest" if dialect == tx.SPARK else "GREATEST"
+    return f"pow((({h}) + 1) / {_H60_SPACE!r}, 1.0 / {cap}(n_chars, 1))"
+
+
+@_register(
+    "weighted_sample_topk",
+    f"""
+    SELECT doc_id, n_chars,
+           floor(({_aes_key(tx.DUCK)}) * 1000000.0) / 1000000.0 AS sample_key
+    FROM documents
+    ORDER BY {_aes_key(tx.DUCK)} DESC, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each doc gets priority u^(1/w) with u derived from a
+    seeded content hash and w = its length, and the global top-K by
+    priority IS a weighted sample — longer docs proportionally likelier,
+    yet fully reproducible (no rand()) and re-runnable incrementally.
+
+    Scale: the priority is a per-row expression (no shuffle); the top-K
+    is TakeOrderedAndProject — per-partition heaps + a K-row driver
+    merge, never a global sort. This is the standard one-pass
+    distributed weighted sampler (A-ES / weighted reservoir family)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    key = _aes_key(tx.SPARK)
+    return (
+        d.withColumn("_k", F.expr(key))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.floor(F.col("_k") * 1e6) / 1e6).alias("sample_key"),
+        )
+    )
+
+
+def _mix_case(dialect: str) -> str:
+    """Target share (bp) per source as a BIGINT expression — the cast
+    must precede the budget multiply (int32 overflow in BOTH engines:
+    Spark ANSI multiplyExact and DuckDB's int32 literals)."""
+    whens = " ".join(f"WHEN source = '{s}' THEN {bp}" for s, bp in MIX_BP.items())
+    case = f"(CASE {whens} ELSE 0 END)"
+    return f"CAST({case} AS BIGINT)" if dialect == tx.SPARK else f"{case}::BIGINT"
+
+
+@_register(
+    "mixture_plan",
+    f"""
+    WITH avail AS (
+      SELECT source, sum(n_chars)::BIGINT AS available_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, available_chars,
+           {_mix_case(tx.DUCK)} AS target_share_bp,
+           ({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000)::BIGINT AS target_chars,
+           floor(least(1.0, ({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000.0)
+                            / available_chars) * 1000000.0) / 1000000.0 AS sampling_rate,
+           floor((({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000.0)
+                  / available_chars) * 1000000.0) / 1000000.0 AS epochs_needed
+    FROM avail
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-mixture planning: for a target mixture (share of
+    the total character budget per source) compute, per source, what is
+    AVAILABLE, what the plan DRAWS, the sampling rate a one-pass filter
+    should apply (capped at 1), and the oversampling factor (epochs) when
+    the source is smaller than its quota — the table every mixture/
+    annealing schedule starts from (cf. the public LLM data-mixture
+    literature).
+
+    Scale: one partial+final aggregate on source (6 groups), then pure
+    literal arithmetic — the plan itself is O(sources), and the resulting
+    rates feed the hash-bucket samplers (sample_hash_bernoulli /
+    stratified_source_mix) unchanged."""
+    case = F.expr(_mix_case(tx.SPARK))  # bigint-cast inside (see _mix_case)
+    avail = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("available_chars"))
+    )
+    target_chars = (case * MIX_BUDGET_CHARS / F.lit(10000)).cast("bigint")
+    draw = case * MIX_BUDGET_CHARS / F.lit(10000.0) / F.col("available_chars")
+    return avail.select(
+        "source",
+        "available_chars",
+        case.alias("target_share_bp"),
+        target_chars.alias("target_chars"),
+        (F.floor(F.least(F.lit(1.0), draw) * 1e6) / 1e6).alias("sampling_rate"),
+        (F.floor(draw * 1e6) / 1e6).alias("epochs_needed"),
+    )
