@@ -378,3 +378,24 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
     plan = _plan(df)
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_weighted_sample_heap_no_shuffle(spark):
+    """A-ES weighted sampling must be a per-row priority + top-K heap
+    (TakeOrderedAndProject) — no global sort, no Exchange beyond the
+    K-row driver merge."""
+    from pedri_analysis_spark.plans.sampling_queries import QUERIES
+
+    plan = _plan(QUERIES["weighted_sample_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # never a global sort
+
+
+def test_mixture_plan_single_aggregate(spark):
+    """Mixture planning is ONE partial+final aggregate on source plus
+    literal arithmetic — a single Exchange, no join."""
+    from pedri_analysis_spark.plans.sampling_queries import QUERIES
+
+    plan = _plan(QUERIES["mixture_plan"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
