@@ -399,3 +399,57 @@ def test_mixture_plan_single_aggregate(spark):
     plan = _plan(QUERIES["mixture_plan"](spark, SF))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SCALE.md's automatic-skew claim, proven: on a planted hot key,
+    AQE rewrites the shuffle join to SortMergeJoin(skew=true) with an
+    AQEShuffleRead-skewed input — the runtime complement to the manual
+    salting demo (salted_skew_join).
+
+    Two pinned gotchas: the plan must be read from the EXECUTED
+    QueryExecution of the collected frame (a .write clones the QE and
+    hides the adaptive result), and the consumer must not require hash
+    distribution on the join key (a groupBy(join_key) forbids the split
+    — exactly the case where manual salting remains necessary)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    keep = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 50 == 0, F.col("id") % 32 + 1)
+            .otherwise(0)
+            .alias("k"),
+            F.repeat(
+                F.concat(F.lit("payload-"), F.col("id").cast("string")), 8
+            ).alias("payload"),
+        )
+        dim = spark.range(33).select(F.col("id").alias("k"), F.lit("d").alias("dval"))
+
+        # global agg consumer: no distribution requirement -> split allowed
+        free = fact.join(dim, "k").groupBy().count()
+        assert free.collect()[0][0] == 400_000
+        plan = _plan(free)
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        assert "AQEShuffleRead skewed" in plan
+
+        # groupBy on the join key: required distribution forbids the split
+        # (50n mod 32 spans only the 16 even residues, so 17 keys join)
+        bound = fact.join(dim, "k").groupBy("k").count()
+        assert bound.count() == 17
+        assert "skew=true" not in _plan(bound)
+    finally:
+        for k, v in keep.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
