@@ -1,0 +1,398 @@
+"""ML feature-engineering queries: smoothed target encoding, the hashing
+trick, finite-window EWMA time-series features, bigram language-model
+statistics, and the group-wise-min join-back (TPC-H Q2's core pattern).
+
+These extend the training-data-pipeline surface (SURVEY §2 + the LLM
+pipeline mandate): featurization ops a model-training pipeline runs over
+curated corpora/tables.  Reference parity: the reference has no
+feature-engineering stage (core/pedri_analysis.py is analysis-only);
+these follow the same dual-dialect oracle discipline as text_queries.py.
+
+Determinism notes (the repo-wide rules from plans/relational.py apply):
+money sums run in DECIMAL and cast to DOUBLE once; every double division
+is a single IEEE op on identical inputs; EWMA weights are powers of two,
+so each weight multiplication is exact and the fixed left-associated sum
+is bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn, dsum, money
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+DAY_US = 86_400_000_000
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (mean encoding with additive smoothing)
+# ---------------------------------------------------------------------------
+
+_TE_M = 10  # smoothing pseudo-count
+
+
+@_register(
+    "target_encode_mktsegment",
+    f"""
+    WITH joined AS (
+      SELECT c.c_mktsegment, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             count(*)::BIGINT AS n_orders,
+             sum(o_totalprice::DECIMAL(12,2)) AS seg_sum
+      FROM joined GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(seg_sum) AS tot_sum, sum(n_orders)::BIGINT AS tot_n FROM seg
+    )
+    SELECT s.c_mktsegment, s.n_orders,
+           CAST(s.seg_sum AS DOUBLE) / s.n_orders AS seg_mean,
+           CAST(t.tot_sum AS DOUBLE) / t.tot_n AS global_mean,
+           (CAST(s.seg_sum AS DOUBLE)
+              + {_TE_M}e0 * (CAST(t.tot_sum AS DOUBLE) / t.tot_n))
+             / (s.n_orders + {_TE_M}) AS smoothed_encoding
+    FROM seg s, tot t
+    """,
+)
+def q_target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of the customer market segment
+    against order value — the classic categorical featurizer:
+    ``(sum_y + m * global_mean) / (n + m)`` with pseudo-count m=10.
+
+    Determinism: per-segment and global sums stay DECIMAL (exact under any
+    aggregation order) and cast to DOUBLE once; the smoothing formula is
+    the same fixed sequence of IEEE ops in both dialects.
+
+    Scale: one fact-dim equi-join shuffled on custkey, one partial-agg
+    shuffle to |segments| rows; the global totals come from an
+    unpartitioned window over those k segment rows — the fact table is
+    scanned exactly ONCE (a naive ``seg.agg()`` global branch would
+    recompute the whole join/agg subtree — verified via .explain) and
+    nothing wide survives the first aggregation."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("seg_sum"),
+        )
+    )
+    # Global totals via a window over the k segment rows (k = #segments,
+    # single-partition by construction) — no second scan, no cross join.
+    wall = W.partitionBy()
+    tot_sum = F.sum("seg_sum").over(wall)
+    tot_n = F.sum("n_orders").over(wall).cast("bigint")
+    gm = tot_sum.cast("double") / tot_n
+    return seg.select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("seg_sum").cast("double") / F.col("n_orders")).alias("seg_mean"),
+        gm.alias("global_mean"),
+        (
+            (F.col("seg_sum").cast("double") + F.lit(float(_TE_M)) * gm)
+            / (F.col("n_orders") + F.lit(_TE_M))
+        ).alias("smoothed_encoding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+@_register(
+    "feature_hash_buckets",
+    f"""
+    WITH feats AS (
+      SELECT (c.c_mktsegment || '|' || o.o_orderpriority) AS feat
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT ({tx.seeded_hash64(tx.DUCK, 'feat', 'fh')}) % {_FH_BUCKETS} AS bucket,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT feat)::BIGINT AS n_features
+    FROM feats GROUP BY 1
+    """,
+)
+def q_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: hash the (segment × priority) cross feature into
+    a fixed 64-bucket space and report per-bucket row mass and collision
+    count (n_features > 1 = colliding categories) — how a trainer bounds
+    one-hot width without a vocabulary pass.
+
+    Scale: the feature string is hashed row-side (no vocabulary build, no
+    driver state); the aggregation shuffles at most {_FH_BUCKETS} groups
+    after partial agg.  The hash is the engine-wide 60-bit md5 primitive
+    (functions/textexpr.py), bit-identical in both dialects."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    feats = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.concat_ws("|", "c_mktsegment", "o_orderpriority").alias("feat")
+    )
+    h = tx.seeded_hash64(tx.SPARK, "feat", "fh")
+    return (
+        feats.groupBy(F.expr(f"({h}) % {_FH_BUCKETS}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("feat").alias("n_features"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Finite-window EWMA over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8  # current row + 7 lags
+
+
+def _ewma_formula() -> str:
+    """Truncated-EWMA (alpha=0.5) over the trailing _EWMA_K observations,
+    renormalized over the lags actually present: sum(w_k * x_{t-k}) /
+    sum(w_k present).  Weights 0.5^k are exact binary fractions, the sum
+    is fixed left-associative — the whole expression is bit-identical
+    cross-engine, so it is shared verbatim by both dialects."""
+    num = ["revenue"]
+    den = ["1"]
+    for k in range(1, _EWMA_K):
+        w = repr(0.5**k)  # exact decimal text for a power of two
+        num.append(f"{w}e0 * coalesce(l{k}, 0)")
+        den.append(f"{w}e0 * (CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(num) + ") / (" + " + ".join(den) + ")"
+
+
+_EWMA_LAGS = ", ".join(
+    f"lag(revenue, {k}) OVER w AS l{k}" for k in range(1, _EWMA_K)
+)
+
+
+@_register(
+    "ewma_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {DAY_US} AS day,
+             count(*)::BIGINT AS n_orders,
+             CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, n_orders, revenue, {_EWMA_LAGS}
+      FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, n_orders, revenue, {_ewma_formula()} AS ewma8 FROM lagged
+    """,
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    trend-smoothing feature a forecasting pipeline derives from an event
+    table.  True EWMA is a recurrence SQL windows can't express; this is
+    the standard truncated form over the trailing 8 days (alpha=0.5, so
+    the dropped tail weight is < 0.4%), renormalized over present lags.
+
+    Scale: the heavy step is the daily pre-aggregation (one partial-agg
+    shuffle); the unpartitioned ORDER BY day window then runs over a
+    calendar-bounded series (~2,500 rows for seven years regardless of
+    fact-table size), so the single-partition window is safe by
+    construction — same argument as the 1-row global rollups."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US}").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "n_orders",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(1, _EWMA_K)],
+    )
+    return lagged.select(
+        "day", "n_orders", "revenue", F.expr(_ewma_formula()).alias("ewma8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (conditional probabilities, top-k)
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(dialect: str, toks: str) -> str:
+    """All adjacent token pairs as 'w1 w2' strings — NOT deduplicated
+    (LM counts need every occurrence; contrast tx.word_shingles, which
+    dedups for set-similarity).  Tokens are whitespace-split so the
+    space separator is unambiguous."""
+    if dialect == tx.SPARK:
+        return (
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(0, size({toks}) - 2), "
+            f"i -> concat_ws(' ', {toks}[i], {toks}[i + 1])) "
+            f"ELSE array() END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(0, len({toks}) - 2), "
+        f"i -> {toks}[i + 1] || ' ' || {toks}[i + 2]) "
+        f"ELSE [] END"
+    )
+
+
+@_register(
+    "bigram_lm_topk",
+    f"""
+    WITH tok AS (
+      SELECT {tx.tokens(tx.DUCK, 'text')} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT bg FROM tok, unnest({_bigrams(tx.DUCK, 't')}) AS u(bg)
+    ),
+    big AS (
+      SELECT bg, count(*)::BIGINT AS n_bigram FROM pairs GROUP BY bg
+    ),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(n_bigram)::BIGINT AS n_context
+      FROM big GROUP BY 1
+    )
+    SELECT split_part(b.bg, ' ', 1) AS w1,
+           split_part(b.bg, ' ', 2) AS w2,
+           b.n_bigram, c.n_context,
+           CAST(b.n_bigram AS DOUBLE) / c.n_context AS cond_p
+    FROM big b JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1
+    ORDER BY b.n_bigram DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: count every adjacent token
+    pair, derive context counts, and report the top-20 bigrams with their
+    conditional probability P(w2|w1) = c(w1,w2) / c(w1) — the n-gram LM /
+    collocation primitive of a text pipeline.
+
+    Scale: explode → partial aggregation (the shuffle carries each
+    partition's local bigram vocabulary, never the token stream); context
+    counts come from a sum-window PARTITIONED BY w1 over the bigram rows
+    — one vocab-sized shuffle, and the corpus is scanned/exploded ONCE (a
+    ``big.groupBy(w1)`` + join formulation recomputes the whole explode
+    subtree — verified via .explain).  Top-k is TakeOrderedAndProject;
+    ties are totally ordered by (count desc, w1, w2), so the LIMIT is
+    deterministic."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.expr(tx.tokens(tx.SPARK, "text")).alias("t")
+    )
+    pairs = d.select(F.explode(F.expr(_bigrams(tx.SPARK, "t"))).alias("bg"))
+    big = (
+        pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+    )
+    n_context = F.sum("n_bigram").over(W.partitionBy("w1")).cast("bigint")
+    return (
+        big.select(
+            "w1",
+            F.expr("split_part(bg, ' ', 2)").alias("w2"),
+            "n_bigram",
+            n_context.alias("n_context"),
+            (F.col("n_bigram").cast("double") / n_context).alias("cond_p"),
+        )
+        .orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise min join-back (TPC-H Q2's correlated-min pattern)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cheapest_supplier_per_part",
+    """
+    WITH mn AS (
+      SELECT l_partkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1
+    ),
+    best AS (
+      SELECT m.l_partkey, m.min_price, min(l.l_suppkey)::BIGINT AS s_suppkey
+      FROM mn m JOIN lineitem l
+        ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+      GROUP BY 1, 2
+    )
+    SELECT b.l_partkey AS p_partkey, p.p_name, b.min_price, b.s_suppkey, s.s_name
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.s_suppkey
+    """,
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every part, the supplier offering its minimum observed price —
+    TPC-H Q2's correlated-subquery-min (the oracle keeps the textbook
+    aggregate-then-join-back form) re-expressed Spark-side as ONE
+    struct-min aggregation: ``min(struct(price, suppkey))`` compares
+    lexicographically, so one hash aggregate yields the min price AND the
+    min-suppkey tie-break — the same ordered-struct-argmin the pedri
+    lineup pick uses (plans/pedri_pipeline.py).  Reference parity: the
+    per-match 'first starting position' pick
+    (core/pedri_analysis.py:258-266) is the same argmin shape.
+
+    Determinism: struct comparison on doubles is exact (no accumulation),
+    and the suppkey component resolves price ties totally.
+
+    Scale: the join-back form scans + shuffles the fact table twice; the
+    struct-min form scans ONCE and shuffles partial-aggregated
+    (partkey → struct) pairs only, then broadcast-joins the part/supplier
+    dims.  Verified via .explain: single lineitem scan, one Exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("l_extendedprice").alias("min_price"),
+                    F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+                )
+            ).alias("b")
+        )
+        .select("l_partkey", "b.min_price", "b.s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sup_key"), "s_name"
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sup_key"))
+        .select("p_partkey", "p_name", "min_price", "s_suppkey", "s_name")
+    )

@@ -119,6 +119,7 @@ def _modules():
     for name in (
         "relational_ext",
         "sampling_queries",
+        "feature_queries",
         "layout_queries",
         "dedup_queries",
         "text_queries",

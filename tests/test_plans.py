@@ -453,3 +453,42 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_feature_queries_single_fact_scan(spark):
+    """The r6 featurizers must keep their single-scan shapes: the
+    groupwise argmin is ONE struct-min aggregate over one lineitem scan
+    (not the two-scan join-back the oracle uses), the target encoder
+    derives global totals from a window over segment rows (not a second
+    aggregate branch rescanning the join), and the bigram LM derives
+    context counts from a window over the bigram rows (not a second
+    explode of the corpus)."""
+    from pedri_analysis_spark.plans.feature_queries import QUERIES
+
+    plan = _plan(QUERIES["cheapest_supplier_per_part"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    # one shuffle (the partkey agg); the dims arrive via BroadcastExchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(QUERIES["target_encode_mktsegment"](spark, SF))
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+    assert "Window" in plan and "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["bigram_lm_topk"](spark, SF))
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Generate") == 1  # one explode of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_feature_hash_partial_aggregates(spark):
+    """The hashing trick must partial-aggregate map-side: the plan's
+    first HashAggregate runs before the exchange so the shuffle carries
+    <= buckets rows per task, and the hash itself is JVM expressions
+    (no Python boundary)."""
+    from pedri_analysis_spark.plans.feature_queries import QUERIES
+
+    plan = _plan(QUERIES["feature_hash_buckets"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
