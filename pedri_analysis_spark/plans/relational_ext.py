@@ -1530,3 +1530,42 @@ def q_record_linkage_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long reshape)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, measure,
+           CAST(sum(val::DECIMAL(12,2)) AS DOUBLE) AS total
+    FROM (
+      SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+      FROM lineitem
+    ) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    GROUP BY 1, 2
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt): unpivot the three lineitem measure
+    columns into (measure, value) rows, then aggregate per
+    (returnflag, measure) — the reshape every long-format metrics store
+    and plotting pipeline needs (SURVEY §2.10's tidy-data side).
+
+    Scale: unpivot is an Expand node — a zero-shuffle per-row map that
+    emits one row per measure; the only exchange is the partial-agg'd
+    groupBy.  The measure columns are pruned at the scan (ReadSchema is
+    exactly the 4 used columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum(money("val")).alias("total")
+    )

@@ -557,3 +557,144 @@ def q_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(hit).cast("bigint").alias("n_overlap"),
         (F.count_if(hit).cast("double") / SQ_K).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (inverted index, posting-list caps)
+# ---------------------------------------------------------------------------
+
+SPARSE_DF_CAP = 50  # max docs per posting list joined pairwise
+SPARSE_TOP = 20
+
+
+def _sparse_cosine_oracle() -> str:
+    from pedri_analysis_spark.functions import textexpr as tx
+
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM tok),
+    term AS (
+      SELECT doc_id, t AS term FROM tok, unnest(toks) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM term GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    ),
+    wt AS (
+      SELECT tf.doc_id, tf.term, df.df,
+             CAST(floor(tf.tf * ln(n.n_docs / df.df) * 1000000 + 0.5)
+                  / 1000000 AS DECIMAL(18,6)) AS w
+      FROM tf JOIN df USING (term), n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM wt GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*)::BIGINT AS n_shared,
+             CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      FROM wt a JOIN wt b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df BETWEEN 2 AND {SPARSE_DF_CAP}
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           p.dot / (na.nrm * nb.nrm) AS cosine
+    FROM pairs p
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+    LIMIT {SPARSE_TOP}
+    """
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join via an inverted index: weight
+    each (doc, term) by 6-dp-rounded tf*idf, join posting lists on the
+    term, and report the top-20 most similar document pairs — the sparse
+    complement of the dense-embedding ANN family (same op as a
+    plagiarism / near-dup text retriever over keyword space).
+
+    Scale: the pairwise join is BLOCKED BY TERM with a posting-list cap
+    (2 <= df <= 50): ubiquitous terms — the quadratic killers — are
+    excluded, so candidate volume is bounded by sum(df^2) over capped
+    terms, the same discipline as the LSH band buckets.  Norms come from
+    one vocab-sized aggregate over all terms (not just capped ones).
+    Determinism: weights are 6-dp DECIMAL, so the dot/norm sums are exact
+    under any aggregation order; sqrt and the final division are single
+    correctly-rounded IEEE ops — the cosine is bit-identical
+    cross-engine and the top-k order (cosine desc, doc_a, doc_b) total.
+    """
+    from pedri_analysis_spark.functions import textexpr as tx
+
+    d = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    term = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = term.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    wt = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (
+                F.floor(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    # wt feeds three consumers (norms + both sides of the term self-join);
+    # without a materialized persist the corpus explode/aggregate subtree
+    # runs three times in one plan (verified: 12 scans -> 4).  Same
+    # cache-fill-race discipline as the LSH self-join above; the default
+    # MEMORY_AND_DISK level keeps the vocab-sized posting table spillable.
+    wt = wt.persist()
+    wt.count()
+    norms = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = wt.filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_DF_CAP)).select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = wt.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(SPARSE_TOP)
+    )
+
+
+QUERIES["sparse_cosine_pairs"] = q_sparse_cosine_pairs
+ORACLE_SQL["sparse_cosine_pairs"] = _sparse_cosine_oracle()

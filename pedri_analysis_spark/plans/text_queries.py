@@ -531,3 +531,105 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter frequency estimation, error-audited)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOP = 10  # audited heavy hitters
+
+
+def _cms_bucket(dialect: str, d: int) -> str:
+    """Row-d bucket of a token: independent seeded 60-bit hash mod W."""
+    return f"({tx.seeded_hash64(dialect, 'token', f'cm{d}')}) % {CMS_W}"
+
+
+def _cms_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    bucket_case = " ".join(
+        f"WHEN {d} THEN {_cms_bucket(tx.DUCK, d)}" for d in range(CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {toks} AS toks FROM documents
+    ),
+    tc AS (
+      SELECT t AS token, count(*)::BIGINT AS exact_n
+      FROM tok, unnest(toks) AS u(t) GROUP BY 1
+    ),
+    rows_ AS (SELECT unnest(range({CMS_D})) AS d),
+    cms AS (
+      SELECT d, CASE d {bucket_case} END AS bucket,
+             sum(exact_n)::BIGINT AS total
+      FROM tc, rows_ GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT token, exact_n FROM tc
+      ORDER BY exact_n DESC, token ASC LIMIT {CMS_TOP}
+    ),
+    est AS (
+      SELECT c.token, c.exact_n, min(m.total)::BIGINT AS cms_n
+      FROM cand c CROSS JOIN rows_ r
+      JOIN cms m ON m.d = r.d
+        AND m.bucket = (CASE r.d {bucket_case.replace("token", "c.token")} END)
+      GROUP BY 1, 2
+    )
+    SELECT token, exact_n, cms_n, (cms_n - exact_n)::BIGINT AS overcount,
+           cms_n >= exact_n AS one_sided_ok
+    FROM est
+    """
+
+
+@_register("countmin_token_freq", _cms_oracle())
+def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, audited on the top-10
+    heavy hitters: the CMS estimate must dominate the exact count (the
+    sketch's one-sided guarantee) and the overcount column shows the
+    collision error at d=4 hash rows x w=512 buckets.
+
+    The sketch is built from the exact per-token partials (CMS is
+    additive, so folding pre-aggregated counts into buckets is the same
+    sketch a streaming build yields) — at 100 TB the bucket table is
+    always d*w = 2,048 counters regardless of corpus size, which is the
+    entire point of the operator.  All hashes are the engine-wide 60-bit
+    md5 primitive, so the sketch is bit-identical cross-engine and the
+    oracle checks it exactly, not within a tolerance.
+
+    Scale: one explode->partial-agg for token counts (vocab-sized
+    shuffle), a 4x vocab explode collapsing immediately to 2,048 rows,
+    and a broadcast join of the 10 candidates against the tiny sketch."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("token")
+    )
+    tc = d.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    rows = [
+        F.struct(
+            F.lit(i).alias("d"),
+            F.expr(_cms_bucket(tx.SPARK, i)).alias("bucket"),
+        )
+        for i in range(CMS_D)
+    ]
+    cms = (
+        tc.select(F.explode(F.array(*rows)).alias("r"), "exact_n")
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.sum("exact_n").cast("bigint").alias("total"))
+    )
+    cand = tc.orderBy(F.desc("exact_n"), F.asc("token")).limit(CMS_TOP)
+    cand_rows = cand.select(
+        "token", "exact_n", F.explode(F.array(*rows)).alias("r")
+    ).select("token", "exact_n", "r.d", "r.bucket")
+    return (
+        cand_rows.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("total").cast("bigint").alias("cms_n"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+            (F.col("cms_n") >= F.col("exact_n")).alias("one_sided_ok"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Catalog-wide physical-plan linter: the mechanized 100x scale audit.
+
+Builds every registered query's physical plan at sf0.01 (build only —
+nothing is executed except the memoized assembled-artifact orchestrators)
+and extracts the scale-relevant facts:
+
+- ``scans``            number of parquet FileScans (re-scan detector)
+- ``shuffles``         Exchange hashpartitioning / rangepartitioning
+- ``single_part``      Exchange SinglePartition (global sorts/windows —
+                       fine only when the input is provably small)
+- ``broadcasts``       BroadcastExchange count
+- ``cartesian``        CartesianProduct present (always a bug here)
+- ``bnlj``             BroadcastNestedLoopJoin present (only legal
+                       against broadcast k-row / 1-row bounds frames)
+- ``python``           Arrow/Pandas evaluation nodes (the UDF policy
+                       boundary: each site needs a written justification)
+- ``pushed_filters``   whether any scan reports a non-empty PushedFilters
+
+Count caveat: queries that persist() an intermediate (the LSH and
+sparse-cosine self-joins) print the cached subtree INSIDE each
+InMemoryRelation node, so their scan/shuffle counts overstate real work
+— at runtime the cached frame computes once.  The counts are a plan
+fingerprint for drift detection, not a cost model; the hard invariants
+below are unaffected.
+
+Emits PLANAUDIT.json (committed, regenerated per round) and exits
+non-zero if a HARD invariant breaks:
+  * CartesianProduct anywhere, ever;
+  * BroadcastNestedLoopJoin outside _BNLJ_ALLOWED;
+  * a Python boundary outside _PYTHON_ALLOWED.
+tests/test_plan_audit.py runs the same checks inside pytest.
+
+Usage: python tools/plan_lint.py [output.json] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# BroadcastNestedLoopJoin is legitimate ONLY where the build side is a
+# broadcast 1-row (bounds/totals) or k-row (centroid/grid) frame — the
+# probe side streams once and no pairwise blowup is possible.  Every
+# entry cites where the bounded build side comes from.
+_BNLJ_ALLOWED = {
+    "band_join_event_values",  # broadcast k-row band-edge dim (non-equi)
+    "contamination_ngram_overlap",  # 1-row eval-gram-set-size frame
+    "cosine_topk_bruteforce",  # broadcast 1-row query vector
+    "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
+    "ivf_topk",  # k-row centroid frame (probe selection)
+    "pedri_radar_percentiles",  # 1-row league-means frame
+    "quantile_binning_price",  # k-row exact-quantile bounds frame
+    "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
+    "sparse_cosine_pairs",  # 1-row corpus-count frame (idf)
+    "sq_recall_at_k",  # 1-row max-abs scale frame
+    "table_health_report",  # 1-row per-constraint totals frames unioned
+    "tfidf_top_terms",  # 1-row corpus-count frame (idf)
+    "winsorized_price_stats",  # 1-row percentile-bounds frame
+    "zorder_layout_orders",  # 1-row quantization-bounds frame
+}
+
+# Arrow-vectorized Python kernels with written justifications (see the
+# docstrings at each site).  Anything else crossing into Python fails.
+_PYTHON_ALLOWED = {
+    "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
+    "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
+    "ivf_topk",  # Arrow probe scoring kernel
+    "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
+    "sq_recall_at_k",  # Arrow int8 quantize/dot kernel
+    "thumbnail_manifest",  # mapInPandas resize planner
+    # NOTE: kmeans_embeddings / semantic_dedup_prune / embedding_near_dups
+    # also use justified Arrow kernels, but their Python stages execute
+    # during frame construction (centroid fitting collects k rows), so the
+    # returned plan is JVM-only — they are intentionally NOT listed; if a
+    # refactor surfaces a Python node in their final plan, this audit
+    # should force a fresh look.
+}
+
+_PYTHON_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+)
+
+
+def lint_plan(plan: str) -> dict:
+    return {
+        "scans": plan.count("Scan parquet"),
+        "shuffles": len(
+            re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        ),
+        "single_part": plan.count("Exchange SinglePartition"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "cartesian": "CartesianProduct" in plan,
+        "bnlj": "BroadcastNestedLoopJoin" in plan,
+        "python": any(n in plan for n in _PYTHON_NODES),
+        "pushed_filters": bool(
+            re.search(r"PushedFilters: \[[^\]]", plan)
+        ),
+    }
+
+
+def violations(name: str, facts: dict) -> list[str]:
+    out = []
+    if facts["cartesian"]:
+        out.append(f"{name}: CartesianProduct in plan")
+    if facts["bnlj"] and name not in _BNLJ_ALLOWED:
+        out.append(f"{name}: BroadcastNestedLoopJoin without justification")
+    if facts["python"] and name not in _PYTHON_ALLOWED:
+        out.append(f"{name}: Python boundary without justification")
+    return out
+
+
+def audit(spark, sf_dir: str) -> tuple[dict[str, dict], list[str]]:
+    from pedri_analysis_spark.plans import all_queries
+
+    report: dict[str, dict] = {}
+    problems: list[str] = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — a build failure IS a finding
+            problems.append(f"{name}: plan build failed: {exc}")
+            continue
+        facts = lint_plan(plan)
+        report[name] = facts
+        problems.extend(violations(name, facts))
+    return report, problems
+
+
+def main() -> int:
+    out_path = "PLANAUDIT.json"
+    sf_dir = "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    if args:
+        out_path = args[0]
+
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-lint")
+    report, problems = audit(spark, sf_dir)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    n_shuffle = sum(r["shuffles"] for r in report.values())
+    print(
+        f"plan_lint: {len(report)} queries, {n_shuffle} shuffle exchanges, "
+        f"{sum(r['python'] for r in report.values())} python-boundary, "
+        f"{sum(r['bnlj'] for r in report.values())} bnlj -> {out_path}"
+    )
+    for p in problems:
+        print(f"VIOLATION {p}", file=sys.stderr)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
