@@ -396,3 +396,42 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("sup_key"))
         .select("p_partkey", "p_name", "min_price", "s_suppkey", "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary encoding (StringIndexer-style vocabulary build)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dictionary_encode_parttypes",
+    """
+    WITH vocab AS (
+      SELECT p_type, count(*)::BIGINT AS n FROM part GROUP BY 1
+    )
+    SELECT p_type,
+           (row_number() OVER (ORDER BY n DESC, p_type ASC) - 1)::BIGINT AS idx,
+           n
+    FROM vocab
+    """,
+)
+def q_dictionary_encode_parttypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer-style dictionary encoding: build the categorical
+    vocabulary of part types with frequency-descending dense ids
+    (ties broken by value, so the assignment is total and reproducible —
+    the property a feature store needs to re-encode consistently across
+    runs).
+
+    Scale: one partial-agg shuffle to |vocab| rows; the id-assignment
+    window sorts only the vocabulary (single partition by construction,
+    same argument as the EWMA calendar series), never the fact table.
+    Encoding the fact table back is then a broadcast hash join against
+    this dictionary."""
+    p = _t(spark, sf_dir, "part")
+    vocab = p.groupBy("p_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("p_type"))
+    return vocab.select(
+        "p_type",
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        "n",
+    )

@@ -1569,3 +1569,152 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "measure").agg(
         dsum(money("val")).alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q8 / Q18 patterns)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "market_share_by_year",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             sn.n_name AS supp_nation,
+             l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount)::DECIMAL(4,2) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+           CAST(sum(rev) AS DOUBLE) AS total_rev
+    FROM rev GROUP BY 1
+    """,
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's national-market-share pattern: GERMANY's share of
+    discounted revenue sold into EUROPE-region customers, per order year
+    — the deep star join (7 tables, two independent dimension arms off
+    the fact) that exercises Catalyst's join planning.
+
+    Determinism: revenue terms are exact DECIMAL products summed in
+    DECIMAL; the share is one double division of two exact values.
+
+    Scale: lineitem joins orders on orderkey (the one big-big shuffle);
+    every other arm — customer->nation->region and supplier->nation —
+    collapses to broadcast hash joins, and the region filter prunes the
+    customer arm before it reaches the fact.  The final aggregate is
+    partial-agg'd to |years| rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    euro_cust = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                    n.n_regionkey == r.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    rev = money("l_extendedprice") * factor(1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(euro_cust, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("yr"),
+            "supp_nation",
+            rev.alias("rev"),
+        )
+    )
+    german = F.when(F.col("supp_nation") == "GERMANY", F.col("rev")).otherwise(
+        F.lit(0).cast(base.schema["rev"].dataType)
+    )
+    return base.groupBy("yr").agg(
+        (F.sum(german).cast("double") / F.sum("rev").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.sum("rev").cast("double").alias("total_rev"),
+    )
+
+
+Q18_QTY_THRESHOLD = 200
+
+
+@_register(
+    "big_orders_q18",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity::DECIMAL(12,2)) > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_big_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's large-volume-customer pattern: aggregate the fact to
+    find orders whose total quantity clears a threshold (HAVING on a
+    decimal sum), then enrich the surviving keys through orders and
+    customer — the aggregate-filter-then-join chain.
+
+    Scale: the HAVING collapses lineitem to the qualifying orderkeys
+    BEFORE any join — the join probe side is |big orders|, not
+    |lineitem|; orders joins on its key, customer broadcasts, and the
+    top-100 is TakeOrderedAndProject (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey", F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            epoch_us(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -52,6 +52,7 @@ _BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
     "ivf_topk",  # k-row centroid frame (probe selection)
+    "pagerank_trade_graph",  # 1-row node-count frame, once per iteration
     "pedri_radar_percentiles",  # 1-row league-means frame
     "quantile_binning_price",  # k-row exact-quantile bounds frame
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
