@@ -1,0 +1,557 @@
+"""Advanced relational + data-quality patterns (round-6 widening).
+
+Four classic decision-support shapes the catalog did not yet exercise
+(TPC-H Q13/Q19/Q21/Q22 analogues adapted to this schema — no partsupp /
+receipt-commit dates in the testdata), a 2-D skyline (Pareto frontier)
+computed in one window pass instead of a quadratic self-join, a
+referential-integrity audit over every FK edge of the star schema, a
+moment-disciplined z-score anomaly detector, a median/MAD robust-outlier
+report, and a re-aggregatable HyperLogLog sketch rollup
+(nation-level sketches merged to region level — the pattern that makes
+COUNT DISTINCT re-aggregatable across a 100 TB rollup hierarchy).
+
+Same oracle discipline as plans.relational: exact DECIMAL aggregation
+cast to DOUBLE, identical scalar formulas on both engines, booleans for
+approximate assertions so the driver hash check stays stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import (
+    QueryFn,
+    dsum,
+    events_us,
+    factor,
+    money,
+)
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 analogue: distribution of order counts per customer.
+# --------------------------------------------------------------------------
+@_register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate,
+    per-customer count, then a histogram of the counts.  The join and the
+    first aggregate share the customer key, so Catalyst reuses one
+    shuffle partitioning for both; the second aggregate's domain is the
+    tiny set of distinct counts (≤ max orders per customer) and is
+    map-side-combined to almost nothing.  Ref: core query-shape parity
+    (reference has no partsupp either)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 analogue: disjunctive join predicate (OR of conjunctions).
+# --------------------------------------------------------------------------
+@_register(
+    "disjunctive_revenue_q19",
+    """
+    SELECT
+      CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount)::DECIMAL(4,2)) AS DOUBLE)
+        AS revenue,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-conjunctions predicate that mixes both
+    join sides.  Catalyst extracts the single-side conjuncts that are
+    common across branches — here each branch constrains p_brand/p_size
+    and l_quantity, so the union-of-branches bounds (quantity ∈ [1,30],
+    brand ∈ {12,23,34}) are pushed below the join as partial filters and
+    the full disjunction is evaluated post-join.  The part side is
+    broadcast (small dim), so the whole query is one scan + one
+    broadcast-hash-join + a 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    branch = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    )
+    return joined.agg(
+        dsum(money("l_extendedprice") * factor(1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 analogue: suppliers solely responsible for a failed order.
+# --------------------------------------------------------------------------
+@_register(
+    "sole_blame_suppliers",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_r = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS another supplier on the order + NOT EXISTS
+    another supplier who also returned).  The textbook formulation is two
+    correlated self-joins on lineitem — two extra shuffles of the fact
+    table and a row-explosion hazard on big orders.  Rewritten as ONE
+    per-order aggregate computing (distinct suppliers, distinct suppliers
+    with returnflag R); the EXISTS pair collapses to `n_supp > 1 AND
+    n_r = 1`.  At 100 TB that's a single map-side-combinable shuffle on
+    l_orderkey, reused by the subsequent fact join (same key), then a
+    broadcast of the supplier dim and a TakeOrderedAndProject for the
+    deterministic top-20 (tie-broken on s_name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_r") == 1)),
+              on="l_orderkey")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 analogue: rich customers with no urgent orders, by nation.
+# --------------------------------------------------------------------------
+@_register(
+    "idle_rich_customers",
+    """
+    WITH thresh AS (
+      SELECT CAST(sum(c_acctbal::DECIMAL(12,2)) AS DOUBLE) / count(*) AS cutoff
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           count(*)::BIGINT AS numcust,
+           CAST(sum(c.c_acctbal::DECIMAL(12,2)) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.cutoff
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (average positive
+    balance) + anti-join (customers with no urgent orders), grouped by
+    nation.  The threshold is a 1-row aggregate broadcast into a cross
+    join (no shuffle); the anti join shuffles on custkey only for the
+    already-filtered rich slice; the nation dim is broadcast.  The cutoff
+    is computed as exact-DECIMAL sum / count so the comparison is
+    bit-identical cross-engine (a plain double avg would be
+    order-dependent)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(money("c_acctbal")) / F.count(F.lit(1))).alias("cutoff")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum(money("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) in one window pass.
+# --------------------------------------------------------------------------
+@_register(
+    "skyline_parts_2d",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS psize, count(*)::BIGINT AS n_parts
+      FROM part WHERE p_brand = 'Brand#23'
+      GROUP BY p_retailprice, p_size
+    )
+    SELECT price, psize, n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.psize >= a.psize
+        AND (b.price < a.price OR b.psize > a.psize)
+    )
+    """,
+)
+def q_skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (minimize price, maximize
+    size).  The naive formulation (the oracle) is a quadratic NOT EXISTS
+    self-join; for two dimensions the frontier is computable in one sort:
+    order distinct points by price ASC, size DESC, and keep a point iff
+    its size strictly exceeds the running max size of all
+    strictly-preceding (cheaper-or-equal) points.  Equal (price,size)
+    duplicates collapse in the distinct aggregate; an equal-price larger
+    size always precedes and correctly dominates.  At 100 TB this is one
+    hash agg + one range-partitioned sort — no pair explosion.  (The
+    single-partition window over *distinct* points is fine: the distinct
+    (price,size) domain is bounded by the value grid, not the row
+    count; for an unbounded domain you'd pre-filter with per-partition
+    local skylines first, which this plan composes with trivially.)"""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    return skyline_2d(pts).select("price", "psize", "n_parts")
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit across every FK edge of the star schema.
+# --------------------------------------------------------------------------
+_FK_EDGES = [
+    # (edge label, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{label}' AS edge,
+           (SELECT count(*) FROM {child})::BIGINT AS n_rows,
+           ((SELECT count(*) FROM {child})
+            - (SELECT count(*) FROM {child}
+               WHERE {fk} IN (SELECT {pk} FROM {parent})))::BIGINT AS n_orphans
+    """
+        )
+        parts.append("    UNION ALL")
+    return "\n".join(parts[:-1])
+
+
+def skyline_2d(pts: DataFrame, x: str = "price", y: str = "psize") -> DataFrame:
+    """Keep the rows of ``pts`` (distinct on (x, y)) not dominated under
+    (minimize x, maximize y): sort by x ASC, y DESC and keep a point iff
+    its y strictly exceeds the running max y over all preceding points.
+    O(n log n) — one range-partitioned sort, no pair join."""
+    w = W.orderBy(F.asc(x), F.desc(y)).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        pts.withColumn("_max_prev", F.max(y).over(w))
+        .filter(F.col("_max_prev").isNull() | (F.col(y) > F.col("_max_prev")))
+        .drop("_max_prev")
+    )
+
+
+@_register("referential_integrity_audit", _fk_oracle())
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: orphan counts for every FK edge of the schema —
+    the check a 100 TB ingest pipeline runs before publishing a snapshot.
+    Each edge is (total child rows, rows whose FK misses the parent PK);
+    orphans come from a LEFT SEMI join (matched count) subtracted from
+    the total, so no row widening ever happens.  Parent sides are
+    deduplicated key projections; Spark broadcasts the small dims and
+    AQE picks shuffle-hash for the big ones.  NULL FKs count as orphans
+    on both engines (NULL never matches a semi join / IN)."""
+    frames = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        ch = _t(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        par = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        matched = ch.join(par, ch.fk == par.pk, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        total = ch.agg(F.count(F.lit(1)).alias("n_rows"))
+        frames.append(
+            total.crossJoin(matched).select(
+                F.lit(label).alias("edge"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("n_rows") - F.col("n_matched"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection over daily event value totals.
+# --------------------------------------------------------------------------
+@_register(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS day_total
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*)::DOUBLE AS n,
+             CAST(sum(day_total::DECIMAL(14,2)) AS DOUBLE) AS sx,
+             CAST(sum(day_total::DECIMAL(14,2) * day_total::DECIMAL(14,2)) AS DOUBLE) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day_idx::BIGINT AS day_idx, d.day_total,
+           (d.day_total - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS zscore
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    WHERE abs((d.day_total - s.sx / s.n)
+              / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 1.5
+    """,
+)
+def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: flag days whose per-type revenue is
+    more than 1.5 sample standard deviations from that type's mean.  The
+    daily totals aggregate in exact DECIMAL (order-independent), and the
+    mean/stddev derive from exact decimal moments (n, Σx, Σx²) via the
+    same closed-form formula text on both engines — the
+    stats_moments_exact discipline — so the double z-scores are
+    bit-identical.  Two map-side-combinable aggregates + a broadcast of
+    the k-row stats frame; nothing here grows super-linearly at 100 TB
+    (days × types is the small side)."""
+    ev = events_us(spark, sf_dir)
+    d14 = lambda c: F.col(c).cast("decimal(14,2)")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 86400000000").cast("bigint").alias("day_idx"),
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("day_total"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d14("day_total")).cast("double").alias("sx"),
+        F.sum(d14("day_total") * d14("day_total")).cast("double").alias("sxx"),
+    )
+    z = F.expr(
+        "(day_total - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))"
+    )
+    return (
+        daily.join(F.broadcast(stats), on="event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 1.5)
+        .select("event_type", "day_idx", "day_total", "zscore")
+    )
+
+
+# --------------------------------------------------------------------------
+# Median / MAD robust outlier report.
+# --------------------------------------------------------------------------
+@_register(
+    "mad_robust_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS ad, m.med
+      FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           any_value(d.med) AS median_price,
+           any_value(x.mad) AS mad_price,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN d.ad > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM dev d JOIN mad x ON x.l_returnflag = d.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-group median, median-absolute-
+    deviation, and the count of rows beyond 3·1.4826·MAD (the normal-
+    consistent robust sigma).  Exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`: index p·(n−1), linear
+    interpolation of doubles) and identical threshold formula text keep
+    the doubles bit-identical.  Plan: two percentile aggregates (each a
+    single shuffle on the 3-value group key) with the k-row median/MAD
+    frames broadcast back — a 100 TB plan as long as the group-key
+    cardinality is modest; for high-cardinality keys you swap
+    `percentile` for `approx_percentile` and keep the same shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(F.broadcast(med), on="l_returnflag").withColumn(
+        "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Re-aggregatable HyperLogLog sketch rollup (nation -> region merge).
+# --------------------------------------------------------------------------
+@_register(
+    "hll_sketch_rollup",
+    """
+    WITH per_nation AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             count(DISTINCT o.o_custkey) AS exact_nation
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name,
+           (SELECT count(DISTINCT o.o_custkey)
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_regionkey = r.r_regionkey)::BIGINT AS exact_customers,
+           count(*)::BIGINT AS n_nations,
+           TRUE AS merged_within_5pct
+    FROM per_nation pn JOIN region r ON r.r_regionkey = pn.n_regionkey
+    GROUP BY r.r_name, r.r_regionkey
+    """,
+)
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: build one Apache DataSketches
+    HLL sketch of ordering customers PER NATION (`hll_sketch_agg`), then
+    MERGE the binary sketches up to region level (`hll_union_agg`) —
+    never re-touching the fact table.  This is the pattern that makes
+    COUNT DISTINCT work in a 100 TB rollup hierarchy: the expensive scan
+    happens once at the finest grain, and every coarser grain is a
+    sketch union over k rows.  The driver-checked contract is the exact
+    region-level count plus a boolean asserting the merged estimate
+    lands within 5% (HLL lgK=12 ⇒ ~1.6% rsd), the approx_distinct_parts
+    oracle discipline."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    fact = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    per_nation = fact.groupBy("n_regionkey", "c_nationkey").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch"),
+        F.countDistinct("o_custkey").alias("exact_nation"),
+    )
+    merged = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+    )
+    exact_region = fact.groupBy("n_regionkey").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return (
+        merged.join(exact_region, on="n_regionkey")
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "r_name",
+            "exact_customers",
+            "n_nations",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("merged_within_5pct"),
+        )
+    )

@@ -118,6 +118,7 @@ def _modules():
     mods = [relational]
     for name in (
         "relational_ext",
+        "advanced_queries",
         "sampling_queries",
         "feature_queries",
         "layout_queries",

@@ -125,3 +125,33 @@ def test_aes_key_full_column_cross_engine(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_skyline_window_pass_equals_bruteforce(spark, pts):
+    """For ANY distinct 2-D point set: the single-window-pass skyline
+    (sort + running max) returns exactly the brute-force non-dominated
+    set under (minimize x, maximize y)."""
+    from pedri_analysis_spark.plans.advanced_queries import skyline_2d
+
+    df = spark.createDataFrame(pts, ["price", "psize"])
+    got = {(r.price, r.psize) for r in skyline_2d(df).collect()}
+    want = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y) for bx, by in pts
+        )
+    }
+    assert got == want

@@ -23,6 +23,9 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 qs, oracles = e.queries(), e.oracle_sql()
+only = {n for n in os.environ.get("ONLY", "").split(",") if n}
+if only:
+    qs = {n: f for n, f in qs.items() if n in only}
 print(f"== {len(qs)} queries, {len(oracles)} oracles ==")
 def canon(v):
     if v is None: return "\x00"

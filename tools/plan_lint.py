@@ -51,10 +51,12 @@ _BNLJ_ALLOWED = {
     "contamination_ngram_overlap",  # 1-row eval-gram-set-size frame
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
+    "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
     "ivf_topk",  # k-row centroid frame (probe selection)
     "pagerank_trade_graph",  # 1-row node-count frame, once per iteration
     "pedri_radar_percentiles",  # 1-row league-means frame
     "quantile_binning_price",  # k-row exact-quantile bounds frame
+    "referential_integrity_audit",  # 1-row total x 1-row matched count frames per edge
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
     "sparse_cosine_pairs",  # 1-row corpus-count frame (idf)
     "sq_recall_at_k",  # 1-row max-abs scale frame
