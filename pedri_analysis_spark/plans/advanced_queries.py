@@ -555,3 +555,282 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_5pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 analogue: local supplier volume inside one region.
+# --------------------------------------------------------------------------
+@_register(
+    "local_supply_revenue_q5",
+    """
+    SELECT n.n_name,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                    * (1 - l.l_discount)::DECIMAL(4,2)) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supply_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the supplier and the customer share
+    a nation, restricted to one region and one order year.  The
+    distinguishing feature is the EXTRA equality (s_nationkey =
+    c_nationkey) that links the two dimension arms — it becomes part of
+    the supplier join condition, not a post-join filter, so mismatched
+    rows never materialize.  The date filter pushes to the orders scan;
+    the region filter prunes nation (broadcast) before it touches the
+    fact; the only big-big shuffle is lineitem ⋈ orders."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(asian_nations), c.c_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(money("l_extendedprice") * factor(1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 analogue: bilateral trade volume between two nations.
+# --------------------------------------------------------------------------
+@_register(
+    "bilateral_trade_q7",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount)::DECIMAL(4,2) AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q_bilateral_trade_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation PAIR in both
+    directions, by ship year.  The pair disjunction references both
+    dimension arms, so it can only fully evaluate post-join — but each
+    arm's single-side implication (nation ∈ {NATION_1, NATION_2}) is
+    pushed into the broadcast nation dims, shrinking both supplier and
+    customer arms to the two-nation slice before the fact join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = ("NATION_1", "NATION_2")
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sn = n2.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n2.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+    ).agg(
+        dsum(money("l_extendedprice") * factor(1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 analogue: top customers by returned-item revenue.
+# --------------------------------------------------------------------------
+@_register(
+    "returned_item_customers_q10",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                    * (1 - l.l_discount)::DECIMAL(4,2)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    half-year window, top 20.  Revenue sums in exact DECIMAL so the
+    double sort keys are bit-identical cross-engine; ties break on
+    c_custkey for a deterministic LIMIT.  The returnflag and date
+    filters push to the two fact scans before the orderkey shuffle;
+    TakeOrderedAndProject keeps the top-20 merge on the driver at k
+    rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                money("l_extendedprice") * factor(1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 analogue: promo revenue share in one month.
+# --------------------------------------------------------------------------
+@_register(
+    "promo_revenue_share_q14",
+    """
+    SELECT
+      100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount)::DECIMAL(4,2)
+                 ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+        / CAST(sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount)::DECIMAL(4,2)) AS DOUBLE)
+        AS promo_share_pct,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY ()
+    """,
+)
+def q_promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from PROMO
+    parts — a conditional-aggregate ratio.  Both the numerator and
+    denominator sum in exact DECIMAL and divide once in double (same
+    formula text both engines).  Date filter pushes to the lineitem
+    scan; the part dim is broadcast; the result is one row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money("l_extendedprice") * factor(1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(rev).cast("double")).alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 analogue: top supplier(s) by quarterly revenue.
+# --------------------------------------------------------------------------
+@_register(
+    "top_supplier_q15",
+    """
+    WITH srev AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount)::DECIMAL(4,2))
+               AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(v.total AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN srev v ON v.l_suppkey = s.s_suppkey
+    WHERE v.total = (SELECT max(total) FROM srev)
+    """,
+)
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the global max — a scalar MAX subquery over an aggregated view.  The
+    per-supplier totals stay exact DECIMAL so the max comparison is an
+    exact equality (a double max would make 'equals the max' fragile).
+    Plan: one partial-agg'd shuffle on suppkey, a 1-row max broadcast
+    back over the k-row totals frame, then a broadcast supplier-dim
+    join — the fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(money("l_extendedprice") * factor(1 - F.col("l_discount"))).alias(
+            "total"
+        )
+    )
+    mx = srev.agg(F.max("total").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )

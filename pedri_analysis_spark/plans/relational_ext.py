@@ -1593,14 +1593,15 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'EUROPE'
     )
     SELECT yr,
-           CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN rev ELSE 0 END) AS DOUBLE)
+           CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev ELSE 0 END) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE) AS mkt_share,
            CAST(sum(rev) AS DOUBLE) AS total_rev
     FROM rev GROUP BY 1
     """,
 )
 def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8's national-market-share pattern: GERMANY's share of
+    """TPC-H Q8's national-market-share pattern: NATION_8's (a EUROPE
+    member in this synthetic data) share of
     discounted revenue sold into EUROPE-region customers, per order year
     — the deep star join (7 tables, two independent dimension arms off
     the fact) that exercises Catalyst's join planning.
@@ -1651,11 +1652,11 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev.alias("rev"),
         )
     )
-    german = F.when(F.col("supp_nation") == "GERMANY", F.col("rev")).otherwise(
+    focal = F.when(F.col("supp_nation") == "NATION_8", F.col("rev")).otherwise(
         F.lit(0).cast(base.schema["rev"].dataType)
     )
     return base.groupBy("yr").agg(
-        (F.sum(german).cast("double") / F.sum("rev").cast("double")).alias(
+        (F.sum(focal).cast("double") / F.sum("rev").cast("double")).alias(
             "mkt_share"
         ),
         F.sum("rev").cast("double").alias("total_rev"),
