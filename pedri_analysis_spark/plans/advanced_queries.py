@@ -834,3 +834,162 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted index: posting lists for the highest-document-frequency terms.
+# --------------------------------------------------------------------------
+@_register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+      FROM documents
+    )
+    SELECT term,
+           count(*)::BIGINT AS df,
+           (list_sort(list(doc_id)))[1:50] AS postings
+    FROM toks
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 25
+    """,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: per-term document frequency and a
+    sorted, capped posting list for the 25 most frequent terms.  Terms
+    explode from per-document DISTINCT tokens (so df is a document
+    count, not a term count); posting arrays are sorted and sliced to a
+    fixed cap so hot terms ('the') cannot produce gigabyte rows — the
+    same degenerate-bucket cap discipline the LSH dedup uses.  One
+    explode → one partial-agg'd shuffle on term → TakeOrderedAndProject;
+    at 100 TB the posting lists for genuinely hot terms would be
+    range-bucketed per (term, shard) instead, which this shape extends
+    to by adding a shard key to the groupBy."""
+    from pedri_analysis_spark.functions import textexpr as tx
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(tx.tokens(tx.SPARK, "text")))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 50).alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history: validity intervals from an event change log.
+# --------------------------------------------------------------------------
+@_register(
+    "scd2_user_history",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id % 50 = 0
+    ),
+    dedup AS (
+      SELECT user_id, event_type, ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS prev_type
+      FROM ev
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us FROM dedup
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             AS valid_to_us
+    FROM changes
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse an event
+    change log into validity intervals — drop rows that repeat the
+    previous state (lag), then close each surviving interval with the
+    next change's timestamp (lead; NULL marks the open current row).
+    Both windows shuffle once on user_id and the second reuses the
+    first's partitioning; ties on ts break on event_id so the intervals
+    are deterministic.  This is the standard dimension-table derivation
+    a warehouse runs from CDC streams, expressed as two window passes
+    with no self-join."""
+    ev = events_us(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    w_lag = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_lag))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w_lead = W.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w_lead).alias("valid_to_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users (exact sliding distinct).
+# --------------------------------------------------------------------------
+@_register(
+    "rolling_7d_active_users",
+    """
+    WITH day_user AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT unnest(range(day_idx, day_idx + 7)) AS report_day, user_id
+      FROM day_user
+    )
+    SELECT c.report_day::BIGINT AS report_day,
+           count(DISTINCT c.user_id)::BIGINT AS active_users_7d
+    FROM contrib c
+    WHERE c.report_day IN (SELECT day_idx FROM day_user)
+    GROUP BY c.report_day
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day.  COUNT
+    DISTINCT over a sliding window isn't a window function in any
+    engine; the scalable formulation dedups to (day, user) pairs, then
+    explodes each pair into the 7 report days it contributes to and
+    counts distinct users per report day — linear ×7 instead of a
+    band self-join, with the distinct agg partial-combined per
+    partition.  Report days are restricted to observed days (broadcast
+    semi join against the tiny day dim), so no partial look-back rows
+    leak out."""
+    ev = events_us(spark, sf_dir)
+    day_user = ev.select(
+        F.expr("ts_us div 86400000000").alias("day_idx"), "user_id"
+    ).distinct()
+    days = day_user.select("day_idx").distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(
+            F.broadcast(days), contrib.report_day == days.day_idx, "left_semi"
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(F.col("report_day").cast("bigint").alias("report_day"), "active_users_7d")
+    )
