@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pedri_analysis_spark.functions import textexpr as tx_mod
 from pedri_analysis_spark.plans.relational import (
     QueryFn,
     dsum,
@@ -992,4 +993,169 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
         .select(F.col("report_day").cast("bigint").alias("report_day"), "active_users_7d")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source length concentration (Gini coefficient, exact integer sums).
+# --------------------------------------------------------------------------
+@_register(
+    "source_length_gini",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           2.0 * CAST(sum(i * n_chars)::BIGINT AS DOUBLE)
+             / (CAST(count(*)::BIGINT AS DOUBLE) * CAST(sum(n_chars)::BIGINT AS DOUBLE))
+             - (CAST(count(*)::BIGINT AS DOUBLE) + 1.0) / CAST(count(*)::BIGINT AS DOUBLE)
+             AS gini
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance diagnostic: the Gini coefficient of document
+    lengths per source — how concentrated each source's character mass
+    is in its longest documents (0 = uniform, →1 = one doc dominates).
+    Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending lengths; Σ(i·xᵢ), Σx and n are exact BIGINT sums (tied
+    lengths make Σ(i·x) invariant to tie order, so no tiebreak is
+    needed), and the doubles appear only in the final closed form.  One
+    rank window + one aggregate, both on the source partitioning — a
+    single shuffle."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    w = W.partitionBy("source").orderBy("n_chars")
+    ranked = d.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("n_chars")).cast("bigint").cast("double")
+            / (
+                F.count(F.lit(1)).cast("bigint").cast("double")
+                * F.sum("n_chars").cast("bigint").cast("double")
+            )
+            - (F.count(F.lit(1)).cast("bigint").cast("double") + F.lit(1.0))
+            / F.count(F.lit(1)).cast("bigint").cast("double")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language LM plausibility from corpus bigram probabilities
+# (integer-exact micro-probability sums — no order-dependent double sums).
+# --------------------------------------------------------------------------
+def _bigrams_pos(dialect: str, toks: str) -> str:
+    """Adjacent token pairs as 'w1 w2' strings (every occurrence)."""
+    if dialect == tx_mod.SPARK:
+        return (
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(0, size({toks}) - 2), "
+            f"i -> concat_ws(' ', {toks}[i], {toks}[i + 1])) "
+            f"ELSE array() END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) "
+        f"ELSE [] END"
+    )
+
+
+
+@_register(
+    "lm_plausibility_by_lang",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {tx_mod.tokens(tx_mod.DUCK, 'text')} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, lang, u.bg
+      FROM tok, unnest({_bigrams_pos('duck', 't')}) AS u(bg)
+    ),
+    big AS (
+      SELECT bg, count(*)::BIGINT AS n_bigram FROM pairs GROUP BY bg
+    ),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(n_bigram)::BIGINT AS n_context
+      FROM big GROUP BY 1
+    ),
+    prob AS (
+      SELECT b.bg,
+             floor(CAST(b.n_bigram AS DOUBLE) / c.n_context * 1000000)::BIGINT
+               AS p_micro
+      FROM big b JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1
+    ),
+    per_doc AS (
+      SELECT p.doc_id, p.lang,
+             count(*)::BIGINT AS n_bigrams,
+             sum(pr.p_micro)::BIGINT AS score_micro
+      FROM pairs p JOIN prob pr ON pr.bg = p.bg
+      GROUP BY p.doc_id, p.lang
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS total_bigrams,
+           sum(score_micro)::BIGINT AS total_score_micro,
+           CAST(sum(score_micro)::BIGINT AS DOUBLE)
+             / CAST(sum(n_bigrams)::BIGINT AS DOUBLE) AS mean_p_micro
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def q_lm_plausibility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model plausibility as a quality signal: score every
+    document's bigrams under the corpus bigram LM (P(w2|w1) =
+    c(w1,w2)/c(w1)) and roll the scores up per language.  The standard
+    perplexity needs log(), whose last-ulp behaviour differs across
+    libm implementations — so the cross-engine-safe contract quantizes
+    each probability to an exact integer micro-probability
+    (floor(p·10⁶), one double multiply+floor on identical inputs) and
+    every aggregate after that is an exact BIGINT sum, with one double
+    division at the end.  Plan: corpus exploded once into (doc, bigram)
+    pairs; bigram and context counts partial-aggregate; the probability
+    table joins back on the bigram key (vocabulary-sized, not
+    stream-sized) — at 100 TB the prob table is the small side and
+    broadcast-joins against the pair stream."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(tx_mod.tokens(tx_mod.SPARK, "text")).alias("t")
+    )
+    pairs = d.select(
+        "doc_id", "lang", F.explode(F.expr(_bigrams_pos("spark", "t"))).alias("bg")
+    )
+    big = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))
+    w1 = F.expr("split_part(bg, ' ', 1)")
+    ctx_w = W.partitionBy(F.expr("split_part(bg, ' ', 1)"))
+    prob = big.select(
+        "bg",
+        F.floor(
+            F.col("n_bigram").cast("double")
+            / F.sum("n_bigram").over(ctx_w).cast("bigint")
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    per_doc = (
+        pairs.join(prob, on="bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("p_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.sum("score_micro").cast("bigint").alias("total_score_micro"),
+        (
+            F.sum("score_micro").cast("bigint").cast("double")
+            / F.sum("n_bigrams").cast("bigint").cast("double")
+        ).alias("mean_p_micro"),
     )

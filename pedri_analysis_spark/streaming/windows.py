@@ -164,3 +164,37 @@ def dedup_within_watermark(
     if df.isStreaming:
         return df.dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def foreach_batch_idempotent_parquet(out_dir: str):
+    """An exactly-once parquet sink for ``writeStream.foreachBatch``.
+
+    Structured Streaming's foreachBatch contract is at-least-once: after
+    a failure, the LAST batch may be re-executed with the SAME
+    ``batch_id``.  The sink makes the replay a no-op by writing each
+    micro-batch under ``batch_id=<n>/`` exactly once, committing with a
+    ``_SUCCESS.<n>`` marker: a re-invocation that finds the marker
+    returns without writing, so downstream readers never see duplicate
+    rows (the standard idempotent-MERGE pattern expressed on plain
+    parquet — on a table format you would MERGE on batch_id instead).
+
+    Scale: the marker check is one driver-side metadata call per batch;
+    the write itself is the normal distributed parquet job.  Partial
+    writes from a crash before the marker land in a directory the next
+    attempt overwrites, so readers that filter on committed batch ids
+    (or list via the markers) observe exactly-once output."""
+    import os
+    import shutil
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_dir, f"_SUCCESS.{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already committed, do nothing
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(target):  # partial write from a crashed attempt
+            shutil.rmtree(target)
+        df.write.mode("overwrite").parquet(target)
+        with open(marker, "w") as f:
+            f.write("")
+
+    return write

@@ -343,3 +343,49 @@ def test_native_session_window_matches_lag_gap_formulation(spark, stream_dir):
     finally:
         q.stop()
     assert got_stream == lag_gap
+
+
+def test_foreach_batch_idempotent_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch parquet sink commits each batch once: replaying
+    the same batch_id (Spark's at-least-once failure contract) is a
+    no-op, and the committed output equals the batch input exactly."""
+    import shutil as _shutil
+
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+    from pedri_analysis_spark.sources.tables import ensure_session_conf
+    from pedri_analysis_spark.streaming.windows import (
+        foreach_batch_idempotent_parquet,
+    )
+
+    ensure_session_conf(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    _shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    out = tmp_path / "out"
+    out.mkdir()
+
+    writer = foreach_batch_idempotent_parquet(str(out))
+    stream = spark.readStream.schema(EVENTS_TABLE_SCHEMA).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(EVENTS_TABLE_SCHEMA).parquet(str(src))
+    committed = spark.read.parquet(str(out / "batch_id=0"))
+    assert committed.count() == batch.count()
+
+    # Simulate Spark's failure-replay: same batch_id, same data — the
+    # sink must not duplicate (marker short-circuits), and a partial
+    # uncommitted directory must be overwritten on a genuine retry.
+    writer(batch, 0)
+    assert spark.read.parquet(str(out / "batch_id=0")).count() == batch.count()
+
+    (out / "batch_id=1").mkdir()  # crashed attempt: dir without marker
+    (out / "batch_id=1" / "junk").write_text("partial")
+    writer(batch.limit(10), 1)
+    assert spark.read.parquet(str(out / "batch_id=1")).count() == 10
+    assert (out / "_SUCCESS.1").exists()
