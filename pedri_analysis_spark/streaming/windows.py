@@ -134,18 +134,27 @@ def interval_join_stream(
     right_time: str,
     lower_s: float,
     upper_s: float,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) event-time interval join:
     right.time ∈ [left.time + lower, left.time + upper], same key —
     the streaming formulation of the counter-press join (SURVEY J5).
     In streaming both sides must carry watermarks; the time-range
-    condition lets Spark bound the buffered state."""
+    condition lets Spark bound the buffered state.
+
+    ``how='left_outer'`` emits unmatched left rows with nulls — but in
+    streaming only once the watermark passes the end of a row's match
+    interval (the engine must prove no future right row can match before
+    it can emit the null), so outer results trail the watermark delay.
+    A left row still inside the state store when the query stops is
+    never emitted — pinned by
+    tests/test_streaming.py::test_stream_stream_left_outer_interval_join."""
     cond = (
         (left[key] == right[key])
         & (right[right_time] >= left[left_time] + F.expr(f"INTERVAL {lower_s} SECONDS"))
         & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
-    return left.join(right, cond)
+    return left.join(right, cond, how)
 
 
 def dedup_within_watermark(

@@ -389,3 +389,108 @@ def test_foreach_batch_idempotent_sink_exactly_once(spark, tmp_path):
     writer(batch.limit(10), 1)
     assert spark.read.parquet(str(out / "batch_id=1")).count() == 10
     assert (out / "_SUCCESS.1").exists()
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join semantics: an unmatched
+    left row emits with nulls only AFTER the watermark passes the end of
+    its match interval (here: advanced by a later file in a second
+    micro-batch), and a row whose interval the watermark has not passed
+    when the query stops is never emitted — the state-expiry contract
+    production jobs must plan around."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.streaming.windows import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: user 1's error matches its click; user 2's error has no
+    # click — unmatched until the watermark proves it can't match.
+    write(
+        str(src / "a.parquet"),
+        [
+            (1, t0, 1, "error"),
+            (2, t0 + dt.timedelta(minutes=10), 1, "click"),
+            (3, t0, 2, "error"),
+        ],
+    )
+    # batch 2: far-future rows on BOTH sides advance both watermarks past
+    # user 2's [t0, t0+1h] interval; user 5's error interval is NOT
+    # passed, so it must stay buffered (never emitted).
+    t_late = t0 + dt.timedelta(hours=10)
+    write(
+        str(src / "b.parquet"),
+        [
+            (4, t_late, 5, "error"),
+            (5, t_late, 6, "click"),
+        ],
+    )
+
+    from pedri_analysis_spark.schema import EVENTS_TABLE_SCHEMA
+
+    s = (
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    errs = (
+        s.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_time"),
+        )
+        .withWatermark("err_time", "30 minutes")
+    )
+    clks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("clk_time"),
+        )
+        .withWatermark("clk_time", "30 minutes")
+    )
+    joined = interval_join_stream(
+        errs.withColumnRenamed("user_id", "key"),
+        clks.withColumnRenamed("c_user", "key"),
+        "key",
+        "err_time",
+        "clk_time",
+        0,
+        3600,
+        how="left_outer",
+    )
+    q = (
+        joined.select("err_id", "clk_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM oj_out").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 2), (3, None)}, got
