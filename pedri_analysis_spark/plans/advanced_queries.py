@@ -983,23 +983,36 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join against the tiny day dim), so no partial look-back rows
     leak out."""
     ev = events_us(spark, sf_dir)
-    day_user = ev.select(
-        F.expr("ts_us div 86400000000").alias("day_idx"), "user_id"
-    ).distinct()
-    days = day_user.select("day_idx").distinct()
+    pairs = ev.select(F.expr("ts_us div 86400000000").alias("day_idx"), "user_id")
+    return rolling_distinct(pairs, window_days=7).select(
+        F.col("report_day").cast("bigint").alias("report_day"),
+        F.col("active").cast("bigint").alias("active_users_7d"),
+    )
+
+
+def rolling_distinct(
+    pairs: DataFrame,
+    day: str = "day_idx",
+    entity: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-``window_days`` distinct entities per observed day:
+    dedup → explode each (day, entity) into the days it contributes to →
+    distinct agg, restricted to observed days via a broadcast semi join."""
+    day_user = pairs.select(day, entity).distinct()
+    days = day_user.select(day).distinct()
     contrib = day_user.select(
         F.explode(
-            F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+            F.sequence(F.col(day), F.col(day) + F.lit(window_days - 1))
         ).alias("report_day"),
-        "user_id",
+        entity,
     )
     return (
         contrib.join(
-            F.broadcast(days), contrib.report_day == days.day_idx, "left_semi"
+            F.broadcast(days), contrib.report_day == days[day], "left_semi"
         )
         .groupBy("report_day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
-        .select(F.col("report_day").cast("bigint").alias("report_day"), "active_users_7d")
+        .agg(F.countDistinct(entity).alias("active"))
     )
 
 
@@ -1036,17 +1049,29 @@ def q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window + one aggregate, both on the source partitioning — a
     single shuffle."""
     d = _t(spark, sf_dir, "documents").select("source", "n_chars")
-    w = W.partitionBy("source").orderBy("n_chars")
-    ranked = d.withColumn("i", F.row_number().over(w))
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    return gini_by_group(d, "source", "n_chars").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("total").alias("total_chars"),
+        "gini",
+    )
+
+
+def gini_by_group(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Per-group Gini via the rank formulation (exact BIGINT sums,
+    double math only in the final closed form).  Returns (group, n,
+    total, gini)."""
+    w = W.partitionBy(group).orderBy(value)
+    ranked = df.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value).cast("bigint").alias("total"),
         (
             F.lit(2.0)
-            * F.sum(F.col("i") * F.col("n_chars")).cast("bigint").cast("double")
+            * F.sum(F.col("i") * F.col(value)).cast("bigint").cast("double")
             / (
                 F.count(F.lit(1)).cast("bigint").cast("double")
-                * F.sum("n_chars").cast("bigint").cast("double")
+                * F.sum(value).cast("bigint").cast("double")
             )
             - (F.count(F.lit(1)).cast("bigint").cast("double") + F.lit(1.0))
             / F.count(F.lit(1)).cast("bigint").cast("double")

@@ -155,3 +155,54 @@ def test_skyline_window_pass_equals_bruteforce(spark, pts):
         )
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=2, max_size=60
+    )
+)
+def test_gini_rank_formula_equals_pairwise_definition(spark, vals):
+    """For ANY positive integer sample: the rank-formulation Gini the
+    query computes equals the mean-absolute-difference definition
+    G = ΣΣ|xᵢ−xⱼ| / (2n²·mean) to float tolerance — including under
+    ties, where Σ(i·x) must be tie-order invariant."""
+    from pedri_analysis_spark.plans.advanced_queries import gini_by_group
+
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "x"])
+    got = gini_by_group(df, "grp", "x").collect()[0].gini
+    n, total = len(vals), sum(vals)
+    want = sum(abs(a - b) for a in vals for b in vals) / (2 * n * total)
+    assert abs(got - want) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day
+            st.integers(min_value=0, max_value=8),    # user
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    window=st.integers(min_value=1, max_value=7),
+)
+def test_rolling_distinct_equals_bruteforce(spark, pairs, window):
+    """For ANY (day, user) event set and window length: the explode-based
+    rolling distinct equals the brute-force 'users with ≥1 event in
+    [d−w+1, d]' per observed day."""
+    from pedri_analysis_spark.plans.advanced_queries import rolling_distinct
+
+    df = spark.createDataFrame(pairs, ["day_idx", "user_id"])
+    got = {
+        (r.report_day, r.active)
+        for r in rolling_distinct(df, window_days=window).collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    want = {
+        (d, len({u for dd, u in pairs if d - window + 1 <= dd <= d}))
+        for d in days
+    }
+    assert got == want
