@@ -74,3 +74,36 @@ def test_write_jsonl_sharded_roundtrip(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {
         r.doc_id for r in df.select("doc_id").collect()
     }
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark writes natively (no extra
+    package); verify a typed round-trip so the engine's source/sink
+    matrix isn't parquet-only."""
+    from pedri_analysis_spark.sources.tables import load_table
+
+    src = load_table(spark, "nation", "/root/testdata/sf0.001")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Data-lake schema evolution: a directory whose newer files carry an
+    added column reads with mergeSchema as the unified schema, older rows
+    null-filled — and WITHOUT mergeSchema Spark just takes one footer
+    (the production pitfall this pins)."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
