@@ -1191,3 +1191,104 @@ def q_lm_plausibility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_bigrams").cast("bigint").cast("double")
         ).alias("mean_p_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily user churn / retention (snapshot-diff pattern on day-user pairs).
+# --------------------------------------------------------------------------
+@_register(
+    "user_churn_daily",
+    """
+    WITH day_user AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+      FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, min(day_idx) AS first_day FROM day_user GROUP BY 1
+    )
+    SELECT d.day_idx::BIGINT AS day_idx,
+           count(*)::BIGINT AS n_active,
+           sum(CASE WHEN f.first_day = d.day_idx THEN 1 ELSE 0 END)::BIGINT
+             AS n_new,
+           sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_retained,
+           (SELECT count(*) FROM day_user q
+            WHERE q.day_idx = d.day_idx - 1
+              AND NOT EXISTS (SELECT 1 FROM day_user r
+                              WHERE r.user_id = q.user_id
+                                AND r.day_idx = d.day_idx))::BIGINT
+             AS n_churned_from_prev
+    FROM day_user d
+    JOIN first_seen f ON f.user_id = d.user_id
+    LEFT JOIN day_user p ON p.user_id = d.user_id AND p.day_idx = d.day_idx - 1
+    GROUP BY d.day_idx
+    """,
+)
+def q_user_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily churn/retention: per day, the active users, the users seen
+    for the first time, the users retained from the previous day, and
+    the previous day's users who did NOT return (churn).  The snapshot
+    diff is ONE self-join of the deduped (day, user) pairs against
+    themselves shifted by a day — churn falls out of the same join as a
+    null-side count aggregated onto the previous day, so there is no
+    NOT-EXISTS pass (the oracle spells it as NOT EXISTS; the engine
+    counts the unmatched left rows of the shifted join).  All counts are
+    exact integers; the (day, user) dedup is the only fact-sized
+    shuffle, and everything after operates on the deduped pairs."""
+    ev = events_us(spark, sf_dir)
+    day_user = (
+        ev.select(F.expr("ts_us div 86400000000").alias("day_idx"), "user_id")
+        .distinct()
+    )
+    first_seen = day_user.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    prev = day_user.select(
+        (F.col("day_idx") + 1).alias("day_idx"),
+        F.col("user_id").alias("p_user"),
+    )
+    # active/new/retained per day from one shifted full outer join
+    fo = day_user.join(
+        prev,
+        (day_user.day_idx == prev.day_idx) & (day_user.user_id == prev.p_user),
+        "full_outer",
+    ).select(
+        F.coalesce(day_user.day_idx, prev.day_idx).alias("day_idx"),
+        day_user.user_id.alias("cur_user"),
+        "p_user",
+    )
+    with_first = fo.join(
+        first_seen, fo.cur_user == first_seen.user_id, "left_outer"
+    )
+    agg = with_first.groupBy("day_idx").agg(
+        F.sum(F.when(F.col("cur_user").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_active"),
+        F.sum(
+            F.when(F.col("first_day") == F.col("day_idx"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("cur_user").isNotNull() & F.col("p_user").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("cur_user").isNull() & F.col("p_user").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_churned_from_prev"),
+    )
+    # restrict to observed days (the shifted join manufactures day max+1
+    # rows for final-day churn; the oracle reports only observed days)
+    days = day_user.select("day_idx").distinct()
+    return agg.join(F.broadcast(days), on="day_idx", how="left_semi").select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_churned_from_prev",
+    )
