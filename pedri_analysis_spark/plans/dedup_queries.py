@@ -726,3 +726,88 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # equivalent of the localCheckpoint a cluster run would use.
         ranks = ranks.persist()
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup cascade: exact -> MinHash+LSH -> SimHash, per-stage counts
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    bitsums = tx.simhash_bitsums(tx.DUCK, "toks")
+    sh_int = tx.simhash_from_bitsums(tx.DUCK, "bs")
+    return f"""
+    WITH s1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        USING (doc_id)
+    ),
+    {minhash_pair_ctes('s1')},
+    s2 AS (SELECT s1.* FROM s1 WHERE doc_id NOT IN (SELECT b FROM verified)),
+    tok2 AS (SELECT doc_id, {toks} AS toks FROM s2),
+    bsum2 AS (SELECT doc_id, {bitsums} AS bs FROM tok2),
+    sh2 AS (SELECT doc_id, {sh_int} AS simhash FROM bsum2),
+    sim_b AS (
+      SELECT DISTINCT y.doc_id AS b
+      FROM sh2 x JOIN sh2 y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_T}
+    ),
+    s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN (SELECT b FROM sim_b))
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+           (SELECT count(*) FROM s1)::BIGINT AS n_after_exact,
+           (SELECT count(*) FROM s2)::BIGINT AS n_after_minhash,
+           (SELECT count(*) FROM s3)::BIGINT AS n_after_simhash
+    """
+
+
+@_register("dedup_cascade_report", _cascade_oracle())
+def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one composed pipeline: exact
+    content dedup (min-id survivor per md5 group), then MinHash+LSH
+    near-dup pruning over the exact survivors, then whole-corpus SimHash
+    pigeonhole pruning over what remains — with the survivor count after
+    each stage in a one-row report.  Stage pruning uses the
+    deterministic keep-lowest-id rule (drop every doc appearing as the
+    higher id of a verified pair), so the composition is exactly
+    mirrored by the oracle's NOT IN chain.  Each stage reuses the
+    already-verified per-stage operator (same constants, same topology),
+    so the cascade's scale behaviour is the stages' — the point of the
+    query is proving the stages COMPOSE: each stage's input is the
+    previous stage's survivor frame, never a re-scan of the corpus."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # Each survivor frame feeds BOTH the next stage and its own count
+    # branch; without persist, counting s3 re-runs exact+minhash and
+    # counting s2 re-runs exact (3×/2× recomputation of the priciest
+    # subtrees). Materialize each stage once — at 100 TB this is the
+    # checkpoint a curation pipeline writes between stages anyway.
+    s1 = dd.exact_dedup(d, "text", "doc_id").persist()
+    s1.count()
+    mh_pairs = dd.minhash_near_dups(
+        s1,
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    s2 = s1.join(
+        mh_pairs.select(F.col("b").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_anti",
+    ).persist()
+    s2.count()
+    sh_pairs = dd.simhash_prefix_near_dups(s2, max_hamming=HAMMING_T)
+    s3 = s2.join(
+        sh_pairs.select(F.col("b").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_anti",
+    )
+    count1 = lambda df, name: df.agg(
+        F.count(F.lit(1)).cast("bigint").alias(name)
+    )
+    return (
+        count1(d, "n_input")
+        .crossJoin(count1(s1, "n_after_exact"))
+        .crossJoin(count1(s2, "n_after_minhash"))
+        .crossJoin(count1(s3, "n_after_simhash"))
+    )
