@@ -492,3 +492,52 @@ def test_feature_hash_partial_aggregates(spark):
     plan = _plan(QUERIES["feature_hash_buckets"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q19_disjunction_pushes_union_bounds_to_both_scans(spark):
+    """The OR-of-conjunctions predicate must not stay post-join only:
+    Catalyst extracts each side's union-of-branches implication and
+    pushes it into that side's parquet scan (quantity bounds to
+    lineitem, brand/size disjunction to part)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pedri_analysis_spark.plans.advanced_queries import QUERIES
+
+    # _plan()'s toString() truncates long pushed-filter lists; formatted
+    # explain keeps them whole.
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["disjunctive_revenue_q19"](spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    # lineitem scan: the union quantity envelope [1, 30] as an OR chain
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    # part scan: the brand/size disjunction
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    # and column pruning still holds on the fact side
+    read = plan.split("ReadSchema")[1]
+    assert "l_shipdate" not in read and "l_returnflag" not in read
+
+
+def test_q21_per_order_aggregate_has_no_expand(spark):
+    """sole_blame_suppliers must keep the two-stage-distinct shape: a
+    double countDistinct would reintroduce an Expand (2x row
+    multiplication) into the per-order aggregate."""
+    from pedri_analysis_spark.plans.advanced_queries import QUERIES
+
+    plan = _plan(QUERIES["sole_blame_suppliers"](spark, SF))
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan  # deterministic top-20 heap
+
+
+def test_skyline_window_runs_over_distinct_points_only(spark):
+    """The skyline's single-partition window is legal ONLY because it
+    runs over the distinct (price, size) grid, never raw part rows — pin
+    that the aggregate sits below the window."""
+    from pedri_analysis_spark.plans.advanced_queries import QUERIES
+
+    plan = _plan(QUERIES["skyline_parts_2d"](spark, SF))
+    win = plan.index("Window")
+    # a hash aggregate (the distinct-points groupBy) must feed the window
+    assert "HashAggregate" in plan[win:], plan
