@@ -156,13 +156,16 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS another supplier on the order + NOT EXISTS
     another supplier who also returned).  The textbook formulation is two
     correlated self-joins on lineitem — two extra shuffles of the fact
-    table and a row-explosion hazard on big orders.  Rewritten as ONE
+    table and a row-explosion hazard on big orders.  Rewritten as a
     per-order aggregate computing (distinct suppliers, distinct suppliers
     with returnflag R); the EXISTS pair collapses to `n_supp > 1 AND
-    n_r = 1`.  At 100 TB that's a single map-side-combinable shuffle on
-    l_orderkey, reused by the subsequent fact join (same key), then a
-    broadcast of the supplier dim and a TakeOrderedAndProject for the
-    deterministic top-20 (tie-broken on s_name)."""
+    n_r = 1`.  At 100 TB that's two map-side-combinable shuffles —
+    (order, supplier) then order, deliberately staged because a double
+    countDistinct would plan as an Expand with 2× row multiplication
+    (pinned by test_q21_per_order_aggregate_has_no_expand) — the second
+    on the same key the subsequent fact join uses, then a broadcast of
+    the supplier dim and a TakeOrderedAndProject for the deterministic
+    top-20 (tie-broken on s_name)."""
     li = _t(spark, sf_dir, "lineitem")
     # Two-stage distinct instead of a double countDistinct: the latter
     # plans as an Expand (2× row multiplication) with an extra exchange;
@@ -1291,4 +1294,140 @@ def q_user_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         "n_retained",
         "n_churned_from_prev",
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 analogue: late-shipment order counts by priority.
+# --------------------------------------------------------------------------
+@_register(
+    "priority_late_orders_q4",
+    """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_priority_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) with at least one line shipped
+    more than 90 days after ordering, counted by priority.  The
+    correlated EXISTS becomes a LEFT SEMI join whose condition carries
+    both the orderkey equality AND the cross-table date inequality — the
+    inequality rides as a residual predicate on the equi-shuffle, so no
+    row ever widens and the semi join emits each order at most once (no
+    DISTINCT pass needed).  Date filter pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 analogue: forecasting revenue change (scan-only aggregate).
+# --------------------------------------------------------------------------
+@_register(
+    "forecast_revenue_q6",
+    """
+    SELECT
+      CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)) AS DOUBLE)
+        AS revenue,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — every predicate (date
+    range, discount band, quantity cap) pushes to the parquet row-group
+    level and the whole query is one scan + a 1-row partial+final
+    aggregate, zero joins and zero wide shuffles.  The benchmark's
+    canonical test that predicate pushdown and map-side combine are
+    actually working; at 100 TB the row-group min/max stats skip most of
+    the table before a byte decompresses."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(money("l_extendedprice") * factor(F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 analogue: shipping-delay buckets vs order priority.
+# --------------------------------------------------------------------------
+@_register(
+    "ship_delay_priority_q12",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+                ELSE 'late' END AS delay_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_ship_delay_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → derived delay bucket, the columns this
+    schema has): line counts of high- vs low-priority orders per
+    shipping-delay bucket — the conditional-count pivot over a fact-fact
+    join.  The delay bucket derives from a day difference (exact integer
+    on both engines); the priority split is a conditional aggregate, so
+    the result is |buckets| rows from one equi-join shuffle and one
+    partial-agg'd aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
     )

@@ -776,13 +776,17 @@ def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is proving the stages COMPOSE: each stage's input is the
     previous stage's survivor frame, never a re-scan of the corpus."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    # Each survivor frame feeds BOTH the next stage and its own count
-    # branch; without persist, counting s3 re-runs exact+minhash and
-    # counting s2 re-runs exact (3×/2× recomputation of the priciest
-    # subtrees). Materialize each stage once — at 100 TB this is the
-    # checkpoint a curation pipeline writes between stages anyway.
+    # Each survivor frame feeds BOTH the next stage and its own count;
+    # without persist, counting s3 re-runs exact+minhash and counting s2
+    # re-runs exact (3×/2× recomputation of the priciest subtrees).
+    # Materialize each stage once — at 100 TB this is the checkpoint a
+    # curation pipeline writes between stages anyway.  The per-stage
+    # counts are DRIVER-side (four bounded longs — the job metrics a
+    # pipeline reports anyway); assembling them as lazy 1-row crossJoins
+    # instead would re-print every cached subtree into one giant plan
+    # for zero execution benefit.
     s1 = dd.exact_dedup(d, "text", "doc_id").persist()
-    s1.count()
+    n_exact = s1.count()
     mh_pairs = dd.minhash_near_dups(
         s1,
         n_hashes=N_HASHES,
@@ -795,19 +799,16 @@ def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="doc_id",
         how="left_anti",
     ).persist()
-    s2.count()
+    n_minhash = s2.count()
     sh_pairs = dd.simhash_prefix_near_dups(s2, max_hamming=HAMMING_T)
     s3 = s2.join(
         sh_pairs.select(F.col("b").alias("doc_id")).distinct(),
         on="doc_id",
         how="left_anti",
     )
-    count1 = lambda df, name: df.agg(
-        F.count(F.lit(1)).cast("bigint").alias(name)
-    )
-    return (
-        count1(d, "n_input")
-        .crossJoin(count1(s1, "n_after_exact"))
-        .crossJoin(count1(s2, "n_after_minhash"))
-        .crossJoin(count1(s3, "n_after_simhash"))
+    n_simhash = s3.count()
+    n_input = d.count()
+    return spark.createDataFrame(
+        [(n_input, n_exact, n_minhash, n_simhash)],
+        "n_input long, n_after_exact long, n_after_minhash long, n_after_simhash long",
     )

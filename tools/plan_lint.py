@@ -50,7 +50,6 @@ _BNLJ_ALLOWED = {
     "band_join_event_values",  # broadcast k-row band-edge dim (non-equi)
     "contamination_ngram_overlap",  # 1-row eval-gram-set-size frame
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
-    "dedup_cascade_report",  # four 1-row per-stage count frames crossed into the report row
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
     "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
     "ivf_topk",  # k-row centroid frame (probe selection)
