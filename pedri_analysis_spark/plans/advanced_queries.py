@@ -1431,3 +1431,119 @@ def q_ship_delay_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 analogue: small-quantity-order revenue (correlated per-part avg).
+# --------------------------------------------------------------------------
+@_register(
+    "small_qty_revenue_q17",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      CAST(sum(l.l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0
+        AS avg_yearly,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity — the correlated scalar-average subquery
+    decorrelated into a per-part aggregate joined back to the fact.  The
+    per-part averages compute as exact-decimal sum / count (one double
+    division), so the 0.2·avg threshold is bit-identical cross-engine.
+    Plan: the partkey aggregate and the fact join share the partkey
+    shuffle; the brand filter broadcasts through the part dim and prunes
+    BOTH branches at 100 TB when pushed into the aggregate's input (here
+    kept on the full fact so the average matches TPC-H semantics —
+    average over ALL lines of the part, not just the brand slice)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (dsum(money("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, on="l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum(money("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 analogue: profit by nation and year (retailprice cost proxy).
+# --------------------------------------------------------------------------
+@_register(
+    "profit_by_nation_year_q9",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+                    * (1 - l.l_discount)::DECIMAL(4,2)) AS DOUBLE)
+             - CAST(sum(p.p_retailprice::DECIMAL(12,2)
+                      * l.l_quantity::DECIMAL(12,2)) AS DOUBLE) / 100.0
+             AS profit,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+    """,
+)
+def q_profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    part-type slice — the deep fact join with an arithmetic measure
+    combining THREE tables' columns (price, discount, part cost,
+    quantity).  This schema has no partsupp, so unit cost is proxied as
+    p_retailprice/100 (a fixed public rescale, exact in DECIMAL); the
+    measure is two exact DECIMAL sums (revenue; retailprice·quantity)
+    combined in ONE double expression at the end — a decimal division
+    inside the sum would round at engine-specific intermediate scales.
+    Plan: part/supplier/nation broadcast (part pre-filtered by type),
+    lineitem ⋈ orders is the one big-big shuffle, and the aggregate is
+    partial-combined to |nations × years| rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            (
+                dsum(money("l_extendedprice") * factor(1 - F.col("l_discount")))
+                - dsum(money("p_retailprice") * money("l_quantity")) / F.lit(100.0)
+            ).alias("profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
