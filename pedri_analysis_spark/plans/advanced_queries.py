@@ -1547,3 +1547,85 @@ def q_profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distribution of order values within priority classes.
+# --------------------------------------------------------------------------
+@_register(
+    "cume_dist_order_values",
+    """
+    WITH scored AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, cd
+    FROM scored
+    WHERE cd >= 0.999
+    """,
+)
+def q_cume_dist_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (the ≤-tie-safe cumulative distribution): the top 0.1%
+    most expensive orders within each priority class.  cume_dist is
+    (# rows with value ≤ current) / n — an exact rational identical in
+    both engines regardless of tie order, unlike percent_rank-with-ties
+    pitfalls.  One shuffle on the 5-value priority key; the filter keeps
+    the output k-sized.  (Skewed window-partition keys are the hazard at
+    100 TB — 5 priority classes over orders means ~n/5 rows per
+    partition, so for this query you'd pre-bucket by (priority,
+    price-range) and merge, the same composition the skyline notes.)"""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") >= 0.999)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "cd")
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth (lag over an aggregated series).
+# --------------------------------------------------------------------------
+@_register(
+    "mom_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 100
+               + CAST(month(o_orderdate) AS BIGINT) AS ym,
+             CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, revenue,
+           lag(revenue) OVER (ORDER BY ym) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY ym) IS NULL THEN NULL
+                ELSE (revenue - lag(revenue) OVER (ORDER BY ym))
+                     / lag(revenue) OVER (ORDER BY ym) END AS mom_growth
+    FROM monthly
+    """,
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: lag over the MONTHLY aggregate, never
+    the raw fact rows — the unpartitioned window is legal because its
+    input is |months| rows (the fact table was already reduced by a
+    partial-agg'd shuffle).  Revenue aggregates in exact DECIMAL; the
+    growth ratio is one double expression on exact inputs with a
+    null-guarded first month."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year("o_orderdate").cast("bigint") * 100
+            + F.month("o_orderdate").cast("bigint")
+        ).alias("ym")
+    ).agg(dsum(money("o_totalprice")).alias("revenue"))
+    w = W.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "ym",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("revenue") - prev) / prev)
+        .alias("mom_growth"),
+    )
