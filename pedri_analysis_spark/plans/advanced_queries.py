@@ -1629,3 +1629,47 @@ def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("revenue") - prev) / prev)
         .alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM semantics).
+# --------------------------------------------------------------------------
+@_register(
+    "null_safe_join_counts",
+    """
+    WITH clicks AS (
+      SELECT NULLIF(event_id % 10, 0) AS nk, count(*)::BIGINT AS click_n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    views AS (
+      SELECT NULLIF(event_id % 10, 0) AS nk, count(*)::BIGINT AS view_n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT c.nk::BIGINT AS nk, c.click_n, v.view_n
+    FROM clicks c JOIN views v ON c.nk IS NOT DISTINCT FROM v.nk
+    """,
+)
+def q_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: Spark's `<=>` ≡ SQL `IS NOT DISTINCT
+    FROM` — NULL keys MATCH each other instead of silently dropping
+    (the standard `=` would lose the NULL bucket entirely, a classic
+    reconciliation bug).  Both sides pre-aggregate to ≤10 key rows
+    before joining, so the null-bucket match is a k×k join of count
+    rows, never a null×null row explosion on the raw fact — the shape
+    to insist on at 100 TB, since a null-safe join on raw rows makes
+    the NULL key the worst possible skew key."""
+    ev = events_us(spark, sf_dir)
+    nk = F.nullif(F.col("event_id") % 10, F.lit(0))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(nk.alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("click_n"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(nk.alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("view_n"))
+    )
+    return clicks.join(views, clicks.nk.eqNullSafe(views.nk)).select(
+        clicks.nk.cast("bigint").alias("nk"), "click_n", "view_n"
+    )
