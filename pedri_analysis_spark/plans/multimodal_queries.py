@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pedri_analysis_spark.functions import textexpr as tx
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -202,4 +203,68 @@ def q_thumbnail_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.greatest("in_w", "in_h") <= THUMB_TARGET)
         .cast("bigint")
         .alias("n_unscaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Assembled training-sample manifest (documents ⋈ embeddings, 1:1)
+# ---------------------------------------------------------------------------
+
+MANIFEST_SHARDS = 8
+MANIFEST_MIN_CHARS = 120
+
+
+def _manifest_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "d.text")
+    h = tx.seeded_hash64(tx.DUCK, "CAST(d.doc_id AS VARCHAR)", "manifest")
+    return f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           len({toks})::BIGINT AS n_tokens,
+           floor(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                 * 1000000 + 0.5) / 1000000 AS emb_norm,
+           ({h} % {MANIFEST_SHARDS})::BIGINT AS shard
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.n_chars >= {MANIFEST_MIN_CHARS}
+    """
+
+
+@_register("training_sample_manifest", _manifest_oracle())
+def q_training_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled multimodal training manifest: text metadata joined
+    1:1 with the embedding table (doc_id = vec_id), carrying token
+    count, the embedding's L2 norm (a cheap sanity feature — zero or
+    exploding norms flag bad embeddings before training), and a
+    deterministic hash shard assignment, for documents passing a length
+    gate.  Norms fold the array in ORDER (a left fold on both engines,
+    so the float sum is bit-identical) and round to 6 dp — the repo's
+    embedding-similarity discipline.  Plan: one equi join on the shared
+    id (bucket both tables by id at 100 TB for an Exchange-free join),
+    everything else row-local column math; the manifest is what a
+    training job's data loader reads, sharded for reproducible
+    round-robin consumption."""
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    toks_n = F.expr(f"size({tx.tokens(tx.SPARK, 'text')})").cast("bigint")
+    norm = F.expr(
+        "floor(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        " * 1000000 + 0.5) / 1000000"
+    )
+    shard = (
+        F.expr(tx.seeded_hash64(tx.SPARK, "CAST(doc_id AS STRING)", "manifest"))
+        % MANIFEST_SHARDS
+    ).cast("bigint")
+    return (
+        d.filter(F.col("n_chars") >= MANIFEST_MIN_CHARS)
+        .join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            toks_n.alias("n_tokens"),
+            norm.alias("emb_norm"),
+            shard.alias("shard"),
+        )
     )
