@@ -344,28 +344,28 @@ def skyline_2d(pts: DataFrame, x: str = "price", y: str = "psize") -> DataFrame:
 def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: orphan counts for every FK edge of the schema —
     the check a 100 TB ingest pipeline runs before publishing a snapshot.
-    Each edge is (total child rows, rows whose FK misses the parent PK);
-    orphans come from a LEFT SEMI join (matched count) subtracted from
-    the total, so no row widening ever happens.  Parent sides are
-    deduplicated key projections; Spark broadcasts the small dims and
-    AQE picks shuffle-hash for the big ones.  NULL FKs count as orphans
-    on both engines (NULL never matches a semi join / IN)."""
+    Each edge is ONE scan of the child: a LEFT OUTER join against the
+    deduplicated parent-key projection (cannot widen rows — the parent
+    side is distinct on the key) feeds a single aggregate computing
+    count(*) and count(matched pk); orphans are the difference.  (The
+    semi-join-count formulation the oracle spells needs a second child
+    scan for the total — at 100 TB the child scan dominates, so one
+    pass wins.)  Spark broadcasts the small dims and AQE picks
+    shuffle-hash for the big ones.  NULL FKs count as orphans on both
+    engines (NULL never matches a join / IN)."""
     frames = []
     for label, child, fk, parent, pk in _FK_EDGES:
         ch = _t(spark, sf_dir, child).select(F.col(fk).alias("fk"))
         par = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
-        matched = ch.join(par, ch.fk == par.pk, "left_semi").agg(
-            F.count(F.lit(1)).alias("n_matched")
-        )
-        total = ch.agg(F.count(F.lit(1)).alias("n_rows"))
         frames.append(
-            total.crossJoin(matched).select(
-                F.lit(label).alias("edge"),
-                F.col("n_rows").cast("bigint").alias("n_rows"),
-                (F.col("n_rows") - F.col("n_matched"))
+            ch.join(par, ch.fk == par.pk, "left_outer")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("pk"))
                 .cast("bigint")
                 .alias("n_orphans"),
             )
+            .select(F.lit(label).alias("edge"), "n_rows", "n_orphans")
         )
     out = frames[0]
     for f in frames[1:]:
@@ -391,11 +391,15 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
              CAST(sum(day_total::DECIMAL(14,2)) AS DOUBLE) AS sx,
              CAST(sum(day_total::DECIMAL(14,2) * day_total::DECIMAL(14,2)) AS DOUBLE) AS sxx
       FROM daily GROUP BY 1
+    ),
+    usable AS (
+      SELECT * FROM stats
+      WHERE CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) ELSE 0 END > 0
     )
     SELECT d.event_type, d.day_idx::BIGINT AS day_idx, d.day_total,
            (d.day_total - s.sx / s.n)
              / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS zscore
-    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    FROM daily d JOIN usable s ON s.event_type = d.event_type
     WHERE abs((d.day_total - s.sx / s.n)
               / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 1.5
     """,
@@ -409,7 +413,15 @@ def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_moments_exact discipline — so the double z-scores are
     bit-identical.  Two map-side-combinable aggregates + a broadcast of
     the k-row stats frame; nothing here grows super-linearly at 100 TB
-    (days × types is the small side)."""
+    (days × types is the small side).
+
+    Degenerate groups are excluded BEFORE the formula with the identical
+    predicate on both engines: n = 1 makes the divisor (n − 1) zero
+    (Spark's ANSI-default session throws DIVIDE_BY_ZERO where DuckDB
+    returns NULL), and a zero-variance group can round the radicand to
+    a tiny negative (DuckDB's sqrt throws where Spark returns NaN) — a
+    z-score is meaningless for either, so both are filtered, not
+    clamped."""
     ev = events_us(spark, sf_dir)
     d14 = lambda c: F.col(c).cast("decimal(14,2)")
     daily = ev.groupBy(
@@ -421,11 +433,19 @@ def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d14("day_total")).cast("double").alias("sx"),
         F.sum(d14("day_total") * d14("day_total")).cast("double").alias("sxx"),
     )
+    # CASE (not an AND conjunct) so the division is provably unevaluated
+    # at n = 1 — neither engine guarantees AND short-circuit order.
+    usable = stats.filter(
+        F.expr(
+            "CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) ELSE 0 END"
+        )
+        > 0
+    )
     z = F.expr(
         "(day_total - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))"
     )
     return (
-        daily.join(F.broadcast(stats), on="event_type")
+        daily.join(F.broadcast(usable), on="event_type")
         .withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > 1.5)
         .select("event_type", "day_idx", "day_total", "zscore")
@@ -542,8 +562,7 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     per_nation = fact.groupBy("n_regionkey", "c_nationkey").agg(
-        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch"),
-        F.countDistinct("o_custkey").alias("exact_nation"),
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch")
     )
     merged = per_nation.groupBy("n_regionkey").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"),
@@ -877,13 +896,11 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the posting lists for genuinely hot terms would be
     range-bucketed per (term, shard) instead, which this shape extends
     to by adding a shard key to the groupBy."""
-    from pedri_analysis_spark.functions import textexpr as tx
-
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.expr(tx.tokens(tx.SPARK, "text")))
+            F.array_distinct(F.expr(tx_mod.tokens(tx_mod.SPARK, "text")))
         ).alias("term"),
     )
     return (
@@ -910,18 +927,18 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id % 50 = 0
     ),
     dedup AS (
-      SELECT user_id, event_type, ts_us,
+      SELECT user_id, event_type, ts_us, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
                AS prev_type
       FROM ev
     ),
     changes AS (
-      SELECT user_id, event_type, ts_us FROM dedup
+      SELECT user_id, event_type, ts_us, event_id FROM dedup
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type,
            ts_us AS valid_from_us,
-           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
              AS valid_to_us
     FROM changes
     """,
@@ -945,7 +962,7 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_type") != F.col("event_type"))
         )
     )
-    w_lead = W.partitionBy("user_id").orderBy("ts_us")
+    w_lead = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     return changes.select(
         "user_id",
         "event_type",
@@ -1033,10 +1050,11 @@ def rolling_distinct(
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS total_chars,
-           2.0 * CAST(sum(i * n_chars)::BIGINT AS DOUBLE)
-             / (CAST(count(*)::BIGINT AS DOUBLE) * CAST(sum(n_chars)::BIGINT AS DOUBLE))
-             - (CAST(count(*)::BIGINT AS DOUBLE) + 1.0) / CAST(count(*)::BIGINT AS DOUBLE)
-             AS gini
+           CASE WHEN sum(n_chars) > 0 THEN
+             2.0 * CAST(sum(i * n_chars)::BIGINT AS DOUBLE)
+               / (CAST(count(*)::BIGINT AS DOUBLE) * CAST(sum(n_chars)::BIGINT AS DOUBLE))
+               - (CAST(count(*)::BIGINT AS DOUBLE) + 1.0) / CAST(count(*)::BIGINT AS DOUBLE)
+           END AS gini
     FROM ranked
     GROUP BY source
     """,
@@ -1063,22 +1081,25 @@ def q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gini_by_group(df: DataFrame, group: str, value: str) -> DataFrame:
     """Per-group Gini via the rank formulation (exact BIGINT sums,
     double math only in the final closed form).  Returns (group, n,
-    total, gini)."""
+    total, gini); gini is NULL for a group with zero total mass (the
+    coefficient is undefined there, and an unguarded division would
+    throw under Spark's ANSI-default session where DuckDB nulls)."""
     w = W.partitionBy(group).orderBy(value)
     ranked = df.withColumn("i", F.row_number().over(w))
+    formula = (
+        F.lit(2.0)
+        * F.sum(F.col("i") * F.col(value)).cast("bigint").cast("double")
+        / (
+            F.count(F.lit(1)).cast("bigint").cast("double")
+            * F.sum(value).cast("bigint").cast("double")
+        )
+        - (F.count(F.lit(1)).cast("bigint").cast("double") + F.lit(1.0))
+        / F.count(F.lit(1)).cast("bigint").cast("double")
+    )
     return ranked.groupBy(group).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(value).cast("bigint").alias("total"),
-        (
-            F.lit(2.0)
-            * F.sum(F.col("i") * F.col(value)).cast("bigint").cast("double")
-            / (
-                F.count(F.lit(1)).cast("bigint").cast("double")
-                * F.sum(value).cast("bigint").cast("double")
-            )
-            - (F.count(F.lit(1)).cast("bigint").cast("double") + F.lit(1.0))
-            / F.count(F.lit(1)).cast("bigint").cast("double")
-        ).alias("gini"),
+        F.when(F.sum(value) > 0, formula).alias("gini"),
     )
 
 
@@ -1165,7 +1186,6 @@ def q_lm_plausibility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.expr(_bigrams_pos("spark", "t"))).alias("bg")
     )
     big = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))
-    w1 = F.expr("split_part(bg, ' ', 1)")
     ctx_w = W.partitionBy(F.expr("split_part(bg, ' ', 1)"))
     prob = big.select(
         "bg",

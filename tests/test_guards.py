@@ -1,0 +1,60 @@
+"""Degenerate-input guards found in the round-6 code review: the ANSI
+div-by-zero / negative-radicand / zero-mass cases that diverge between
+Spark (throw or NaN) and DuckDB (NULL or throw) must be excluded by the
+same predicate on both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_gini_zero_mass_group_yields_null_not_error(spark):
+    from pedri_analysis_spark.plans.advanced_queries import gini_by_group
+
+    df = spark.createDataFrame(
+        [("empty", 0), ("empty", 0), ("ok", 3), ("ok", 1)], ["grp", "x"]
+    )
+    rows = {r.grp: r for r in gini_by_group(df, "grp", "x").collect()}
+    assert rows["empty"].gini is None
+    assert rows["ok"].gini is not None
+
+
+def test_zscore_single_day_and_zero_variance_groups_are_filtered(spark, tmp_path):
+    """An event_type with one day (n-1 = 0) or identical totals every day
+    (radicand rounds to <= 0) must be excluded, not crash Spark's
+    ANSI-default session or emit NaN z-scores."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # "single": one day only
+    rows.append((1, t0, 1, "single", 5.0, "{}"))
+    # "flat": same total (0.01) on five days -> zero variance
+    for d in range(5):
+        rows.append((10 + d, t0 + dt.timedelta(days=d), 2, "flat", 0.01, "{}"))
+    # "ok": clearly varying totals across five days
+    for d in range(5):
+        rows.append((20 + d, t0 + dt.timedelta(days=d), 3, "ok", float(d * d), "{}"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf_guard"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    from pedri_analysis_spark.plans.advanced_queries import QUERIES
+
+    out = QUERIES["anomaly_zscore_daily"](spark, str(d)).collect()
+    types = {r.event_type for r in out}
+    assert "single" not in types and "flat" not in types
+    assert all(r.zscore == r.zscore for r in out)  # no NaN survived

@@ -56,7 +56,6 @@ _BNLJ_ALLOWED = {
     "pagerank_trade_graph",  # 1-row node-count frame, once per iteration
     "pedri_radar_percentiles",  # 1-row league-means frame
     "quantile_binning_price",  # k-row exact-quantile bounds frame
-    "referential_integrity_audit",  # 1-row total x 1-row matched count frames per edge
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
     "sparse_cosine_pairs",  # 1-row corpus-count frame (idf)
     "sq_recall_at_k",  # 1-row max-abs scale frame
