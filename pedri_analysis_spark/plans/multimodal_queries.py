@@ -97,7 +97,9 @@ def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- first UTF-8 BYTE of the payload (hex pair -> int), NOT
            -- ord(): the first codepoint diverges from the byte the stub
            -- sees whenever a document ever starts multi-byte
-           sum(('0x' || substr(hex(encode(text)), 1, 2))::BIGINT)::BIGINT
+           -- empty payload: hex('') = '' would make the cast throw; the
+           -- stub kernel zero-pads (np.resize) so its f0 byte is 0
+           sum(coalesce(try_cast('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT), 0))::BIGINT
                AS sum_f0_byte
     FROM documents GROUP BY 1
     """,

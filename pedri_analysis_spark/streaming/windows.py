@@ -27,15 +27,23 @@ from pyspark.sql import functions as F
 
 
 def with_event_time(df: DataFrame, ts: str = "ts", out: str = "event_time") -> DataFrame:
-    """Add an ``out`` TIMESTAMP column from ``ts``, whatever dtype it is:
+    """Add an ``out`` TIMESTAMP column from ``ts``:
     TIMESTAMP/TIMESTAMP_NTZ → identity cast (UTC session TZ), BIGINT →
-    treated as epoch-nanos (the ``nanosAsLong`` legacy read path)."""
+    treated as epoch-NANOS (the ``nanosAsLong`` legacy read path — the
+    only integer encoding this engine's sources produce).  Any other
+    dtype raises: silently guessing a unit for, say, an epoch-millis
+    int would bucket every window around 1970 with no error anywhere."""
     from pyspark.sql import types as T
 
     ts_type = df.schema[ts].dataType
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         return df.withColumn(out, F.col(ts).cast("timestamp"))
-    return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts} div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts} div 1000")))
+    raise TypeError(
+        f"{ts!r} has dtype {ts_type.simpleString()}; expected timestamp, "
+        "timestamp_ntz, or bigint epoch-nanos (nanosAsLong read path)"
+    )
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes", col: str = "event_time") -> DataFrame:
@@ -95,15 +103,18 @@ def sessionize_batch(
     gap_minutes: int = 30,
     key: str = "user_id",
     ts_us_col: str = "ts_us",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Batch sessionization: lag-gap flag + running sum ⇒ session ids, then
     per-session rollup (the classic two-window formulation; the streaming
     analogue is ``session_window``/``applyInPandasWithState``).
+    ``tiebreak_col`` totally orders same-timestamp rows so session
+    boundaries are deterministic.
 
     Scale: one shuffle on the key; both windows share the same sort."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(key).orderBy(ts_us_col, "event_id")
+    w = W.partitionBy(key).orderBy(ts_us_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
     flagged = df.withColumn(
         "new_session",
@@ -111,12 +122,11 @@ def sessionize_batch(
             F.col(ts_us_col) - F.lag(ts_us_col).over(w) > gap_us
         ).cast("int"),
     ).withColumn(
+        # the frame always contains the current row and the summed flag is
+        # never NULL after the inner coalesce, so no outer fallback needed
         "session_seq",
-        F.coalesce(
-            F.sum(F.coalesce("new_session", F.lit(0))).over(
-                w.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-            F.lit(0),
+        F.sum(F.coalesce("new_session", F.lit(0))).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
     return flagged.groupBy(key, "session_seq").agg(
@@ -151,8 +161,10 @@ def interval_join_stream(
     tests/test_streaming.py::test_stream_stream_left_outer_interval_join."""
     cond = (
         (left[key] == right[key])
-        & (right[right_time] >= left[left_time] + F.expr(f"INTERVAL {lower_s} SECONDS"))
-        & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s} SECONDS"))
+        # fixed-point formatting: Python renders 1e-05 in scientific
+        # notation, which Spark's INTERVAL literal parser rejects
+        & (right[right_time] >= left[left_time] + F.expr(f"INTERVAL {lower_s:.6f} SECONDS"))
+        & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s:.6f} SECONDS"))
     )
     return left.join(right, cond, how)
 
@@ -189,21 +201,24 @@ def foreach_batch_idempotent_parquet(out_dir: str):
 
     Scale: the marker check is one driver-side metadata call per batch;
     the write itself is the normal distributed parquet job.  Partial
-    writes from a crash before the marker land in a directory the next
-    attempt overwrites, so readers that filter on committed batch ids
-    (or list via the markers) observe exactly-once output."""
-    import os
-    import shutil
+    writes from a crash before the marker land in a directory
+    ``mode("overwrite")`` replaces on retry, so readers that filter on
+    committed batch ids (or list via the markers) observe exactly-once
+    output.  Marker I/O goes through the Hadoop FileSystem of the
+    batch's own session, so the sink works on any supported URI
+    (s3a://, hdfs://, file:/) — driver-local ``os.path`` would
+    silently break exactly-once on object stores."""
 
     def write(df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_dir, f"_SUCCESS.{batch_id}")
-        if os.path.exists(marker):
+        spark = df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(out_dir, f"_SUCCESS.{batch_id}")
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
             return  # replayed batch: already committed, do nothing
-        target = os.path.join(out_dir, f"batch_id={batch_id}")
-        if os.path.exists(target):  # partial write from a crashed attempt
-            shutil.rmtree(target)
-        df.write.mode("overwrite").parquet(target)
-        with open(marker, "w") as f:
-            f.write("")
+        # mode("overwrite") replaces any partial directory from a crash
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        fs.create(marker, True).close()
 
     return write
