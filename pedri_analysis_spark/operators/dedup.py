@@ -159,9 +159,12 @@ def minhash_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection: returns
-    (a, b, jaccard) with jaccard ≥ threshold."""
+    (a, b, jaccard) with jaccard ≥ threshold.  ``max_bucket`` forwards
+    to the LSH bucket cap so callers that bake the cap into an oracle
+    (plans/dedup_queries.MAX_BUCKET) can keep both sides in lockstep."""
     # persist: the signature table feeds both the bucket self-join and the
     # Jaccard verify — without it the tokenize/shingle/hash chain runs
     # twice. Narrowed to (key, sh, mh*) first: the raw text column is dead
@@ -173,7 +176,7 @@ def minhash_near_dups(
     # persisted frame inside one job race the cache fill and both
     # recompute the signature kernel (the ann_lsh double-execution bug)
     sigs.count()
-    pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands)
+    pairs = lsh_candidate_pairs(sigs, key_col, n_hashes, bands, max_bucket)
     return jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
 
 

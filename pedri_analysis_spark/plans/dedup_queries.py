@@ -184,6 +184,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_k=SHINGLE_K,
         threshold=JACCARD_T,
+        max_bucket=MAX_BUCKET,
     )
 
 
@@ -354,9 +355,10 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint()
     )
-    if pairs.count() <= DRIVER_GRAPH_MAX_PAIRS:
+    n_pairs = pairs.count()
+    if n_pairs <= DRIVER_GRAPH_MAX_PAIRS:
         return _components_unionfind(spark, pairs)
-    return _components_propagate(spark, pairs)
+    return _components_propagate(spark, pairs, n_pairs=n_pairs)
 
 
 # The candidate graph is |near-dup pairs| — orders of magnitude smaller
@@ -394,7 +396,10 @@ def _components_unionfind(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 
 
 def _components_propagate(
-    spark: SparkSession, pairs: DataFrame, max_iter: int = 30
+    spark: SparkSession,
+    pairs: DataFrame,
+    max_iter: int = 30,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Distributed min-label propagation (the Pregel/GraphX pattern as
     DataFrame ops): per iteration one join + min-aggregate shuffle,
@@ -406,7 +411,8 @@ def _components_propagate(
     (Chain-shaped components with diameter > max_iter need the
     pointer-doubling / large-star-small-star formulation; raise loudly
     rather than guess.)"""
-    n_pairs = pairs.count()
+    if n_pairs is None:  # caller usually counted already to pick the path
+        n_pairs = pairs.count()
     p = max(1, min(32, n_pairs // 100_000 + 1))
     nodes = (
         pairs.select(F.col("a").alias("node"))
@@ -786,28 +792,37 @@ def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead would re-print every cached subtree into one giant plan
     # for zero execution benefit.
     s1 = dd.exact_dedup(d, "text", "doc_id").persist()
-    n_exact = s1.count()
-    mh_pairs = dd.minhash_near_dups(
-        s1,
-        n_hashes=N_HASHES,
-        bands=BANDS,
-        shingle_k=SHINGLE_K,
-        threshold=JACCARD_T,
-    )
-    s2 = s1.join(
-        mh_pairs.select(F.col("b").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_anti",
-    ).persist()
-    n_minhash = s2.count()
-    sh_pairs = dd.simhash_prefix_near_dups(s2, max_hamming=HAMMING_T)
-    s3 = s2.join(
-        sh_pairs.select(F.col("b").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_anti",
-    )
-    n_simhash = s3.count()
-    n_input = d.count()
+    s2 = None
+    try:
+        n_exact = s1.count()
+        mh_pairs = dd.minhash_near_dups(
+            s1,
+            n_hashes=N_HASHES,
+            bands=BANDS,
+            shingle_k=SHINGLE_K,
+            threshold=JACCARD_T,
+            max_bucket=MAX_BUCKET,
+        )
+        s2 = s1.join(
+            mh_pairs.select(F.col("b").alias("doc_id")).distinct(),
+            on="doc_id",
+            how="left_anti",
+        ).persist()
+        n_minhash = s2.count()
+        sh_pairs = dd.simhash_prefix_near_dups(s2, max_hamming=HAMMING_T)
+        s3 = s2.join(
+            sh_pairs.select(F.col("b").alias("doc_id")).distinct(),
+            on="doc_id",
+            how="left_anti",
+        )
+        n_simhash = s3.count()
+        n_input = d.count()
+    finally:
+        # every count is materialized by here — release the stage caches
+        # so a catalog-wide run doesn't accumulate executor storage
+        s1.unpersist()
+        if s2 is not None:
+            s2.unpersist()
     return spark.createDataFrame(
         [(n_input, n_exact, n_minhash, n_simhash)],
         "n_input long, n_after_exact long, n_after_minhash long, n_after_simhash long",

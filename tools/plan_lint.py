@@ -82,6 +82,18 @@ _PYTHON_ALLOWED = {
     # should force a fresh look.
 }
 
+# Queries whose QueryFn EXECUTES eagerly (driver-side bounded counts /
+# memoized orchestrator runs), so "building the plan" would run the whole
+# pipeline and the returned frame's plan is a LocalTableScan that tells
+# the invariants nothing.  Each entry cites where its real topology IS
+# audited; the linter records a marker row instead of building them.
+_EAGER_EXECUTING = {
+    # composition of dedup_exact_by_lang + minhash_near_dups +
+    # simhash_prefix_near_dups, each individually audited above; the
+    # glue is two left_anti equi joins
+    "dedup_cascade_report",
+}
+
 _PYTHON_NODES = (
     "BatchEvalPython",
     "ArrowEvalPython",
@@ -125,6 +137,9 @@ def audit(spark, sf_dir: str) -> tuple[dict[str, dict], list[str]]:
     report: dict[str, dict] = {}
     problems: list[str] = []
     for name, fn in sorted(all_queries().items()):
+        if name in _EAGER_EXECUTING:
+            report[name] = {"eager_skipped": True}
+            continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — a build failure IS a finding
@@ -153,11 +168,11 @@ def main() -> int:
     report, problems = audit(spark, sf_dir)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    n_shuffle = sum(r["shuffles"] for r in report.values())
+    n_shuffle = sum(r.get("shuffles", 0) for r in report.values())
     print(
         f"plan_lint: {len(report)} queries, {n_shuffle} shuffle exchanges, "
-        f"{sum(r['python'] for r in report.values())} python-boundary, "
-        f"{sum(r['bnlj'] for r in report.values())} bnlj -> {out_path}"
+        f"{sum(r.get('python', 0) for r in report.values())} python-boundary, "
+        f"{sum(r.get('bnlj', 0) for r in report.values())} bnlj -> {out_path}"
     )
     for p in problems:
         print(f"VIOLATION {p}", file=sys.stderr)
