@@ -121,6 +121,12 @@ def zorder_keyed_orders(
     bucket is an ALIGNED square of the (qx, qy) grid (a block of
     ``4**Z_BITS / n_buckets`` consecutive Morton codes), which is what
     bounds every file's min/max rectangle."""
+    if (1 << (2 * Z_BITS)) % n_buckets:
+        raise ValueError(
+            f"n_buckets={n_buckets} must divide 4**Z_BITS={1 << (2 * Z_BITS)}: "
+            "a non-divisor silently yields n_buckets+1 unaligned buckets "
+            "and voids the min/max-rectangle guarantee"
+        )
     o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
     bounds = F.broadcast(
         o.agg(
@@ -159,7 +165,14 @@ def write_zorder_layout(
     zed = zorder_keyed_orders(spark, sf_dir, n_buckets)
     (
         zed.repartition(n_buckets, "z_bucket")
-        .sortWithinPartitions("z")
+        # (z_bucket, z), not plain (z): partitionBy makes the planner
+        # stack its own required Sort[z_bucket] on the write, and
+        # EliminateSorts would DROP a bare Sort[z] under it — silently
+        # writing unsorted files.  With the bucket as the sort prefix the
+        # writer's requirement is already satisfied and the z ordering
+        # survives into the files (pinned by test_layout's
+        # intra-file-sorted assertion).
+        .sortWithinPartitions("z_bucket", "z")
         .write.partitionBy("z_bucket")
         .mode("overwrite")
         .parquet(out_dir)

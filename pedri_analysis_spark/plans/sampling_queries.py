@@ -69,6 +69,10 @@ def _bucket(dialect: str, key_expr: str, seed: str) -> str:
 
 _SB = _bucket(tx.SPARK, "CAST(doc_id AS STRING)", "sample")
 _DB = _bucket(tx.DUCK, "doc_id::VARCHAR", "sample")
+# full-width hashes for ORDERING (the buckets are for rate thresholds;
+# ordering by a 10k-value bucket degenerates to doc_id ties at scale)
+_SH = tx.seeded_hash64(tx.SPARK, "CAST(doc_id AS STRING)", "sample")
+_DH = tx.seeded_hash64(tx.DUCK, "doc_id::VARCHAR", "sample")
 _SSPLIT = _bucket(tx.SPARK, "CAST(doc_id AS STRING)", "split")
 _DSPLIT = _bucket(tx.DUCK, "doc_id::VARCHAR", "split")
 
@@ -133,7 +137,7 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY {_DB} ASC, doc_id ASC
+               ORDER BY {_DH} ASC, doc_id ASC
              ) AS rn
       FROM documents
     )
@@ -144,13 +148,16 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsample: at most 40 docs per language, chosen by
     hash order (NOT doc_id order, which would bias toward old docs; NOT
-    RNG, which would be irreproducible).
+    RNG, which would be irreproducible).  Ranks the FULL 60-bit hash:
+    the mod-10000 bucket the rate samplers use would collapse to doc_id
+    tie-breaking once classes exceed ~10k docs, silently reintroducing
+    the old-doc bias at scale.
 
     Scale: one shuffle on the class key; if one class dominates (skew),
     pre-filter with a per-class hash threshold ≈ n/count estimate first so
     the window only ranks a small superset."""
     d = load_table(spark, "documents", sf_dir)
-    w = W.partitionBy("lang").orderBy(F.expr(_SB).asc(), F.col("doc_id").asc())
+    w = W.partitionBy("lang").orderBy(F.expr(_SH).asc(), F.col("doc_id").asc())
     return (
         d.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= BALANCED_PER_CLASS)
@@ -158,7 +165,7 @@ def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rate_case(dialect: str) -> str:
+def _rate_case() -> str:
     arms = " ".join(
         f"WHEN source = '{s}' THEN {bp}" for s, bp in SOURCE_RATES_BP.items()
     )
@@ -172,7 +179,7 @@ def _rate_case(dialect: str) -> str:
            count(*)::BIGINT AS n_kept,
            sum(n_chars)::BIGINT AS n_chars_kept
     FROM documents
-    WHERE {_DB} < {_rate_case(tx.DUCK)}
+    WHERE {_DB} < {_rate_case()}
     GROUP BY source
     """,
 )
@@ -184,7 +191,7 @@ def q_stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     retuned without changing which rows the survivors came from."""
     d = load_table(spark, "documents", sf_dir)
     return (
-        d.filter(F.expr(_SB) < F.expr(_rate_case(tx.SPARK)))
+        d.filter(F.expr(_SB) < F.expr(_rate_case()))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -324,7 +331,7 @@ def _mix_case(dialect: str) -> str:
     )
     SELECT source, available_chars,
            {_mix_case(tx.DUCK)} AS target_share_bp,
-           ({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000)::BIGINT AS target_chars,
+           (({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS}) // 10000)::BIGINT AS target_chars,
            floor(least(1.0, ({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000.0)
                             / available_chars) * 1000000.0) / 1000000.0 AS sampling_rate,
            floor((({_mix_case(tx.DUCK)} * {MIX_BUDGET_CHARS} / 10000.0)
@@ -351,7 +358,11 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_chars").alias("available_chars"))
     )
-    target_chars = (case * MIX_BUDGET_CHARS / F.lit(10000)).cast("bigint")
+    # integer division: a float '/' + cast would TRUNCATE here but ROUND
+    # in DuckDB's ::BIGINT — only exact until someone retunes the rates
+    target_chars = F.expr(
+        f"({_mix_case(tx.SPARK)} * {MIX_BUDGET_CHARS}) div 10000"
+    ).cast("bigint")
     draw = case * MIX_BUDGET_CHARS / F.lit(10000.0) / F.col("available_chars")
     return avail.select(
         "source",

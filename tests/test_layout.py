@@ -129,3 +129,19 @@ def test_single_sort_layout_cannot_skip_other_dim(spark, tmp_path, zorder_dir):
         f"expected the single-sort layout to be unable to skip on the "
         f"other dimension, but it scanned only {hit_dt}/{total}"
     )
+
+
+def test_zorder_files_are_sorted_within_file(spark, zorder_dir):
+    """The write path's documented guarantee: rows inside each file are
+    z-sorted so row-group stats nest.  Regression for the planned-write
+    trap: partitionBy stacks a required Sort[z_bucket] and
+    EliminateSorts DROPS a bare sortWithinPartitions('z') under it —
+    the sort must lead with the bucket to survive."""
+    import pyarrow.parquet as pq
+
+    files = _files(zorder_dir)
+    assert files
+    for f in files:
+        assert "z" in pq.read_schema(f).names
+        zs = [row["z"] for row in pq.read_table(f, columns=["z"]).to_pylist()]
+        assert zs == sorted(zs), f"{f} not z-sorted"
