@@ -42,11 +42,31 @@ def seeded_hash64(dialect: str, expr: str, seed: int | str = "") -> str:
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
 
 
-def tokens(dialect: str, text_expr: str) -> str:
-    """Lower-cased whitespace tokens (the reference-style normalization)."""
+DAY_US = 86_400_000_000
+
+
+def epoch_day(dialect: str, col: str) -> str:
+    """Epoch-day index of a (possibly NTZ) timestamp column — the shared
+    dual-dialect day-bucketing idiom (UTC session TZ makes the Spark cast
+    an identity, and `div` ≡ `//` for the post-1970 data domain)."""
     if dialect == SPARK:
-        return f"split(trim(lower({text_expr})), '\\\\s+')"
-    return f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+        return f"(unix_micros(CAST({col} AS TIMESTAMP)) div {DAY_US})"
+    return f"(epoch_us({col}) // {DAY_US})"
+
+
+def tokens(dialect: str, text_expr: str) -> str:
+    """Lower-cased whitespace tokens (the reference-style normalization).
+
+    The empty-string filter matters: splitting an empty/whitespace-only
+    document yields [''] (size 1) on BOTH engines, which silently
+    inflates every token count and makes an n_tokens = 0 gate
+    unreachable — filtered, an empty document tokenizes to []."""
+    if dialect == SPARK:
+        return f"filter(split(trim(lower({text_expr})), '\\\\s+'), _t -> _t <> '')"
+    return (
+        f"list_filter(string_split_regex(trim(lower({text_expr})), '\\s+'),"
+        f" _t -> _t <> '')"
+    )
 
 
 def word_shingles(dialect: str, toks_expr: str, k: int = 3) -> str:

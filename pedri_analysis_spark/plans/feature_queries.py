@@ -27,7 +27,7 @@ from pedri_analysis_spark.sources.tables import load_table
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-DAY_US = 86_400_000_000
+DAY_US = tx.DAY_US
 
 
 def _register(name: str, oracle: str | None = None):
@@ -195,7 +195,7 @@ _EWMA_LAGS = ", ".join(
     "ewma_daily_revenue",
     f"""
     WITH daily AS (
-      SELECT epoch_us(o_orderdate) // {DAY_US} AS day,
+      SELECT {tx.epoch_day(tx.DUCK, 'o_orderdate')} AS day,
              count(*)::BIGINT AS n_orders,
              CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1
@@ -222,7 +222,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     daily = (
         o.groupBy(
-            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US}").alias(
+            F.expr(tx.epoch_day(tx.SPARK, "o_orderdate")).alias(
                 "day"
             )
         )

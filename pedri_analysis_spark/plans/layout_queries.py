@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.functions import textexpr as tx
 from pedri_analysis_spark.sources.tables import load_table
 
 QUERIES: dict[str, QueryFn] = {}
@@ -72,9 +73,7 @@ def _interleave(dialect: str, qx: str, qy: str) -> str:
 
 
 def _epoch_day(dialect: str, col: str) -> str:
-    if dialect == "spark":
-        return f"(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000)"
-    return f"(epoch_us({col}) // 86400000000)"
+    return tx.epoch_day(tx.SPARK if dialect == "spark" else tx.DUCK, col)
 
 
 def _zorder_sql(dialect: str) -> str:

@@ -37,9 +37,6 @@ def _register(name: str, oracle: str | None = None):
     WITH tok AS (
       SELECT doc_id, lang, {tx.tokens(tx.DUCK, 'text')} AS toks FROM documents
     ),
-    doc_level AS (
-      SELECT lang, len(toks) AS n_toks FROM tok
-    ),
     per_lang AS (
       SELECT lang, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS total_tokens
       FROM tok GROUP BY lang
@@ -373,7 +370,12 @@ def q_binary_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: chunk rows come from an explode over a computed range — row
     count is Σ ceil(bytes/chunk), no shuffle; the checksum rides the scan.
-    """
+
+    Empty payloads emit ZERO chunk rows on both engines: Spark's
+    sequence(0, -1) would infer step -1 and fabricate [0, -1] (two
+    phantom chunks, one with a negative offset) where DuckDB's
+    generate_series(0, -1) is empty — the CASE guard is the same
+    negative-range defence textexpr.word_shingles documents."""
     d = load_table(spark, "documents", sf_dir)
     payload = F.encode("text", "UTF-8")
     n_bytes = F.length(payload).cast("long")
@@ -383,9 +385,12 @@ def q_binary_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.md5(payload).alias("checksum"),
             n_bytes.alias("n_bytes"),
-            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
-                "chunk_idx"
-            ),
+            F.explode(
+                F.when(
+                    n_chunks >= 1,
+                    F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("chunk_idx"),
         )
         .select(
             "doc_id",
@@ -542,15 +547,21 @@ CMS_W = 512  # buckets per row
 CMS_TOP = 10  # audited heavy hitters
 
 
-def _cms_bucket(dialect: str, d: int) -> str:
-    """Row-d bucket of a token: independent seeded 60-bit hash mod W."""
-    return f"({tx.seeded_hash64(dialect, 'token', f'cm{d}')}) % {CMS_W}"
+def _cms_bucket(dialect: str, d: int, col: str = "token") -> str:
+    """Row-d bucket of ``col``: independent seeded 60-bit hash mod W.
+    ``col`` is a parameter (not post-hoc string replace over generated
+    SQL, which would corrupt the oracle if the hash expansion ever
+    contained 'token' as a non-column substring)."""
+    return f"({tx.seeded_hash64(dialect, col, f'cm{d}')}) % {CMS_W}"
 
 
 def _cms_oracle() -> str:
     toks = tx.tokens(tx.DUCK, "text")
     bucket_case = " ".join(
         f"WHEN {d} THEN {_cms_bucket(tx.DUCK, d)}" for d in range(CMS_D)
+    )
+    cand_bucket_case = " ".join(
+        f"WHEN {d} THEN {_cms_bucket(tx.DUCK, d, 'c.token')}" for d in range(CMS_D)
     )
     return f"""
     WITH tok AS (
@@ -574,7 +585,7 @@ def _cms_oracle() -> str:
       SELECT c.token, c.exact_n, min(m.total)::BIGINT AS cms_n
       FROM cand c CROSS JOIN rows_ r
       JOIN cms m ON m.d = r.d
-        AND m.bucket = (CASE r.d {bucket_case.replace("token", "c.token")} END)
+        AND m.bucket = (CASE r.d {cand_bucket_case} END)
       GROUP BY 1, 2
     )
     SELECT token, exact_n, cms_n, (cms_n - exact_n)::BIGINT AS overcount,

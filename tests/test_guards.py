@@ -58,3 +58,47 @@ def test_zscore_single_day_and_zero_variance_groups_are_filtered(spark, tmp_path
     types = {r.event_type for r in out}
     assert "single" not in types and "flat" not in types
     assert all(r.zscore == r.zscore for r in out)  # no NaN survived
+
+
+def test_empty_document_tokenizes_to_zero_and_chunks_to_zero(spark, tmp_path):
+    """Empty/whitespace docs: tokens() yields [] (not ['']), so token
+    counts aren't inflated and an n_tokens=0 gate is reachable; the
+    chunk manifest emits ZERO rows (Spark's sequence(0,-1) would have
+    fabricated [0,-1] phantom chunks where DuckDB emits none)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "   ", "two tokens"], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([0, 3, 10], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf_docs"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    from pyspark.sql import functions as F
+
+    from pedri_analysis_spark.functions import textexpr as tx
+    from pedri_analysis_spark.plans.text_queries import QUERIES
+    from pedri_analysis_spark.sources.tables import load_table
+
+    tok_sizes = {
+        r.doc_id: r.n
+        for r in load_table(spark, "documents", str(d))
+        .select("doc_id", F.expr(f"size({tx.tokens(tx.SPARK, 'text')})").alias("n"))
+        .collect()
+    }
+    assert tok_sizes == {1: 0, 2: 0, 3: 2}
+
+    chunks = QUERIES["binary_payload_chunks"](spark, str(d)).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc  # zero-byte payload -> zero chunk rows
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert all(r.chunk_idx >= 0 and r.start_byte >= 0 for r in chunks)
