@@ -43,7 +43,12 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero-norm side scores 0.0 to everything —
+    an unguarded division would throw DIVIDE_BY_ZERO under the driver's
+    ANSI-default session (where numpy/DuckDB quietly produce NaN, which
+    then sorts ABOVE every real similarity — worse than crashing)."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def round6(c: Column) -> Column:
@@ -69,7 +74,11 @@ def _cosine_pandas():
         mb = np.stack(b.values).astype(np.float64)
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+        # zero-norm guard: NaN would silently rank #1 (NaN sorts above
+        # every double in Spark/DuckDB) and pass >= thresholds; 0.0
+        # matches the JVM cosine()'s guarded semantics
+        safe = np.where(den > 0, den, 1.0)
+        return pd.Series(np.where(den > 0, num / safe, 0.0))
 
     return _cos
 
@@ -116,12 +125,18 @@ def ivf_assign(
     scored = embeddings.crossJoin(c).withColumn(
         "_csim", round6(cosine_fast(vec_col, "_cvec"))
     )
+    # ONE shuffle: carry the full row through the argmax instead of a
+    # second corpus-wide join back on the id (the aggregation buffer is
+    # one row per vector either way; the join formulation re-shuffled
+    # the whole embeddings frame a second time).
+    row_cols = [F.col(c_) for c_ in embeddings.columns]
     best = scored.groupBy(id_col).agg(
         F.max_by(
-            F.col(centroid_id), F.struct(F.col("_csim"), -F.col(centroid_id))
-        ).alias("cluster")
+            F.struct(*row_cols, F.col(centroid_id).alias("cluster")),
+            F.struct(F.col("_csim"), -F.col(centroid_id)),
+        ).alias("_row")
     )
-    return embeddings.join(best, id_col)
+    return best.select("_row.*")
 
 
 def ivf_topk(

@@ -41,11 +41,14 @@ def _register(name: str, oracle: str | None = None):
 # DuckDB-side cosine with the same 6-dp floor rounding. The fold order
 # inside list_cosine_similarity differs from our Spark fold — that is
 # exactly what round6 absorbs.
+def _r6_sql(e: str) -> str:
+    """The DuckDB side of operators.similarity.round6 — ONE definition so
+    a precision tweak cannot leave a stale copy behind."""
+    return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+
 def _dcos(a: str, b: str) -> str:
-    return (
-        f"floor(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]) * 1000000 + 0.5)"
-        f" / 1000000"
-    )
+    return _r6_sql(f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])")
 
 
 @_register(
@@ -272,17 +275,23 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 4
 KMEANS_ITERS = 2
+# the unrolled-CTE oracle names its final assignment/centroid CTEs after
+# the iteration count; consumers must reference these, never literals
+KMEANS_FINAL_A = f"a{KMEANS_ITERS}"
+KMEANS_FINAL_C = f"c{KMEANS_ITERS}"
 
 
 def _kmeans_cte_prefix(k: int) -> str:
     """The fixed-iteration Lloyd's, unrolled as chained CTEs: each round
     is assign (argmin over (dist, cid) via window) + update (per-
     (cluster, dim) decimal-exact mean re-collected into an array).
-    Returns the ``WITH ... a2`` prefix whose final CTE ``a2`` is the
-    converged assignment (vec_id, embedding, cluster) — shared by the
-    kmeans report and the semantic-dedup oracle."""
+    Returns the ``WITH ...`` prefix whose final CTEs
+    ``a{KMEANS_ITERS}`` / ``c{KMEANS_ITERS}`` (see KMEANS_FINAL_A /
+    KMEANS_FINAL_C) hold the converged assignment
+    (vec_id, embedding, cluster) and centroids — shared by the kmeans
+    report and the semantic-dedup oracle."""
     d2 = (
-        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
         "i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE) "
         "* (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))), (acc, v) -> acc + v)"
     )
@@ -312,7 +321,7 @@ def _kmeans_cte_prefix(k: int) -> str:
              CAST(sum(CAST(a.embedding[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
                / count(*) AS m
       FROM {assign_cte} a
-      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos) p
       GROUP BY 1, 2
     ),
     {out}_n AS (
@@ -324,22 +333,34 @@ def _kmeans_cte_prefix(k: int) -> str:
       FROM {prev_cte} p LEFT JOIN {out}_n n ON n.cid = p.cid
     )"""
 
-    return f"""
+    # chain length follows KMEANS_ITERS so retuning the Spark-side
+    # iteration count cannot silently desynchronize the oracle
+    chain = [assign("init", "a0")]
+    prev_c, prev_a = "init", "a0"
+    for i in range(1, KMEANS_ITERS + 1):
+        c_cte, a_cte = f"c{i}", f"a{i}"
+        chain.append(update(prev_a, c_cte, prev_c))
+        chain.append(assign(c_cte, a_cte))
+        prev_c, prev_a = c_cte, a_cte
+    return (
+        f"""
     WITH init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
-    ),{assign('init', 'a0')},{update('a0', 'c1', 'init')},{assign('c1', 'a1')},{update('a1', 'c2', 'c1')},{assign('c2', 'a2')}"""
+    ),"""
+        + ",".join(chain)
+    )
 
 
 def _kmeans_oracle() -> str:
-    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = _r6_sql
     return f"""{_kmeans_cte_prefix(KMEANS_K)}
     SELECT a.cluster, count(*)::BIGINT AS n_vecs,
            {r6('min(c.cent[1])')} AS c0,
            {r6('min(c.cent[2])')} AS c1,
            {r6('min(c.cent[3])')} AS c2,
            {r6('min(c.cent[4])')} AS c3
-    FROM a2 a JOIN c2 c ON c.cid = a.cluster
+    FROM {KMEANS_FINAL_A} a JOIN {KMEANS_FINAL_C} c ON c.cid = a.cluster
     GROUP BY a.cluster
     """
 
@@ -386,7 +407,7 @@ def _semantic_dedup_oracle() -> str:
     return f"""{_kmeans_cte_prefix(SEMDEDUP_K)},
     pairs AS (
       SELECT x.cluster, y.vec_id AS b
-      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      FROM {KMEANS_FINAL_A} x JOIN {KMEANS_FINAL_A} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
       WHERE {_dcos('x.embedding', 'y.embedding')} >= {SEMDEDUP_T}
     ),
     dropped AS (SELECT cluster, b AS vec_id FROM pairs GROUP BY 1, 2)
@@ -395,7 +416,7 @@ def _semantic_dedup_oracle() -> str:
            count(d.vec_id)::BIGINT AS n_dropped,
            (count(*) - count(d.vec_id))::BIGINT AS n_kept,
            CAST(count(*) - count(d.vec_id) AS DOUBLE) / count(*) AS retention
-    FROM a2 v
+    FROM {KMEANS_FINAL_A} v
     LEFT JOIN dropped d ON d.cluster = v.cluster AND d.vec_id = v.vec_id
     GROUP BY v.cluster
     """
@@ -464,11 +485,9 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQ_NQ = 8  # query vectors (vec_id < SQ_NQ)
 SQ_K = 10  # top-k depth
-EMB_DIM = 64
-
 
 def _sq_recall_oracle() -> str:
-    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"
+    r6 = _r6_sql
     idot = (
         "list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(generate_series(1, {EMB_DIM}), i -> e.qv[i] * q.qqv[i])), "
@@ -670,7 +689,12 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = wt.filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_DF_CAP)).select(
         F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
     )
-    b = wt.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    # same df cap as the a-side: df is a per-term property, so an
+    # uncapped b-side shuffles exactly the ubiquitous-term posting lists
+    # (the quadratic killers) that can never match the capped a rows
+    b = wt.filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_DF_CAP)).select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
     pairs = (
         a.join(b, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -696,5 +720,4 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["sparse_cosine_pairs"] = q_sparse_cosine_pairs
-ORACLE_SQL["sparse_cosine_pairs"] = _sparse_cosine_oracle()
+_register("sparse_cosine_pairs", _sparse_cosine_oracle())(q_sparse_cosine_pairs)
