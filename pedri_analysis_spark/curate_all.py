@@ -96,7 +96,21 @@ def curate_all(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     # the anti-join, both counts, and the export — persist so the
     # md5-rank window + quality projection run once, not four times.
     kept = _kept_documents(spark, sf_dir).persist()
-    pairs = dd.minhash_near_dups(kept)
+    # constants passed EXPLICITLY from plans.dedup_queries: the manifest
+    # oracle (plans.pipeline_queries) embeds those constants via
+    # minhash_pair_ctes, so relying on dedup.py keyword defaults
+    # coincidentally matching would let a one-sided retune silently
+    # desynchronize the artifact from its oracle
+    from pedri_analysis_spark.plans import dedup_queries as dq
+
+    pairs = dd.minhash_near_dups(
+        kept,
+        n_hashes=dq.N_HASHES,
+        bands=dq.BANDS,
+        shingle_k=dq.SHINGLE_K,
+        threshold=dq.JACCARD_T,
+        max_bucket=dq.MAX_BUCKET,
+    )
     write_csv_single(
         pairs, os.path.join(out_dir, "dedup", "near_dup_pairs.csv"), ["a", "b"]
     )

@@ -97,7 +97,20 @@ def lsh_candidate_pairs(
 
     Explodes each row into ``bands`` (band, band_key) rows, self-joins per
     bucket, and keeps (a < b) distinct pairs. ``max_bucket`` drops
-    degenerate buckets before the quadratic step."""
+    degenerate buckets before the quadratic step.
+
+    Empty-signature rows (all mh NULL — fewer tokens than the shingle
+    width) are dropped before bucketing: Spark's concat_ws folds their
+    NULLs to one shared '' band key (DuckDB's || yields NULL and drops
+    them), so without the filter every too-short doc meets every other
+    in one bucket — quadratic garbage candidates the oracle never
+    generates."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes}: a remainder "
+            "silently ignores trailing hashes, and bands > n_hashes "
+            "degrades every band key to the empty slice (zero candidates)"
+        )
     rows_per_band = n_hashes // bands
     sig_cols = [f"mh{i}" for i in range(n_hashes)]
     band_structs = F.array(
@@ -110,7 +123,8 @@ def lsh_candidate_pairs(
         ]
     )
     buckets = (
-        sigs.select(F.col(key_col), F.explode(band_structs).alias("e"))
+        sigs.filter(F.col("mh0").isNotNull())
+        .select(F.col(key_col), F.explode(band_structs).alias("e"))
         .select(key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
     )
     # guard: cap pathological buckets before the self-join
@@ -142,9 +156,15 @@ def jaccard_verify(
         pairs.join(left, "a")
         .join(right, "b")
         .withColumn(
+            # both-empty shingle sets: 0/0 would throw under the ANSI
+            # session; the oracle generates no such pairs, and an empty
+            # set is a near-dup of nothing — score NULL, drop below
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) > 0,
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(*pairs.columns, "jaccard")
@@ -323,6 +343,8 @@ def incremental_minhash_dedup(
         "_tag", key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
     ).persist()
     sigs.count()  # materialize before multi-consumer scans (see minhash_near_dups)
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     rows_per_band = n_hashes // bands
     sig_cols = [f"mh{i}" for i in range(n_hashes)]
     band_structs = F.array(
@@ -334,9 +356,11 @@ def incremental_minhash_dedup(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "_tag", F.col(key_col), F.explode(band_structs).alias("e")
-    ).select("_tag", key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    buckets = (
+        sigs.filter(F.col("mh0").isNotNull())  # see lsh_candidate_pairs
+        .select("_tag", F.col(key_col), F.explode(band_structs).alias("e"))
+        .select("_tag", key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    )
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
     ).filter(F.col("bucket_n") <= max_bucket)

@@ -189,14 +189,17 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     64-bit hashes, not strings (28% faster; both engines hash
     identically, so even collisions — none at this corpus — would
     agree). The corpus is read once."""
-    toks = tx.tokens(tx.SPARK, "text")
     gh = tx.seeded_hash64(tx.SPARK, "g", "cgram")
-    shingles = tx.word_shingles_spark_fast(f"({toks})", CONTAM_K)
+    # stage tokens as a COLUMN first: word_shingles_spark_fast's contract
+    # (textexpr) requires a materialized token column — inlining the
+    # tokenize expression would re-evaluate it once per slice (~6× per
+    # row; Spark skips subexpression elimination around lambdas)
+    shingles = tx.word_shingles_spark_fast("_toks", CONTAM_K)
     grams = f"transform({shingles}, g -> {gh})"
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id",
-        "lang",
-        F.expr(grams).alias("grams"),
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .withColumn("_toks", F.expr(tx.tokens(tx.SPARK, "text")))
+        .select("doc_id", "lang", F.expr(grams).alias("grams"))
     )
     eval_arr = (
         d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
@@ -525,6 +528,19 @@ def _curate_manifest_oracle() -> str:
 _CURATE_CACHE: dict = {}
 
 
+def _artifact_tmpdir() -> str:
+    """A per-cache-miss artifact directory, removed at interpreter exit
+    (the memoized manifest may lazily re-read files during the session,
+    so cleanup cannot happen earlier)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="curate_all_artifacts_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @_register("curate_all_manifest", _curate_manifest_oracle())
 def q_curate_all_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation orchestrator's ASSEMBLED manifest.json, hash-checked:
@@ -535,7 +551,6 @@ def q_curate_all_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently oracle-checked; this row proves the COMPOSITION (stage
     wiring, survivor anti-join, manifest arithmetic) matches a DuckDB
     mirror of the whole chain."""
-    import tempfile
     import weakref as _weakref
 
     from pedri_analysis_spark.curate_all import curate_all
@@ -548,7 +563,7 @@ def q_curate_all_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = entry[1]
     else:
         manifest = curate_all(
-            spark, sf_dir, tempfile.mkdtemp(prefix="curate_all_artifacts_")
+            spark, sf_dir, _artifact_tmpdir()
         )
         _CURATE_CACHE[key] = (_weakref.ref(spark), manifest)
     return spark.createDataFrame(

@@ -102,3 +102,34 @@ def test_empty_document_tokenizes_to_zero_and_chunks_to_zero(spark, tmp_path):
     assert 1 not in by_doc  # zero-byte payload -> zero chunk rows
     assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
     assert all(r.chunk_idx >= 0 and r.start_byte >= 0 for r in chunks)
+
+
+def test_minhash_tolerates_docs_shorter_than_shingle_width(spark):
+    """Docs with fewer tokens than the shingle width have all-NULL
+    minhash signatures; before the guards they all collided into one ''
+    LSH bucket (concat_ws folds NULLs) and the 0/0 Jaccard threw
+    DIVIDE_BY_ZERO under the ANSI session.  Now: no candidate pairs from
+    empty signatures, no crash, and real near-dups still verify."""
+    from pedri_analysis_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, "world"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dd.minhash_near_dups(df, threshold=0.5).collect()
+    assert {(r.a, r.b) for r in pairs} == {(3, 4)}
+
+
+def test_lsh_bands_must_divide_hashes(spark):
+    import pytest
+
+    from pedri_analysis_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_near_dups(df, n_hashes=16, bands=5)
