@@ -871,14 +871,16 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @_register(
     "inverted_index_postings",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+      SELECT doc_id,
+             unnest(list_distinct({tx_mod.tokens(tx_mod.DUCK, 'text')})) AS term
       FROM documents
     )
     SELECT term,
            count(*)::BIGINT AS df,
-           (list_sort(list(doc_id)))[1:50] AS postings
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',')
+             AS postings
     FROM toks
     GROUP BY term
     ORDER BY df DESC, term
@@ -895,7 +897,14 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → one partial-agg'd shuffle on term → TakeOrderedAndProject;
     at 100 TB the posting lists for genuinely hot terms would be
     range-bucketed per (term, shard) instead, which this shape extends
-    to by adding a shard key to the groupBy."""
+    to by adding a shard key to the groupBy.
+
+    The posting list is serialized to a comma-joined STRING (the
+    pedri_lineup_positions convention, plans/pedri_profile_queries.py):
+    final output columns must be flat scalars — array cells are not
+    hashable by pandas-based result comparators.  The oracle tokenizes
+    via the shared tx_mod.tokens builder so empty/whitespace-only
+    documents yield no terms on either engine."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -903,13 +912,14 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr(tx_mod.tokens(tx_mod.SPARK, "text")))
         ).alias("term"),
     )
+    postings = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 50)
     return (
         toks.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 50).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.transform(postings, lambda x: x.cast("string")), ","
+            ).alias("postings"),
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(25)

@@ -15,6 +15,11 @@ and extracts the scale-relevant facts:
 - ``python``           Arrow/Pandas evaluation nodes (the UDF policy
                        boundary: each site needs a written justification)
 - ``pushed_filters``   whether any scan reports a non-empty PushedFilters
+- ``flat_output``      final schema contains no ARRAY/MAP/STRUCT column
+                       (the driver canonicalizes results via pandas
+                       sort/hash; list cells are unhashable — bounded
+                       collections must be serialized to joined strings,
+                       the pedri_lineup_positions convention)
 
 Count caveat: queries that persist() an intermediate (the LSH and
 sparse-cosine self-joins) print the cached subtree INSIDE each
@@ -27,7 +32,8 @@ Emits PLANAUDIT.json (committed, regenerated per round) and exits
 non-zero if a HARD invariant breaks:
   * CartesianProduct anywhere, ever;
   * BroadcastNestedLoopJoin outside _BNLJ_ALLOWED;
-  * a Python boundary outside _PYTHON_ALLOWED.
+  * a Python boundary outside _PYTHON_ALLOWED;
+  * a non-flat final output column (ARRAY/MAP/STRUCT).
 tests/test_plan_audit.py runs the same checks inside pytest.
 
 Usage: python tools/plan_lint.py [output.json] [--sf-dir DIR]
@@ -128,7 +134,23 @@ def violations(name: str, facts: dict) -> list[str]:
         out.append(f"{name}: BroadcastNestedLoopJoin without justification")
     if facts["python"] and name not in _PYTHON_ALLOWED:
         out.append(f"{name}: Python boundary without justification")
+    if not facts.get("flat_output", True):
+        out.append(
+            f"{name}: non-flat output column(s) "
+            f"{facts['complex_cols']} — serialize bounded collections to "
+            f"joined strings (pedri_lineup_positions convention)"
+        )
     return out
+
+
+def _complex_columns(schema) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def audit(spark, sf_dir: str) -> tuple[dict[str, dict], list[str]]:
@@ -141,11 +163,16 @@ def audit(spark, sf_dir: str) -> tuple[dict[str, dict], list[str]]:
             report[name] = {"eager_skipped": True}
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — a build failure IS a finding
             problems.append(f"{name}: plan build failed: {exc}")
             continue
         facts = lint_plan(plan)
+        complex_cols = _complex_columns(df.schema)
+        facts["flat_output"] = not complex_cols
+        if complex_cols:
+            facts["complex_cols"] = complex_cols
         report[name] = facts
         problems.extend(violations(name, facts))
     return report, problems
