@@ -27,6 +27,14 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute host load, or None where unsupported."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def _warm_udf():
     """A pandas UDF used to spin the Arrow/Python worker pool during
     warmup (hint-free so postponed annotations don't need resolving).
@@ -103,7 +111,13 @@ def main() -> None:
     spark.range(1024).select(_warm_udf()("id")).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Record host load before and after: the container shares a host and
+    # co-tenant CPU steal has inflated identical-code totals up to ~1.4x
+    # (committed noise study) — cross-round per-query comparisons need the
+    # load context to normalize instead of re-litigating regressions.
+    load_before = _loadavg()
     timings, failures = run_bench(spark, queries, SF_DIR, runs)
+    load_after = _loadavg()
     total = round(sum(timings.values()), 4)
     # Full per-query map goes to a file; stdout gets ONE compact line the
     # driver can parse even if it keeps only a tail of the output.  (Round-1
@@ -120,6 +134,8 @@ def main() -> None:
                 "failures": failures,
                 "sf": _sf_label(SF_DIR),
                 "runs": runs,
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
             },
             f,
             indent=1,

@@ -331,6 +331,12 @@ def incremental_minhash_dedup(
     entities into one verdict). Real ingestion pipelines namespace batch
     ids (as the registered query does with +1e6 offsets); violations are
     a caller bug this operator cannot detect without an extra pass."""
+    # Validate BEFORE any Spark work: an invalid bands value must not run
+    # the full tokenize/shingle/hash job (and leak a persisted cache)
+    # before raising — lsh_candidate_pairs checks first for the same reason.
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rows_per_band = n_hashes // bands
     tagged = corpus.select(
         F.lit("c").alias("_tag"), F.col(key_col), F.col(text_col)
     ).unionByName(
@@ -343,9 +349,6 @@ def incremental_minhash_dedup(
         "_tag", key_col, "sh", *[f"mh{i}" for i in range(n_hashes)]
     ).persist()
     sigs.count()  # materialize before multi-consumer scans (see minhash_near_dups)
-    if n_hashes % bands:
-        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
-    rows_per_band = n_hashes // bands
     sig_cols = [f"mh{i}" for i in range(n_hashes)]
     band_structs = F.array(
         *[

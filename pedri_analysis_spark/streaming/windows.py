@@ -159,10 +159,19 @@ def interval_join_stream(
     A left row still inside the state store when the query stops is
     never emitted — pinned by
     tests/test_streaming.py::test_stream_stream_left_outer_interval_join."""
+    # fixed-point formatting: Python renders 1e-05 in scientific notation,
+    # which Spark's INTERVAL literal parser rejects.  Guard against bounds
+    # below the formatter's µs resolution — 1e-7 would silently become
+    # INTERVAL 0.000000 SECONDS and change the join window with no error
+    # (the same silent-unit class with_event_time's docstring warns about).
+    for bound_name, bound in (("lower_s", lower_s), ("upper_s", upper_s)):
+        if bound != round(bound, 6):
+            raise ValueError(
+                f"{bound_name}={bound!r} is not representable at the microsecond "
+                "precision of Spark INTERVAL literals; pass a multiple of 1e-6 s"
+            )
     cond = (
         (left[key] == right[key])
-        # fixed-point formatting: Python renders 1e-05 in scientific
-        # notation, which Spark's INTERVAL literal parser rejects
         & (right[right_time] >= left[left_time] + F.expr(f"INTERVAL {lower_s:.6f} SECONDS"))
         & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper_s:.6f} SECONDS"))
     )

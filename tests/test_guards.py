@@ -133,3 +133,45 @@ def test_lsh_bands_must_divide_hashes(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="must divide"):
         dd.minhash_near_dups(df, n_hashes=16, bands=5)
+
+
+def test_incremental_dedup_validates_bands_before_any_spark_work(spark):
+    """An invalid bands value must raise BEFORE the tokenize/shingle/hash
+    job runs (and before the signature frame is persisted — a late raise
+    leaked the cache). The text column here raises on execution, so if
+    the operator did any Spark work first we'd see a Spark error, not
+    the ValueError from the eager precondition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pedri_analysis_spark.operators import dedup as dd
+
+    poison = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("raise_error('should not execute')").alias("text"),
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        dd.incremental_minhash_dedup(poison, poison, n_hashes=16, bands=5)
+
+
+def test_interval_join_rejects_sub_microsecond_bounds(spark):
+    """Bounds below the µs resolution of Spark INTERVAL literals must
+    raise instead of silently formatting to INTERVAL 0.000000 SECONDS
+    (which would change the join window with no error)."""
+    import pytest
+
+    from pedri_analysis_spark.streaming.windows import interval_join_stream
+
+    from pyspark.sql import functions as F
+
+    def frame(sec):
+        return spark.createDataFrame([(1, sec)], ["k", "s"]).select(
+            "k", F.timestamp_seconds(F.col("s")).alias("t")
+        )
+
+    left, right = frame(0.0), frame(1.0)
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join_stream(left, right, "k", "t", "t", 1e-7, 1.0)
+    # representable bounds still build a joinable condition
+    out = interval_join_stream(left, right, "k", "t", "t", 0.0, 1.5)
+    assert out.count() == 1
