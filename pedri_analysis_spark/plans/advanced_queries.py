@@ -1703,3 +1703,130 @@ def q_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(views, clicks.nk.eqNullSafe(views.nk)).select(
         clicks.nk.cast("bigint").alias("nk"), "click_n", "view_n"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 analogue: distinct suppliers per part group, excluding
+# flagged suppliers.  The testdata has no partsupp, so the part-supplier
+# relation is the DISTINCT (l_partkey, l_suppkey) pairs observed in
+# lineitem, and the "customer complaints" exclusion becomes the
+# negative-balance suppliers (same NOT-IN-subquery shape).
+# --------------------------------------------------------------------------
+@_register(
+    "supplier_cnt_by_part_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_supplier_cnt_by_part_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp in testdata — reference
+    parity note: the reference schema lacks it too): distinct-supplier
+    count per (brand, type, size) over the lineitem-observed
+    part-supplier pairs, minus an excluded-supplier subquery.
+
+    Plan: both dims broadcast (part is partkey-unique, the exclusion
+    list is a handful of keys), so the fact table is filtered by a
+    broadcast hash join + broadcast LEFT ANTI with ZERO pre-aggregation
+    shuffles; the only exchange is the (brand, type, size) aggregate,
+    where countDistinct runs as Spark's two-phase partial-distinct
+    expand.  At 100 TB the anti-join side stays broadcastable (flagged
+    suppliers are a tiny fraction) and the group-key domain is bounded
+    (brands × types × sizes), so the final shuffle is trivially small."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 analogue: suppliers with excess shipped volume of a part
+# family, restricted to a nation set — the nested semi-join chain.
+# --------------------------------------------------------------------------
+@_register(
+    "excess_stock_suppliers_q20",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'old%'
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) > 40.0)
+    """,
+)
+def q_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (availqty -> shipped volume, since the
+    testdata has no partsupp): suppliers in a nation set that shipped
+    more than a threshold quantity of some 'old*'-named part inside a
+    one-year window — the nested semi-join chain Q20 exercises.
+
+    Plan: the part-family key list broadcasts into the date-pruned
+    lineitem scan (predicate pushdown on l_shipdate); one shuffle
+    aggregates (suppkey, partkey) quantity in DECIMAL (order-independent
+    vs the oracle); the surviving supplier keys — bounded above by the
+    supplier dimension's cardinality, tiny relative to the fact — are
+    broadcast into a LEFT SEMI against the nation-filtered supplier dim,
+    so neither supplier nor lineitem is ever re-shuffled.  At 100 TB the
+    semi side stays a key list, exactly the Q20 'candidate keys first,
+    dimension probe last' discipline."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    old_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("old%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        li.join(F.broadcast(old_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(money("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 40.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        F.broadcast(qualifying),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
