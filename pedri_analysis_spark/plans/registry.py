@@ -126,6 +126,7 @@ def _modules():
         "text_queries",
         "pipeline_queries",
         "multimodal_queries",
+        "resolution_queries",
         "similarity_queries",
         "streaming_queries",
         "pedri_queries",
