@@ -579,3 +579,168 @@ def q_curate_all_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_raw_docs long, n_after_curation long, n_near_dup_dropped long, "
         "n_exported long, health_all_passed boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware (leakage-free) split: membership hashed on the SOURCE, so a
+# whole provenance group lands in one split — the eval-contamination
+# guard a per-doc hash split cannot give.
+# ---------------------------------------------------------------------------
+GROUP_TEST_BP = 2_500  # 25.00% of source groups go to test
+_GSPLIT_BUCKETS = 10_000
+
+
+def _gsplit(dialect: str) -> str:
+    return f"({tx.seeded_hash64(dialect, 'source', 'gsplit')} % {_GSPLIT_BUCKETS})"
+
+
+@_register(
+    "group_aware_split_counts",
+    f"""
+    SELECT CASE WHEN {_gsplit(tx.DUCK)} < {GROUP_TEST_BP}
+                THEN 'test' ELSE 'train' END AS split,
+           lang,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_group_aware_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split: membership is hashed on the
+    provenance GROUP (source), not the document, so every doc of a
+    source lands in the same split — near-dups and templated docs from
+    one crawl can never straddle the eval boundary (the leakage mode a
+    per-doc split like train_test_split_counts cannot prevent).
+
+    Scale: the split is a pure hash expression on an existing column —
+    no join, no group table, no shuffle beyond the final (split, lang)
+    aggregate; a source's membership never changes as the corpus grows
+    (stable eval sets). tests/test_pipeline_ops.py asserts the
+    disjointness invariant (no source in both splits)."""
+    d = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.expr(_gsplit(tx.SPARK)) < GROUP_TEST_BP, "test"
+    ).otherwise("train")
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: highest-lexical-diversity docs first,
+# stop at a token budget — two-phase bucket prefix-sum, NO global
+# per-doc sort.
+# ---------------------------------------------------------------------------
+SELECT_TOKEN_BUDGET = 12_000
+
+
+def _budget_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, len(toks)::BIGINT AS t,
+             floor((1000.0 * len(list_distinct(toks))) / len(toks))::BIGINT AS b
+      FROM (SELECT doc_id, lang, {toks} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    bk AS (SELECT b, sum(t)::BIGINT AS tb FROM d GROUP BY b),
+    cum AS (
+      SELECT b, tb, sum(tb) OVER (ORDER BY b DESC)::BIGINT AS c FROM bk
+    ),
+    fullb AS (SELECT b FROM cum WHERE c <= {SELECT_TOKEN_BUDGET}),
+    bnd AS (
+      SELECT b, (c - tb)::BIGINT AS before FROM cum
+      WHERE c > {SELECT_TOKEN_BUDGET} AND c - tb < {SELECT_TOKEN_BUDGET}
+    ),
+    part AS (
+      SELECT d.doc_id, d.lang, d.t
+      FROM d JOIN bnd ON d.b = bnd.b
+      QUALIFY bnd.before + sum(d.t) OVER (PARTITION BY d.b ORDER BY d.doc_id)
+              <= {SELECT_TOKEN_BUDGET}
+    ),
+    sel AS (
+      SELECT doc_id, lang, t FROM d WHERE b IN (SELECT b FROM fullb)
+      UNION ALL
+      SELECT doc_id, lang, t FROM part
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS sel_tokens
+    FROM sel GROUP BY lang
+    """
+
+
+@_register("token_budget_selection", _budget_oracle())
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a token budget: rank docs by
+    lexical diversity (distinct-token ratio, 3-dp quantized) and keep
+    the best until the budget is exhausted — per-lang accounting of what
+    survived.
+
+    Scale: this is deliberately NOT a global per-doc sort + cumsum
+    (which would single-partition the whole corpus).  Phase 1 aggregates
+    tokens per QUANTIZED score bucket (≤ 1001 rows — the only
+    unpartitioned window runs over that bounded frame); phase 2 selects
+    whole buckets above the budget line and resolves ONLY the boundary
+    bucket with a per-doc prefix sum partitioned on that single bucket.
+    At 100 TB the boundary bucket is the one place fine ordering
+    matters, so only ~1/1000th of the corpus ever needs a fine-grained
+    prefix sum (sub-quantize again if that bucket is still hot).  All
+    cumulative arithmetic is exact BIGINT; the score quantization is a
+    mult→divide→floor chain with identical text both dialects."""
+    toks = F.expr(tx.tokens(tx.SPARK, "text"))
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("t"),
+            F.floor(
+                (F.lit(1000.0) * F.size(F.array_distinct("toks")))
+                / F.size("toks")
+            )
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    bk = d.groupBy("b").agg(F.sum("t").cast("bigint").alias("tb"))
+    # bounded frame (≤ 1001 score buckets): unpartitioned window is safe
+    cum = bk.withColumn(
+        "c",
+        F.sum("tb").over(W.orderBy(F.desc("b")).rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    fullb = cum.filter(F.col("c") <= SELECT_TOKEN_BUDGET).select("b")
+    bnd = cum.filter(
+        (F.col("c") > SELECT_TOKEN_BUDGET)
+        & (F.col("c") - F.col("tb") < SELECT_TOKEN_BUDGET)
+    ).select("b", (F.col("c") - F.col("tb")).cast("bigint").alias("before"))
+    part = (
+        d.join(F.broadcast(bnd), "b")
+        .withColumn(
+            "cw",
+            F.sum("t").over(
+                W.partitionBy("b").orderBy("doc_id").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+        .filter(F.col("before") + F.col("cw") <= SELECT_TOKEN_BUDGET)
+        .select("doc_id", "lang", "t")
+    )
+    sel = (
+        d.join(F.broadcast(fullb), "b", "left_semi")
+        .select("doc_id", "lang", "t")
+        .unionByName(part)
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("sel_tokens"),
+    )

@@ -137,3 +137,48 @@ def test_morton_interleave_generator_matches_reference_bits():
     assert len(rows) > 0
     for x, y, z in rows:
         assert z == morton(x, y), (x, y, z)
+
+
+def test_group_aware_split_never_splits_a_source(spark):
+    """The leakage guard itself: no source may appear in both splits
+    (per-doc membership derived ONLY from the source hash)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from pedri_analysis_spark.plans.pipeline_queries import (
+        GROUP_TEST_BP,
+        _gsplit,
+    )
+
+    split = F.when(
+        F.expr(_gsplit(tx.SPARK)) < GROUP_TEST_BP, "test"
+    ).otherwise("train")
+    spans = (
+        d.withColumn("split", split)
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # and the registered query's totals reconcile with the corpus
+    rows = P.q_group_aware_split_counts(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+
+
+def test_token_budget_selection_respects_budget_and_prefers_quality(spark):
+    rows = P.q_token_budget_selection(spark, SF).collect()
+    total = sum(r.sel_tokens for r in rows)
+    assert 0 < total <= P.SELECT_TOKEN_BUDGET
+    # greedy property: the unselected docs must not contain a bucket
+    # strictly better than the boundary — i.e. re-running with a larger
+    # budget can only ADD docs (monotonicity via the bucket prefix-sum)
+    import pedri_analysis_spark.plans.pipeline_queries as pq
+
+    orig = pq.SELECT_TOKEN_BUDGET
+    try:
+        pq.SELECT_TOKEN_BUDGET = orig * 10
+        bigger = sum(
+            r.sel_tokens for r in P.q_token_budget_selection(spark, SF).collect()
+        )
+    finally:
+        pq.SELECT_TOKEN_BUDGET = orig
+    assert bigger >= total
