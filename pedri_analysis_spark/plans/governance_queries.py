@@ -1,0 +1,266 @@
+"""Data-governance & longitudinal analytics wave (round 7).
+
+Three shapes a production data platform runs that the catalog did not
+yet exercise:
+
+- gaps-and-islands streak detection (longest consecutive-day run per
+  user — the canonical day_idx − row_number trick, one window pass,
+  never a self-join);
+- k-anonymity reporting across a generalization ladder (how many
+  quasi-identifier cells re-identify fewer than k people, and whether
+  coarsening repairs them — the data-release governance check);
+- deterministic missing-value imputation cascade (per-user mean, else
+  global mean) with integer-quantized accounting so the imputed mass
+  is order-independent cross-engine.
+
+Oracle discipline: exact DECIMAL sums for every mean's numerator, ONE
+double division per mean with identical formula text, imputed totals
+quantized to 6-dp integer micros and summed as BIGINT (the
+lm_plausibility convention — see memory of plans/text_queries.py),
+pure integer arithmetic everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.relational import QueryFn, events_us
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+DAY_US = 86_400_000_000
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+# ---------------------------------------------------------------------------
+@_register(
+    "user_activity_streaks",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, (epoch_us(ts) // {DAY_US})::BIGINT AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, count(*)::BIGINT AS run_len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_streaks,
+           max(run_len)::BIGINT AS longest_streak,
+           sum(run_len)::BIGINT AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user — the gaps-and-islands
+    pattern: dedup to (user, day), then ``day − row_number`` is constant
+    within a consecutive run, so one window pass + two aggregates find
+    every streak.  No self-join, no recursive expansion.
+
+    Scale: the dedup and the window share the user_id hash partitioning
+    (Catalyst reuses the exchange); per-user day counts are bounded by
+    the calendar, so no window partition can be a skew key.  This is
+    the same day-index arithmetic as rolling_active_users
+    (ts_us // DAY_US ≡ epoch_us // DAY_US, exact integers)."""
+    ev = events_us(spark, sf_dir)
+    # integer day index: `div` (never `/`, which is a double division)
+    days = ev.select(
+        "user_id", F.expr(f"CAST(ts_us div {DAY_US} AS BIGINT)").alias("d")
+    ).distinct()
+    grp = F.col("d") - F.row_number().over(
+        W.partitionBy("user_id").orderBy("d")
+    )
+    runs = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity across a generalization ladder.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+ACCTBAL_BANDS = (1000, 3000)  # fine vs coarse generalization of c_acctbal
+
+
+def _kanon_level_sql(band: int) -> str:
+    return f"""
+      SELECT {band} AS band_width,
+             count(*)::BIGINT AS n_cells,
+             sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating_cells,
+             sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)::BIGINT
+               AS n_rows_at_risk
+      FROM (
+        SELECT c_nationkey, c_mktsegment,
+               (floor(c_acctbal / {band}))::BIGINT AS bal_band,
+               count(*)::BIGINT AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+      ) cells"""
+
+
+@_register(
+    "k_anonymity_report",
+    f"""
+    {_kanon_level_sql(ACCTBAL_BANDS[0])}
+    UNION ALL
+    {_kanon_level_sql(ACCTBAL_BANDS[1])}
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, account-balance band) at two generalization levels:
+    a cell whose population is below k = 5 re-identifies its members,
+    and widening the balance band is the generalization that repairs
+    cells at the cost of utility — the report quantifies that trade
+    (violating cells and rows-at-risk per level) so a release policy
+    can pick the coarsest-necessary rung.
+
+    Scale: one hash aggregate per level over the QI columns (cell count
+    bounded by the QI domain product, not rows), then a second
+    aggregate over cells; levels union.  floor(acctbal / band) is a
+    single IEEE division + floor, identical text both engines."""
+    c = load_table(spark, "customer", sf_dir)
+
+    def level(band: int) -> DataFrame:
+        cells = c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / band).cast("bigint").alias("bal_band"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        viol = F.col("n") < K_ANON
+        return cells.agg(
+            F.lit(band).cast("bigint").alias("band_width"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+                "n_violating_cells"
+            ),
+            F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("bigint").alias(
+                "n_rows_at_risk"
+            ),
+        )
+
+    return level(ACCTBAL_BANDS[0]).unionByName(level(ACCTBAL_BANDS[1]))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic imputation cascade (per-user mean, else global mean).
+# ---------------------------------------------------------------------------
+# 'error' events carry no valid measurement in this schema's semantics —
+# they are the missing values the cascade fills.
+_MISSING_TYPE = "error"
+
+
+@_register(
+    "value_imputation_cascade",
+    f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) AS s,
+             count(*)::BIGINT AS n
+      FROM events WHERE event_type <> '{_MISSING_TYPE}'
+      GROUP BY user_id
+    ),
+    gstats AS (
+      SELECT CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*) AS gmean
+      FROM events WHERE event_type <> '{_MISSING_TYPE}'
+    ),
+    missing AS (
+      SELECT user_id, count(*)::BIGINT AS n_missing
+      FROM events WHERE event_type = '{_MISSING_TYPE}'
+      GROUP BY user_id
+    )
+    SELECT
+      sum(m.n_missing)::BIGINT AS n_imputed,
+      sum(CASE WHEN o.user_id IS NOT NULL THEN m.n_missing ELSE 0 END)::BIGINT
+        AS n_user_imputed,
+      sum(CASE WHEN o.user_id IS NULL THEN m.n_missing ELSE 0 END)::BIGINT
+        AS n_global_imputed,
+      sum(m.n_missing
+          * (floor((CASE WHEN o.user_id IS NOT NULL THEN o.s / o.n
+                         ELSE g.gmean END) * 1000000.0 + 0.5))::BIGINT
+         )::BIGINT AS imputed_micros_total
+    FROM missing m
+    LEFT JOIN obs o ON o.user_id = m.user_id
+    CROSS JOIN gstats g
+    """,
+)
+def q_value_imputation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation cascade: events of the 'error' type
+    carry no valid measurement; each gets its user's mean of observed
+    values, falling back to the global mean for users with no
+    observations.  The report accounts for the imputed mass
+    order-independently: every mean is an exact-DECIMAL sum with ONE
+    double division, then quantized to 6-dp integer micros and summed
+    as BIGINT (the libm-free lm_plausibility convention) — a raw
+    double sum of imputed values would be reduction-order-dependent.
+
+    Scale: observed stats aggregate once per user (map-side combined);
+    the cascade is a broadcast-sized LEFT JOIN of two per-user count
+    frames plus a 1-row global frame (the only BNLJ-shaped input is
+    that 1-row bound), so no fact-table re-shuffle ever happens."""
+    ev = events_us(spark, sf_dir)
+    observed = ev.filter(F.col("event_type") != _MISSING_TYPE)
+    obs = observed.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    glob = observed.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gmean")
+    )
+    missing = (
+        ev.filter(F.col("event_type") == _MISSING_TYPE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+    )
+    m = missing.alias("m")
+    o = obs.alias("o")
+    joined = m.join(o, F.col("m.user_id") == F.col("o.user_id"), "left").crossJoin(
+        F.broadcast(glob)
+    )
+    mean = F.when(
+        F.col("o.user_id").isNotNull(), F.col("s") / F.col("n")
+    ).otherwise(F.col("gmean"))
+    imputed_micros = F.floor(mean * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    user_hit = F.col("o.user_id").isNotNull()
+    return joined.agg(
+        F.sum("n_missing").cast("bigint").alias("n_imputed"),
+        F.sum(F.when(user_hit, F.col("n_missing")).otherwise(0))
+        .cast("bigint")
+        .alias("n_user_imputed"),
+        F.sum(F.when(~user_hit, F.col("n_missing")).otherwise(0))
+        .cast("bigint")
+        .alias("n_global_imputed"),
+        F.sum(F.col("n_missing") * imputed_micros)
+        .cast("bigint")
+        .alias("imputed_micros_total"),
+    )

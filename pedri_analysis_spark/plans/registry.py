@@ -121,6 +121,7 @@ def _modules():
         "advanced_queries",
         "sampling_queries",
         "feature_queries",
+        "governance_queries",
         "layout_queries",
         "dedup_queries",
         "text_queries",

@@ -66,6 +66,7 @@ _BNLJ_ALLOWED = {
     "sparse_cosine_pairs",  # 1-row corpus-count frame (idf)
     "sq_recall_at_k",  # 1-row max-abs scale frame
     "table_health_report",  # 1-row per-constraint totals frames unioned
+    "value_imputation_cascade",  # 1-row global-mean fallback frame
     "tfidf_top_terms",  # 1-row corpus-count frame (idf)
     "winsorized_price_stats",  # 1-row percentile-bounds frame
     "zorder_layout_orders",  # 1-row quantization-bounds frame
