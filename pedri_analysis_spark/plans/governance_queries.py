@@ -264,3 +264,97 @@ def q_value_imputation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("imputed_micros_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two time periods (chi-square, libm-free).
+# ---------------------------------------------------------------------------
+DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+DRIFT_BINS = 10
+
+
+@_register(
+    "distribution_drift_chisq",
+    f"""
+    WITH ev AS (
+      SELECT value, epoch_us(ts) AS ts_us FROM events
+    ),
+    bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+    binned AS (
+      SELECT CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least({DRIFT_BINS - 1},
+                             floor(((e.value - b.mn) * {DRIFT_BINS}.0)
+                                   / (b.mx - b.mn))::BIGINT)
+             END AS bin,
+             CASE WHEN e.ts_us < {DRIFT_SPLIT_US} THEN 1 ELSE 0 END AS early
+      FROM ev e CROSS JOIN bounds b
+    ),
+    cnt AS (
+      SELECT bin,
+             sum(early)::BIGINT AS o_e,
+             sum(1 - early)::BIGINT AS o_l
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(o_e)::BIGINT AS n_e, sum(o_l)::BIGINT AS n_l FROM cnt)
+    SELECT c.bin, c.o_e AS n_early, c.o_l AS n_late,
+           CASE WHEN c.o_e = 0 THEN NULL
+                ELSE floor(
+                  (((c.o_l - (CAST(t.n_l * c.o_e AS DOUBLE) / t.n_e))
+                    * (c.o_l - (CAST(t.n_l * c.o_e AS DOUBLE) / t.n_e)))
+                   / (CAST(t.n_l * c.o_e AS DOUBLE) / t.n_e))
+                  * 1000000.0 + 0.5)::BIGINT
+           END AS contrib_micros
+    FROM cnt c CROSS JOIN tot t
+    """,
+)
+def q_distribution_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: chi-square contributions per value bin
+    between the early and late halves of the event stream — the
+    PSI-style check without PSI's log() (libm is banned for oracle
+    parity; chi-square is ratios only).  Each bin row carries its
+    contribution quantized to 6-dp integer micros, so the total
+    statistic is an exact BIGINT sum downstream — never an
+    order-dependent double reduction.
+
+    Scale: one pass bins every event against a broadcast 1-row bounds
+    frame (the only nested-loop input), one hash aggregate on the bin
+    (domain = {DRIFT_BINS}), and the totals frame is bin-count sized.
+    Bins with no early mass report NULL contribution (the chi-square
+    term is undefined there) rather than fabricating a value."""
+    ev = events_us(spark, sf_dir).select("value", "ts_us")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.floor(
+                ((F.col("value") - F.col("mn")) * DRIFT_BINS)
+                / (F.col("mx") - F.col("mn"))
+            ).cast("bigint"),
+        )
+    )
+    early = F.when(F.col("ts_us") < DRIFT_SPLIT_US, 1).otherwise(0)
+    cnt = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), early.alias("early"))
+        .groupBy("bin")
+        .agg(
+            F.sum("early").cast("bigint").alias("o_e"),
+            F.sum(1 - F.col("early")).cast("bigint").alias("o_l"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("o_e").cast("bigint").alias("n_e"),
+        F.sum("o_l").cast("bigint").alias("n_l"),
+    )
+    exp = (F.col("n_l") * F.col("o_e")).cast("double") / F.col("n_e")
+    contrib = ((F.col("o_l") - exp) * (F.col("o_l") - exp)) / exp
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("o_e").alias("n_early"),
+        F.col("o_l").alias("n_late"),
+        F.when(F.col("o_e") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("contrib_micros"),
+    )

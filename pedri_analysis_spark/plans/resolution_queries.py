@@ -394,3 +394,75 @@ def q_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state_type"),
         F.col("ts_us").alias("state_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over the co-purchase pairs: support / confidence /
+# lift — market-basket mining on top of the bounded pair generator.
+# ---------------------------------------------------------------------------
+RULES_TOP = 20
+
+
+@_register(
+    "association_rules_lift",
+    f"""
+    WITH {_copurchase_edges_sql()},
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM lineitem),
+    pa AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey)::BIGINT AS n_ord
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT e.pa::BIGINT AS pa, e.pb::BIGINT AS pb, e.co_n,
+           CAST(e.co_n AS DOUBLE) / n.n_orders AS support,
+           CAST(e.co_n AS DOUBLE) / a.n_ord AS confidence,
+           CAST(e.co_n * n.n_orders AS DOUBLE) / (a.n_ord * b.n_ord) AS lift
+    FROM e
+    JOIN pa a ON a.l_partkey = e.pa
+    JOIN pa b ON b.l_partkey = e.pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa, pb
+    LIMIT {RULES_TOP}
+    """,
+)
+def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support, confidence and lift for
+    the thresholded co-purchase pairs — the Apriori-style statistics
+    without the candidate-explosion (pairs only, already bounded by the
+    per-order fan-out of the edge generator).
+
+    Determinism: every statistic is integer counts with ONE double
+    division (the multiplications stay exact in int64 first), identical
+    formula text both dialects; top-k is total-ordered on (lift, pa,
+    pb).  Scale: per-item order counts are one partial-agg'd shuffle;
+    the pair↔item-count joins hash on the item key; the 1-row order
+    total broadcasts."""
+    e = _copurchase_edges(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    per_item = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_ord")
+    )
+    a = per_item.select(
+        F.col("l_partkey").alias("ka"), F.col("n_ord").alias("n_a")
+    )
+    b = per_item.select(
+        F.col("l_partkey").alias("kb"), F.col("n_ord").alias("n_b")
+    )
+    return (
+        e.join(a, e.pa == F.col("ka"))
+        .join(b, e.pb == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").cast("bigint"),
+            F.col("pb").cast("bigint"),
+            "co_n",
+            (F.col("co_n").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("co_n").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("co_n") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(RULES_TOP)
+    )

@@ -53,3 +53,20 @@ def test_imputation_cascade_conserves_counts(spark):
         .count()
     )
     assert row.n_imputed == n_err
+
+
+def test_drift_contributions_are_nonnegative_and_bins_bounded(spark):
+    rows = gq.q_distribution_drift_chisq(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin < gq.DRIFT_BINS
+        assert r.n_early + r.n_late > 0  # only observed bins emit rows
+        if r.n_early > 0:
+            assert r.contrib_micros is not None and r.contrib_micros >= 0
+        else:
+            assert r.contrib_micros is None
+    # every event lands in exactly one bin
+    total = sum(r.n_early + r.n_late for r in rows)
+    from pedri_analysis_spark.plans.relational import events_us as _ev
+
+    assert total == _ev(spark, SF).count()

@@ -79,3 +79,17 @@ def test_cdc_tombstone_wins_only_when_latest(spark):
     }
     for user, t in latest.items():
         assert (user in snapshot_users) == (t != "error"), (user, t)
+
+
+def test_association_rules_statistics_are_consistent(spark):
+    from pedri_analysis_spark.plans import resolution_queries as rq
+
+    rows = rq.q_association_rules_lift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.pa < r.pb
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        # lift = confidence / P(b): confidence can never undercut support
+        assert r.confidence >= r.support

@@ -67,6 +67,8 @@ _BNLJ_ALLOWED = {
     "sq_recall_at_k",  # 1-row max-abs scale frame
     "table_health_report",  # 1-row per-constraint totals frames unioned
     "value_imputation_cascade",  # 1-row global-mean fallback frame
+    "association_rules_lift",  # 1-row order-count frame (support denom)
+    "distribution_drift_chisq",  # 1-row min/max bounds + bin-totals frames
     "tfidf_top_terms",  # 1-row corpus-count frame (idf)
     "winsorized_price_stats",  # 1-row percentile-bounds frame
     "zorder_layout_orders",  # 1-row quantization-bounds frame
