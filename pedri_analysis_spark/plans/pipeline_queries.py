@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import spread
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -743,4 +744,225 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("t").cast("bigint").alias("sel_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-cascade quality filter report
+# ---------------------------------------------------------------------------
+
+# Rule thresholds (integer cross-multiplied so no double ever decides a
+# boundary): token count in [16, 90]; mean word length in
+# [4.2, 4.6] expressed as 21*n <= 5*sumlen <= 23*n; at most half the
+# tokens duplicated (2*distinct >= n); must contain a stopword.
+_GQF_STOPWORDS = ("the", "a")
+
+
+_GQF_FLAGS = [
+    ("too_short", "n < 16"),
+    ("too_long", "n > 90"),
+    ("mean_word_len_low", "5 * sumlen < 21 * n"),
+    ("mean_word_len_high", "5 * sumlen > 23 * n"),
+    ("dup_heavy", "2 * nd < n"),
+    ("no_stopword", "has_stop = 0"),
+]
+
+
+def _gqf_doc_stats(dialect: str) -> list[str]:
+    """Per-doc integer stats the rules consume (token count, distinct
+    count, char sum, stopword presence)."""
+    contains = "array_contains" if dialect == tx.SPARK else "list_contains"
+    stop_any = " OR ".join(f"{contains}(toks, '{w}')" for w in _GQF_STOPWORDS)
+    if dialect == tx.SPARK:
+        return [
+            "size(toks) AS n",
+            "size(array_distinct(toks)) AS nd",
+            "CAST(aggregate(transform(toks, _t -> length(_t)), 0L, "
+            "(acc, x) -> acc + x) AS BIGINT) AS sumlen",
+            f"CASE WHEN {stop_any} THEN 1 ELSE 0 END AS has_stop",
+        ]
+    return [
+        "len(toks) AS n",
+        "len(list_distinct(toks)) AS nd",
+        "coalesce(list_sum(list_transform(toks, _t -> length(_t))), 0)"
+        "::BIGINT AS sumlen",
+        f"CASE WHEN {stop_any} THEN 1 ELSE 0 END AS has_stop",
+    ]
+
+
+def _gqf_oracle() -> str:
+    flags = _GQF_FLAGS
+    fail_any = " OR ".join(f"({cond})" for _, cond in flags)
+    rule_rows = "\n      UNION ALL\n".join(
+        f"SELECT '{name}' AS rule, sum(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+        f"::BIGINT AS n_failed FROM s"
+        for name, cond in flags
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, {", ".join(_gqf_doc_stats(tx.DUCK))} FROM t)
+    SELECT rule, n_failed FROM (
+      {rule_rows}
+      UNION ALL
+      SELECT 'survivors' AS rule,
+             sum(CASE WHEN NOT ({fail_any}) THEN 1 ELSE 0 END)::BIGINT
+      FROM s
+      UNION ALL
+      SELECT 'total' AS rule, count(*)::BIGINT FROM s
+    )
+    ORDER BY rule
+    """
+
+
+@_register("gopher_quality_filter", _gqf_oracle())
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule cascade report: for each heuristic rule
+    (length window, mean-word-length window, duplicate-token share,
+    stopword presence) the number of documents it rejects, plus the
+    survivor and total counts — the per-rule accounting a curation run
+    publishes so threshold changes can be audited.
+
+    Scale: one corpus pass computes the per-doc integer stats (token
+    count, distinct count, char sum) as a narrow map — no explode; the
+    seven output rows come from ONE hash-aggregate producing all rule
+    counters as conditional sums, then an 8-row unpivot (stack) on the
+    driver-sized result.  Every rule threshold is integer
+    cross-multiplied, so no floating-point boundary decides membership
+    cross-engine.  Mirrors the reference's per-predicate audit style
+    (core/pedri_analysis.py per-filter counters) applied to corpus
+    curation."""
+    flags = _GQF_FLAGS
+    fail_any = " OR ".join(f"({cond})" for _, cond in flags)
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.selectExpr(
+        f"{tx.tokens(tx.SPARK, 'text')} AS toks"
+    ).selectExpr(*_gqf_doc_stats(tx.SPARK))
+    aggs = [
+        F.sum(F.when(F.expr(cond), 1).otherwise(0)).cast("bigint").alias(name)
+        for name, cond in flags
+    ]
+    aggs.append(
+        F.sum(F.when(~F.expr(fail_any), 1).otherwise(0))
+        .cast("bigint")
+        .alias("survivors")
+    )
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("total"))
+    one = s.agg(*aggs)
+    names = [name for name, _ in flags] + ["survivors", "total"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, n_failed)"
+    ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram coverage flags
+# ---------------------------------------------------------------------------
+
+# A bigram is "boilerplate" when it appears in >= 5% of documents
+# (df * 20 >= n_docs); a document is flagged when >= half of its
+# distinct bigrams are boilerplate (2 * n_freq >= n_grams).
+
+
+def _boiler_oracle() -> str:
+    grams = tx.word_shingles(tx.DUCK, "toks", k=2)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, {tx.tokens(tx.DUCK, "text")} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, unnest({grams}) AS gram FROM t
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n_docs FROM t),
+    freq AS (
+      SELECT gram FROM g, tot
+      GROUP BY gram, n_docs
+      HAVING count(*) * 20 >= n_docs
+    ),
+    per_doc AS (
+      SELECT g.doc_id, any_value(g.lang) AS lang,
+             count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_freq
+      FROM g LEFT JOIN freq f ON g.gram = f.gram
+      GROUP BY g.doc_id
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN 2 * n_freq >= n_grams THEN 1 ELSE 0 END)::BIGINT
+             AS n_flagged,
+           sum(CAST(FLOOR((1000000e0 * n_freq) / n_grams) AS BIGINT))
+             ::BIGINT AS sum_coverage_micros
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@_register("boilerplate_ngram_flags", _boiler_oracle())
+def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection via frequent-bigram coverage: bigrams
+    occurring in >= 5% of documents are boilerplate; per language,
+    count documents whose distinct-bigram set is >= half boilerplate
+    (plus the quantized mean coverage) — the CCNet-style screen for
+    template/navigation text before training.
+
+    Scale: distinct bigrams explode once; document frequency is one
+    hash-aggregate on the gram key; the frequent set (df >= 5% of N —
+    by construction at most 20 grams can each cover 5% of all
+    gram-slots, so it is small) broadcast-joins back against the
+    exploded grams; per-doc and per-lang rollups are ordinary
+    map-side-combined aggregates.  Coverage is quantized to integer
+    micros per doc before summing (exact BIGINT cross-engine);
+    flagging is integer cross-multiplied.  Docs with < 2 tokens have
+    no bigrams and drop out of the report denominator by design."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = spread(docs).select(
+        "doc_id", "lang", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    g = t.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(tx.word_shingles(tx.SPARK, "toks", k=2))).alias("gram"),
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    freq = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("df") * 20 >= F.col("n_docs"))
+        .select("gram", F.lit(1).alias("_hit"))
+    )
+    per_doc = (
+        g.join(F.broadcast(freq), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_freq"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_freq") * 2 >= F.col("n_grams"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR((1000000e0 * n_freq) / n_grams) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_coverage_micros"),
+        )
+        .orderBy("lang")
     )

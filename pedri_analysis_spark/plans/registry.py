@@ -128,6 +128,7 @@ def _modules():
         "pipeline_queries",
         "multimodal_queries",
         "resolution_queries",
+        "retrieval_queries",
         "similarity_queries",
         "streaming_queries",
         "pedri_queries",

@@ -68,6 +68,9 @@ _BNLJ_ALLOWED = {
     "table_health_report",  # 1-row per-constraint totals frames unioned
     "value_imputation_cascade",  # 1-row global-mean fallback frame
     "association_rules_lift",  # 1-row order-count frame (support denom)
+    "bm25_topk_docs",  # 1-row corpus-stats frame (N, total_dl, per-term df)
+    "rrf_fusion_topk",  # same BM25 stats frame + 1-row query vector
+    "boilerplate_ngram_flags",  # 1-row doc-count frame (df threshold)
     "distribution_drift_chisq",  # 1-row min/max bounds + bin-totals frames
     "tfidf_top_terms",  # 1-row corpus-count frame (idf)
     "winsorized_price_stats",  # 1-row percentile-bounds frame
@@ -78,6 +81,7 @@ _BNLJ_ALLOWED = {
 # docstrings at each site).  Anything else crossing into Python fails.
 _PYTHON_ALLOWED = {
     "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
+    "rrf_fusion_topk",  # reuses cosine_topk's Arrow einsum kernel (50-row side)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
     "ivf_topk",  # Arrow probe scoring kernel
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
