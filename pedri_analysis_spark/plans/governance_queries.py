@@ -358,3 +358,205 @@ def q_distribution_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("contrib_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (customers by first-order month x month offset)
+# ---------------------------------------------------------------------------
+
+RETENTION_MAX_OFFSET = 6
+
+
+@_register(
+    "cohort_retention",
+    f"""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m
+      FROM orders
+    ),
+    coh AS (SELECT o_custkey, min(m) AS cohort_m FROM m GROUP BY o_custkey),
+    r AS (
+      SELECT m.o_custkey, coh.cohort_m, m.m - coh.cohort_m AS month_offset
+      FROM m JOIN coh USING (o_custkey)
+      WHERE m.m - coh.cohort_m <= {RETENTION_MAX_OFFSET}
+    )
+    SELECT cohort_m, month_offset, count(*)::BIGINT AS n_active
+    FROM r GROUP BY cohort_m, month_offset
+    ORDER BY cohort_m, month_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month
+    (the cohort), counted as active in each subsequent month offset
+    0..{RETENTION_MAX_OFFSET} — the classic product-analytics retention
+    triangle.
+
+    Scale: dedup to (customer, month) and the per-customer min-month
+    both hash on o_custkey, so Catalyst reuses one exchange for the
+    dedup, the cohort aggregate, AND the join back; the final rollup
+    shuffles only (cohort, offset) pairs (output is calendar-bounded:
+    months x {RETENTION_MAX_OFFSET + 1} rows, independent of row
+    count).  Month index = year*12 + month, exact integers in both
+    engines; a customer contributes at most one row per (cohort,
+    offset) because offset determines the month, so count(*) counts
+    distinct customers without a distinct aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    m = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    coh = m.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    r = (
+        m.join(coh, "o_custkey")
+        .select(
+            "cohort_m", (F.col("m") - F.col("cohort_m")).alias("month_offset")
+        )
+        .filter(F.col("month_offset") <= RETENTION_MAX_OFFSET)
+    )
+    return (
+        r.groupBy("cohort_m", "month_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .orderBy("cohort_m", "month_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonality_dow_index",
+    f"""
+    WITH d AS (
+      SELECT (epoch_us(o_orderdate) // {DAY_US}) % 7 AS dow,
+             o_totalprice::DECIMAL(12,2) AS p
+      FROM orders
+    ),
+    per AS (
+      SELECT dow, count(*)::BIGINT AS n_orders, sum(p) AS rev
+      FROM d GROUP BY dow
+    )
+    SELECT dow,
+           n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(FLOOR((7000000e0 * CAST(rev AS DOUBLE)) /
+                      CAST(sum(rev) OVER () AS DOUBLE)) AS BIGINT)
+             AS dow_index_micros
+    FROM per
+    ORDER BY dow
+    """,
+)
+def q_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of order revenue: each weekday's
+    revenue as micros of the all-days-equal expectation (1,000,000 =
+    exactly average) — the ops-calendar seasonality profile.
+
+    Scale: day-of-week is epoch-day mod 7 (0 = Thursday, 1970-01-01),
+    a pure projection; ONE map-side-combined aggregate to 7 rows; the
+    total-revenue denominator is an unpartitioned window over those 7
+    pre-aggregated rows (never the fact table).  Revenue sums run in
+    DECIMAL (order-independent); the index is one double division of
+    two exact decimals, floored to integer micros."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.select(
+        F.expr(
+            f"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US}) % 7"
+        ).alias("dow"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    per = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("p").alias("rev"),
+    )
+    total = F.sum("rev").over(W.partitionBy())
+    return (
+        per.withColumn("total_rev", total)
+        .select(
+            "dow",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.expr(
+                "CAST(FLOOR((7000000e0 * CAST(rev AS DOUBLE)) /"
+                " CAST(total_rev AS DOUBLE)) AS BIGINT)"
+            ).alias("dow_index_micros"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-key skew report
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "data_skew_report",
+    """
+    WITH cnt AS (
+      SELECT l_suppkey, count(*)::BIGINT AS c
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_keys,
+             sum(c)::BIGINT AS total_rows,
+             max(c)::BIGINT AS max_key_rows,
+             min(c)::BIGINT AS min_key_rows,
+             quantile_cont(c, 0.5) AS p50_rows,
+             quantile_cont(c, 0.99) AS p99_rows
+      FROM cnt
+    )
+    SELECT n_keys, total_rows, max_key_rows, min_key_rows,
+           p50_rows, p99_rows,
+           CAST(FLOOR((1000000e0 * max_key_rows) / total_rows) AS BIGINT)
+             AS top1_share_micros,
+           CAST(FLOOR((1000000e0 * p99_rows) / p50_rows) AS BIGINT)
+             AS p99_over_p50_micros
+    FROM s
+    """,
+)
+def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew report for lineitem.l_suppkey: key count,
+    row totals, max/min per-key cardinality, exact p50/p99, the
+    heaviest key's share, and the p99/p50 ratio — the diagnostic a
+    platform runs BEFORE picking salting or AQE skew-join thresholds
+    for a 100 TB shuffle.
+
+    Scale: one map-side-combined aggregate to |keys| rows, then a
+    single-row rollup; the exact percentiles run over the per-key
+    count frame (|keys| rows, already reduced), not the fact table.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+    identically (proven convention); ratios are single double
+    divisions floored to integer micros."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cnt = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = cnt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.min("c").cast("bigint").alias("min_key_rows"),
+        F.expr("percentile(c, 0.5)").alias("p50_rows"),
+        F.expr("percentile(c, 0.99)").alias("p99_rows"),
+    )
+    return s.select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        "min_key_rows",
+        "p50_rows",
+        "p99_rows",
+        F.expr(
+            "CAST(FLOOR((1000000e0 * max_key_rows) / total_rows) AS BIGINT)"
+        ).alias("top1_share_micros"),
+        F.expr(
+            "CAST(FLOOR((1000000e0 * p99_rows) / p50_rows) AS BIGINT)"
+        ).alias("p99_over_p50_micros"),
+    )
