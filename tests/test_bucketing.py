@@ -1,49 +1,79 @@
-"""Bucketing: pre-shuffled persistent layout so repeated joins on the
-bucket key are co-located — the no-shuffle-join strategy the 100 TB plan
-leans on (SURVEY §4: physical strategies the reference lacks)."""
+"""Bucketed-table co-located join: the persisted co-partitioning must
+actually remove the join-side shuffles AND produce results identical to
+the raw-parquet join (materialization is an optimization, never a
+semantic change)."""
 
 from __future__ import annotations
 
-import pytest
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.plans.layout_queries import (
+    QUERIES,
+    bucketed_join_frame,
+    ensure_bucketed_tables,
+)
+from pedri_analysis_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
 
 
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    return spark
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
-    from pedri_analysis_spark.sources.tables import load_table
+def test_bucketed_tables_registered_with_buckets(spark):
+    orders_tbl, cust_tbl = ensure_bucketed_tables(spark, SF)
+    for tbl in (orders_tbl, cust_tbl):
+        ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        text = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
+        assert "Num Buckets 16" in text, text
+        assert "Bucket Columns" in text
 
-    sf = "/root/testdata/sf0.01"
-    orders = load_table(spark, "orders", sf)
-    customer = load_table(spark, "customer", sf)
 
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
-    (
-        orders.write.bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .saveAsTable("b_orders")
-    )
-    (
-        customer.withColumnRenamed("c_custkey", "o_custkey")
-        .write.bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .saveAsTable("b_customer")
-    )
-    # disable broadcast so the join strategy decision is about shuffles
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    # At test scale the dim fits a broadcast, so the planner (correctly)
+    # prefers BHJ and ignores bucketing.  The property bucketing buys is
+    # for the both-sides-big case — pin it by disabling auto-broadcast,
+    # which is exactly the 100 TB fact⋈fact planning situation.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, "bucketed join must not shuffle"
-        assert joined.count() == orders.count()
+        j = bucketed_join_frame(spark, SF)
+        j.collect()
+        plan = _plan(j)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 16 out of 16" in plan, plan
+    # Co-located: neither side may shuffle.  (A per-partition Sort node
+    # remains: Spark ignores sortBy ordering on read unless the legacy
+    # spark.sql.legacy.bucketedTableScan.outputOrdering flag is set —
+    # SPARK-28632 — because >1 file per bucket would need a merge read.
+    # The sort is exchange-free and in-memory-run-sorted; the shuffle is
+    # the cost bucketing exists to remove.)
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_matches_raw_join(spark):
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["revenue"])
+        for r in QUERIES["bucketed_join_segment_revenue"](spark, SF).collect()
+    }
+    o = load_table(spark, "orders", SF)
+    c = load_table(spark, "customer", SF)
+    want = {
+        r["c_mktsegment"]: (r["n"], r["rev"])
+        for r in (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("rev"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
