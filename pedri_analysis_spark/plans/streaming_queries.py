@@ -221,3 +221,41 @@ def q_hierarchical_rollup_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val_partial").cast("double").alias("total_value"),
         )
     )
+
+
+@_register(
+    "stream_static_segment_counts",
+    f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+           c.c_mktsegment,
+           count(*)::BIGINT AS n,
+           CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event feed joined to the static
+    customer dimension (user_id ≡ c_custkey), then tumbling 1-hour
+    counts per market segment — the standard streaming-enrichment
+    topology (stream ⋈ broadcast dim → windowed agg), executed in its
+    batch-equivalent form so the oracle can check values.  The same
+    builder chain runs under readStream (stream-static joins need no
+    watermark — the static side holds no state;
+    tests/test_streaming.py::test_stream_static_enrichment_join proves
+    batch ≡ streaming for this shape).
+
+    Scale: the dimension broadcasts to every micro-batch (no shuffle
+    on the stream side before the window aggregate); streaming state
+    is one row per open (window, segment).  Window starts are
+    epoch-aligned so integer bucket arithmetic reproduces them."""
+    from pedri_analysis_spark.sources.tables import load_table
+
+    ev = with_event_time(events_us(spark, sf_dir))
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"]
+    )
+    return tumbling_counts(enriched, "1 hour", ("c_mktsegment",))
