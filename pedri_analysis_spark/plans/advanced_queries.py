@@ -1830,3 +1830,64 @@ def q_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") == F.col("l_suppkey"),
         "left_semi",
     ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 analogue: important stock value per part (no partsupp in the
+# testdata, so "stock value" = shipped extendedprice volume by one
+# nation's suppliers — the same scalar-subquery HAVING shape).
+# --------------------------------------------------------------------------
+@_register(
+    "important_stock_parts_q11",
+    """
+    WITH nat_sup AS (
+      SELECT s_suppkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    pv AS (
+      SELECT l_partkey, sum(l_extendedprice::DECIMAL(12,2)) AS val
+      FROM lineitem JOIN nat_sup ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(val) AS total_val FROM pv)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE val * 1000 > total_val
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+def q_important_stock_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (reference parity note: the testdata has
+    no partsupp, so availqty*supplycost becomes shipped extendedprice
+    volume): parts whose value shipped by NATION_3's suppliers exceeds
+    0.1% of that nation's total — the fraction-of-global-sum HAVING
+    with a scalar subquery.
+
+    Scale: the nation's supplier-key list is dimension-sized and
+    broadcasts into the fact scan; one shuffle aggregates per-part
+    value in DECIMAL (order-independent); the grand total is a 1-row
+    broadcast over the ALREADY-REDUCED per-part frame (never a second
+    fact scan); the threshold compares exact decimals (no double
+    boundary).  Completes the achievable TPC-H analogue set: 22/22
+    shapes have a counterpart (Q2 via cheapest_supplier_per_part, Q16/
+    Q20 adapted in round 7 wave 1)."""
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(money("l_extendedprice")).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("total_val"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * 1000 > F.col("total_val"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )

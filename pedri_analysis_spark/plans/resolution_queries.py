@@ -466,3 +466,43 @@ def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "pa", "pb")
         .limit(RULES_TOP)
     )
+
+
+@_register(
+    "copurchase_degree_histogram",
+    f"""
+    WITH {_copurchase_edges_sql()},
+    d AS (
+      SELECT p, count(*)::BIGINT AS degree FROM (
+        SELECT pa AS p FROM e
+        UNION ALL
+        SELECT pb AS p FROM e
+      ) GROUP BY p
+    )
+    SELECT degree, count(*)::BIGINT AS n_parts
+    FROM d GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def q_copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: per-node degree
+    (each (lo, hi) edge contributes one to both endpoints), histogrammed
+    to (degree, n_parts) — the first diagnostic run on any large graph
+    before choosing join strategies (a heavy tail means the triangle /
+    pair joins need degree-ordering or hub isolation).
+
+    Scale: the edge frame unions its two endpoint projections (a
+    map-side Expand, no join); degrees are one hash aggregate on the
+    node key; the histogram aggregates the already-reduced |V|-row
+    frame to at most max-degree rows.  Output is bounded by the graph's
+    maximum degree regardless of corpus size."""
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
+    nodes = e.select(F.col("pa").alias("p")).unionAll(
+        e.select(F.col("pb").alias("p"))
+    )
+    d = nodes.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        d.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("degree")
+    )

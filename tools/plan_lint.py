@@ -68,6 +68,7 @@ _BNLJ_ALLOWED = {
     "table_health_report",  # 1-row per-constraint totals frames unioned
     "value_imputation_cascade",  # 1-row global-mean fallback frame
     "association_rules_lift",  # 1-row order-count frame (support denom)
+    "important_stock_parts_q11",  # 1-row grand-total frame (Q11 scalar subquery)
     "bm25_topk_docs",  # 1-row corpus-stats frame (N, total_dl, per-term df)
     "rrf_fusion_topk",  # same BM25 stats frame + 1-row query vector
     "boilerplate_ngram_flags",  # 1-row doc-count frame (df threshold)
