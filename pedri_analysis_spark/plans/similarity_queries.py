@@ -721,3 +721,148 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sparse_cosine_pairs", _sparse_cosine_oracle())(q_sparse_cosine_pairs)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k audit (approximate-index quality gate)
+# ---------------------------------------------------------------------------
+
+IVF_RECALL_Q0 = N_CENTROIDS  # query ids [Q0, Q1) — disjoint from centroids
+IVF_RECALL_Q1 = N_CENTROIDS + 8
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    qs AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id >= {IVF_RECALL_Q0} AND vec_id < {IVF_RECALL_Q1}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cent c
+              ORDER BY {_dcos('e.embedding', 'c.embedding')} DESC, c.cid ASC
+              LIMIT 1) AS cluster
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT qid, cid AS cluster FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_dcos('c.embedding', 'q.qvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM cent c CROSS JOIN qs q
+      ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, a.vec_id, a.cluster,
+             {_dcos('a.embedding', 'q.qvec')} AS sim
+      FROM assigned a CROSS JOIN qs q
+      WHERE a.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cluster, sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+             ) AS rne
+      FROM scored
+    ),
+    ivf AS (
+      SELECT s.qid, s.vec_id,
+             row_number() OVER (
+               PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id ASC
+             ) AS rni
+      FROM scored s JOIN probe p
+        ON p.qid = s.qid AND p.cluster = s.cluster
+    )
+    SELECT r.qid AS query_id,
+           sum(CASE WHEN r.rne <= {SQ_K} AND i.rni <= {SQ_K}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           (sum(CASE WHEN r.rne <= {SQ_K} AND i.rni <= {SQ_K}
+                     THEN 1 ELSE 0 END)::DOUBLE / {SQ_K}) AS recall_at_k
+    FROM ranked r LEFT JOIN ivf i
+      ON i.qid = r.qid AND i.vec_id = r.vec_id
+    GROUP BY r.qid
+    ORDER BY query_id
+    """
+
+
+@_register("ivf_recall_at_k", _ivf_recall_oracle())
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@k audit: per query vector, how much of the exact
+    cosine top-{SQ_K} the nprobe={NPROBE} IVF probe retrieves — the
+    quality gate a deployment runs before trusting the sub-linear
+    index (the partition-pruned IVF layout is only as good as its
+    recall, and recall is a function of nprobe and the centroid
+    spread).  Companion to sq_recall_at_k, which audits the
+    representation; this audits the INDEX TOPOLOGY.
+
+    Scale: the audit runs on a SAMPLED query set (8 here), so the
+    per-query exact ranking — inherently a full scan per query — costs
+    |sample| × corpus narrow work with both rankings sharing one qid
+    shuffle; the probe set is (queries × nprobe) rows, broadcast.  The
+    assignment reuses ivf_assign's single-shuffle argmax.  At 100 TB
+    you audit on the same sample size, so cost is independent of index
+    growth; recall values are exact count ratios (engine-portable)."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    qs = emb.filter(
+        (F.col("vec_id") >= IVF_RECALL_Q0) & (F.col("vec_id") < IVF_RECALL_Q1)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qvec"))
+    assigned = sim.ivf_assign(spread(emb), cent)
+    scored = (
+        assigned.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "cluster",
+            sim.round6(sim.cosine_fast("embedding", "_qvec")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    probe = (
+        cent.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            F.col("cid").alias("cluster"),
+            sim.round6(sim.cosine_fast("embedding", "_qvec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cluster")
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rne", F.row_number().over(wq))
+    ivf = (
+        scored.join(F.broadcast(probe), ["qid", "cluster"])
+        .withColumn("rni", F.row_number().over(wq))
+        .select("qid", "vec_id", "rni")
+    )
+    hit = F.when(
+        (F.col("rne") <= SQ_K) & (F.col("rni") <= SQ_K), 1
+    ).otherwise(0)
+    return (
+        ranked.join(ivf, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            F.expr(
+                f"CAST(sum(CASE WHEN rne <= {SQ_K} AND rni <= {SQ_K}"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / {SQ_K}"
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -65,6 +65,7 @@ _BNLJ_ALLOWED = {
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
     "sparse_cosine_pairs",  # 1-row corpus-count frame (idf)
     "sq_recall_at_k",  # 1-row max-abs scale frame
+    "ivf_recall_at_k",  # 8-row sampled-query frame (recall audit)
     "table_health_report",  # 1-row per-constraint totals frames unioned
     "value_imputation_cascade",  # 1-row global-mean fallback frame
     "association_rules_lift",  # 1-row order-count frame (support denom)
@@ -83,6 +84,7 @@ _BNLJ_ALLOWED = {
 _PYTHON_ALLOWED = {
     "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
     "rrf_fusion_topk",  # reuses cosine_topk's Arrow einsum kernel (50-row side)
+    "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
     "ivf_topk",  # Arrow probe scoring kernel
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
