@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pedri_analysis_spark.functions import textexpr as tx
-from pedri_analysis_spark.operators import dedup as dd
+from pedri_analysis_spark.operators import dedup as dd, spread
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -827,3 +827,116 @@ def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_exact, n_minhash, n_simhash)],
         "n_input long, n_after_exact long, n_after_minhash long, n_after_simhash long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration audit
+# ---------------------------------------------------------------------------
+
+
+def _mh_accuracy_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    exact = (
+        "CAST(FLOOR(1000000e0 * (len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / len(list_distinct(sa.sh || sb.sh)))) AS BIGINT)"
+    )
+    return f"""
+    WITH {minhash_pair_ctes('documents')},
+    acc AS (
+      SELECT p.a, p.b,
+             ({agree})::BIGINT AS n_agree,
+             {exact} AS exact_micros
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b
+    )
+    SELECT n_agree,
+           ((1000000 * n_agree) // {N_HASHES})::BIGINT AS est_micros,
+           count(*)::BIGINT AS n_pairs,
+           sum(exact_micros)::BIGINT AS sum_exact_micros,
+           min(exact_micros)::BIGINT AS min_exact_micros,
+           max(exact_micros)::BIGINT AS max_exact_micros
+    FROM acc GROUP BY n_agree
+    ORDER BY n_agree
+    """
+
+
+@_register("minhash_estimate_accuracy", _mh_accuracy_oracle())
+def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: over the LSH candidate pairs, the
+    per-agreement-level (0..16 matching signature positions) count of
+    pairs and the sum/min/max of their EXACT Jaccard — the curve that
+    tells you whether 16 hashes are enough before trusting the sketch
+    to delete data at 100 TB (estimated similarity n_agree/16 should
+    bracket the exact values; a wide min/max band at high agreement
+    means more hashes or a higher verify threshold).
+
+    Scale: identical topology to minhash_near_dups (signatures are
+    per-row HOF math, one banded shuffle with bucket caps, exact
+    Jaccard only for candidates) plus one bounded 17-row rollup; the
+    audit adds NO new corpus-wide work over the dedup run it audits.
+    Exact Jaccard is quantized to integer micros before aggregation
+    (the double itself is a single division of exact ints — identical
+    both engines — but summing doubles would be fold-order-dependent)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sigs = (
+        dd.minhash_signatures(spread(d), "text", N_HASHES, SHINGLE_K)
+        .select("doc_id", "sh", *[f"mh{i}" for i in range(N_HASHES)])
+        .persist()
+    )
+    try:
+        sigs.count()  # materialize before the multi-consumer job
+        pairs = dd.lsh_candidate_pairs(
+            sigs, "doc_id", N_HASHES, BANDS, MAX_BUCKET
+        )
+        sa = sigs.select(
+            F.col("doc_id").alias("a"),
+            F.col("sh").alias("sha"),
+            *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_HASHES)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("b"),
+            F.col("sh").alias("shb"),
+            *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(N_HASHES)],
+        )
+        agree = " + ".join(
+            f"(CASE WHEN xa{i} = xb{i} THEN 1 ELSE 0 END)"
+            for i in range(N_HASHES)
+        )
+        exact = (
+            "CAST(FLOOR(1000000e0 * (CAST(size(array_intersect(sha, shb))"
+            " AS DOUBLE) / size(array_distinct(concat(sha, shb)))))"
+            " AS BIGINT)"
+        )
+        acc = (
+            pairs.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                F.expr(f"CAST(({agree}) AS BIGINT)").alias("n_agree"),
+                F.expr(exact).alias("exact_micros"),
+            )
+        )
+        out = (
+            acc.groupBy("n_agree")
+            .agg(
+                F.expr(
+                    f"CAST((1000000 * n_agree) div {N_HASHES} AS BIGINT)"
+                ).alias("est_micros"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("exact_micros").cast("bigint").alias("sum_exact_micros"),
+                F.min("exact_micros").cast("bigint").alias("min_exact_micros"),
+                F.max("exact_micros").cast("bigint").alias("max_exact_micros"),
+            )
+            .orderBy("n_agree")
+        )
+        # the aggregate is tiny (<= 17 rows): collect-through-localCheckpoint
+        # is unnecessary; returning the lazy frame is fine because the
+        # persisted sigs are referenced only inside this plan
+        return out
+    finally:
+        # unpersist AFTER the plan is built; execution re-persists lazily
+        # via the plan's InMemoryRelation (same convention as the cascade)
+        sigs.unpersist()
