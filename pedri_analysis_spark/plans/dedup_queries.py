@@ -882,61 +882,54 @@ def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the double itself is a single division of exact ints — identical
     both engines — but summing doubles would be fold-order-dependent)."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # persist WITHOUT unpersist (the minhash_near_dups convention): the
+    # returned frame is lazy and re-reads sigs from three consumers at
+    # execution time; the harness clears the cache between queries.
     sigs = (
         dd.minhash_signatures(spread(d), "text", N_HASHES, SHINGLE_K)
         .select("doc_id", "sh", *[f"mh{i}" for i in range(N_HASHES)])
         .persist()
     )
-    try:
-        sigs.count()  # materialize before the multi-consumer job
-        pairs = dd.lsh_candidate_pairs(
-            sigs, "doc_id", N_HASHES, BANDS, MAX_BUCKET
+    sigs.count()  # materialize before the multi-consumer job
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS, MAX_BUCKET)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("sh").alias("sha"),
+        *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("sh").alias("shb"),
+        *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(N_HASHES)],
+    )
+    agree = " + ".join(
+        f"(CASE WHEN xa{i} = xb{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    exact = (
+        "CAST(FLOOR(1000000e0 * (CAST(size(array_intersect(sha, shb))"
+        " AS DOUBLE) / size(array_distinct(concat(sha, shb)))))"
+        " AS BIGINT)"
+    )
+    acc = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.expr(f"CAST(({agree}) AS BIGINT)").alias("n_agree"),
+            F.expr(exact).alias("exact_micros"),
         )
-        sa = sigs.select(
-            F.col("doc_id").alias("a"),
-            F.col("sh").alias("sha"),
-            *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_HASHES)],
+    )
+    out = (
+        acc.groupBy("n_agree")
+        .agg(
+            F.expr(
+                f"CAST((1000000 * n_agree) div {N_HASHES} AS BIGINT)"
+            ).alias("est_micros"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("exact_micros").cast("bigint").alias("sum_exact_micros"),
+            F.min("exact_micros").cast("bigint").alias("min_exact_micros"),
+            F.max("exact_micros").cast("bigint").alias("max_exact_micros"),
         )
-        sb = sigs.select(
-            F.col("doc_id").alias("b"),
-            F.col("sh").alias("shb"),
-            *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(N_HASHES)],
-        )
-        agree = " + ".join(
-            f"(CASE WHEN xa{i} = xb{i} THEN 1 ELSE 0 END)"
-            for i in range(N_HASHES)
-        )
-        exact = (
-            "CAST(FLOOR(1000000e0 * (CAST(size(array_intersect(sha, shb))"
-            " AS DOUBLE) / size(array_distinct(concat(sha, shb)))))"
-            " AS BIGINT)"
-        )
-        acc = (
-            pairs.join(sa, "a")
-            .join(sb, "b")
-            .select(
-                F.expr(f"CAST(({agree}) AS BIGINT)").alias("n_agree"),
-                F.expr(exact).alias("exact_micros"),
-            )
-        )
-        out = (
-            acc.groupBy("n_agree")
-            .agg(
-                F.expr(
-                    f"CAST((1000000 * n_agree) div {N_HASHES} AS BIGINT)"
-                ).alias("est_micros"),
-                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-                F.sum("exact_micros").cast("bigint").alias("sum_exact_micros"),
-                F.min("exact_micros").cast("bigint").alias("min_exact_micros"),
-                F.max("exact_micros").cast("bigint").alias("max_exact_micros"),
-            )
-            .orderBy("n_agree")
-        )
-        # the aggregate is tiny (<= 17 rows): collect-through-localCheckpoint
-        # is unnecessary; returning the lazy frame is fine because the
-        # persisted sigs are referenced only inside this plan
-        return out
-    finally:
-        # unpersist AFTER the plan is built; execution re-persists lazily
-        # via the plan's InMemoryRelation (same convention as the cascade)
-        sigs.unpersist()
+        .orderBy("n_agree")
+    )
+    return out

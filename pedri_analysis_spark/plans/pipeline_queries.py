@@ -923,11 +923,16 @@ def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spread(docs).select(
         "doc_id", "lang", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
     )
+    # persist: the exploded gram frame feeds BOTH the df aggregate and
+    # the per-doc coverage join (the minhash_near_dups multi-consumer
+    # convention — without it the tokenize/shingle/explode chain runs
+    # twice; the harness clears the cache between queries).
     g = t.select(
         "doc_id",
         "lang",
         F.explode(F.expr(tx.word_shingles(tx.SPARK, "toks", k=2))).alias("gram"),
-    )
+    ).persist()
+    g.count()  # materialize before the multi-consumer job
     tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     freq = (
         g.groupBy("gram")

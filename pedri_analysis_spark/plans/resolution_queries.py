@@ -491,15 +491,15 @@ def q_copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     before choosing join strategies (a heavy tail means the triangle /
     pair joins need degree-ordering or hub isolation).
 
-    Scale: the edge frame unions its two endpoint projections (a
-    map-side Expand, no join); degrees are one hash aggregate on the
-    node key; the histogram aggregates the already-reduced |V|-row
-    frame to at most max-degree rows.  Output is bounded by the graph's
-    maximum degree regardless of corpus size."""
+    Scale: each edge emits its two endpoints via ONE explode (a union
+    of two projections would run the edge-generation join+aggregate
+    twice — the plan audit caught exactly that in the first cut);
+    degrees are one hash aggregate on the node key; the histogram
+    aggregates the already-reduced |V|-row frame to at most max-degree
+    rows.  Output is bounded by the graph's maximum degree regardless
+    of corpus size."""
     e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
-    nodes = e.select(F.col("pa").alias("p")).unionAll(
-        e.select(F.col("pb").alias("p"))
-    )
+    nodes = e.select(F.explode(F.array("pa", "pb")).alias("p"))
     d = nodes.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     return (
         d.groupBy("degree")
