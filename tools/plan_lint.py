@@ -85,6 +85,7 @@ _PYTHON_ALLOWED = {
     "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
     "rrf_fusion_topk",  # reuses cosine_topk's Arrow einsum kernel (50-row side)
     "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)
+    "wav_roundtrip_stats",  # REAL stdlib-wave codec round trip (mapInPandas)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
     "ivf_topk",  # Arrow probe scoring kernel
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
