@@ -1719,3 +1719,63 @@ def q_big_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (nested ranking) — the canonical windowed-rank shape
+# ---------------------------------------------------------------------------
+
+TOPN_PER_NATION = 3
+
+
+@_register(
+    "top_parts_per_nation",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name, l.l_partkey,
+             sum(l.l_extendedprice::DECIMAL(12,2)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_partkey
+    ),
+    ranked AS (
+      SELECT n_name, l_partkey, rev,
+             row_number() OVER (
+               PARTITION BY n_name ORDER BY rev DESC, l_partkey ASC
+             ) AS rn
+      FROM rev
+    )
+    SELECT n_name, rn, l_partkey, CAST(rev AS DOUBLE) AS revenue
+    FROM ranked WHERE rn <= {TOPN_PER_NATION}
+    ORDER BY n_name, rn
+    """,
+)
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPN_PER_NATION} parts by supplier-nation revenue — the
+    canonical top-N-per-group shape (windowed row_number + filter),
+    distinct from global top-k (heap) and per-group argmax (max_by).
+
+    Scale: one fact shuffle for the (nation, part) aggregate (both dims
+    broadcast); the rank window partitions on nation over the ALREADY
+    REDUCED frame (|nations × parts| rows, never the fact table), so no
+    single-partition sort exists anywhere; revenue in DECIMAL makes the
+    rank order deterministic cross-engine, tie-broken on partkey."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(dsum(money("l_extendedprice")).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPN_PER_NATION)
+        .select(
+            "n_name", "rn", "l_partkey", F.col("rev").cast("double").alias("revenue")
+        )
+        .orderBy("n_name", "rn")
+    )

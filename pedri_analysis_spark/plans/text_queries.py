@@ -644,3 +644,66 @@ def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") >= F.col("exact_n")).alias("one_sided_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase match (consecutive-token search)
+# ---------------------------------------------------------------------------
+
+PHRASE = "table value"  # two consecutive tokens
+
+
+@_register(
+    "phrase_match_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CASE WHEN list_contains(
+               {tx.word_shingles(tx.DUCK, "toks", 2)}, '{PHRASE}')
+             THEN 1 ELSE 0 END AS hit
+      FROM t
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(hit)::BIGINT AS n_matching
+    FROM m GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_phrase_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (consecutive-token match, the positional
+    complement to BM25's bag-of-words ranking): per language, documents
+    containing the phrase '{PHRASE}' as adjacent tokens.
+
+    Scale: the match is a per-row column expression (tokenize →
+    2-shingle → contains), no explode and no join; one map-side-combined
+    aggregate to |langs| rows.  At 100 TB the same predicate pushes into
+    any corpus scan as a cheap row filter; for repeated phrase queries
+    the inverted-index + positions layout (inverted_index_postings) is
+    the amortized path."""
+    d = load_table(spark, "documents", sf_dir)
+    m = d.select(
+        "lang",
+        F.expr(tx.tokens(tx.SPARK, "text")).alias("toks"),
+    ).select(
+        "lang",
+        F.when(
+            F.array_contains(
+                F.expr(tx.word_shingles(tx.SPARK, "toks", 2)), PHRASE
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("n_matching"),
+        )
+        .orderBy("lang")
+    )
