@@ -323,3 +323,89 @@ def q_bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (Delta OPTIMIZE-style small-file coalesce)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_FILES = 16
+
+
+@_register(
+    "compaction_plan_orders",
+    f"""
+    WITH manifest AS ({_zorder_sql("duck")}),
+    tot AS (SELECT sum(n_orders)::BIGINT AS total_rows FROM manifest),
+    sized AS (
+      SELECT m.z_bucket, m.n_orders,
+             ((t.total_rows + {COMPACT_TARGET_FILES - 1})
+               // {COMPACT_TARGET_FILES})::BIGINT AS target,
+             coalesce(sum(m.n_orders) OVER (
+               ORDER BY m.z_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS cum_before
+      FROM manifest m, tot t
+    )
+    SELECT (cum_before // target)::BIGINT AS merge_group,
+           count(*)::BIGINT AS n_files,
+           sum(n_orders)::BIGINT AS total_rows,
+           min(z_bucket)::BIGINT AS min_bucket,
+           max(z_bucket)::BIGINT AS max_bucket
+    FROM sized
+    GROUP BY 1
+    ORDER BY merge_group
+    """,
+)
+def q_compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the z-order layout: coalesce the
+    64 bucket files into ~{COMPACT_TARGET_FILES} target files by
+    walking the buckets IN CURVE ORDER and cutting at a row-count
+    budget (exclusive prefix sum div target) — the Delta
+    ``OPTIMIZE``-style maintenance op.  Curve-ordered coalescing is the
+    point: merging z-contiguous buckets preserves the clustering the
+    layout paid for, so the compacted files keep their small min/max
+    rectangles (a bin-packing merge would destroy them).
+
+    Scale: the plan operates on the FILE MANIFEST (one row per file —
+    64 here, O(100k) on a real table), never the data; the
+    unpartitioned prefix-sum window is over that bounded manifest
+    frame.  Everything is integer arithmetic; the oracle reuses the
+    z-order manifest SQL so both sides plan over identical input."""
+    manifest = (
+        zorder_keyed_orders(spark, sf_dir, Z_BUCKETS)
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    from pyspark.sql import Window as W
+
+    cum_before = F.coalesce(
+        F.sum("n_orders").over(
+            W.orderBy("z_bucket").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    sized = manifest.select(
+        "z_bucket",
+        "n_orders",
+        F.expr(
+            f"CAST((sum(n_orders) OVER () + {COMPACT_TARGET_FILES - 1})"
+            f" div {COMPACT_TARGET_FILES} AS BIGINT)"
+        ).alias("target"),
+        cum_before.cast("bigint").alias("cum_before"),
+    )
+    return (
+        sized.select(
+            F.expr("CAST(cum_before div target AS BIGINT)").alias("merge_group"),
+            "n_orders",
+            "z_bucket",
+        )
+        .groupBy("merge_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_orders").cast("bigint").alias("total_rows"),
+            F.min("z_bucket").cast("bigint").alias("min_bucket"),
+            F.max("z_bucket").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("merge_group")
+    )

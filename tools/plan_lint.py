@@ -77,6 +77,7 @@ _BNLJ_ALLOWED = {
     "tfidf_top_terms",  # 1-row corpus-count frame (idf)
     "winsorized_price_stats",  # 1-row percentile-bounds frame
     "zorder_layout_orders",  # 1-row quantization-bounds frame
+    "compaction_plan_orders",  # same 1-row bounds frame (reuses the z manifest)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
