@@ -560,3 +560,69 @@ def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR((1000000e0 * p99_rows) / p50_rows) AS BIGINT)"
         ).alias("p99_over_p50_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median revenue (order-statistic sliding window)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7d_median_revenue",
+    f"""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // {DAY_US}) AS d,
+             sum(o_totalprice::DECIMAL(12,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT t, CAST(rev AS DOUBLE) AS r
+      FROM daily, unnest(generate_series(d, d + 6)) AS u(t)
+    )
+    SELECT w.t::BIGINT AS day_idx,
+           count(*)::BIGINT AS n_days,
+           quantile_cont(w.r, 0.5) AS median_rev
+    FROM w SEMI JOIN daily ON w.t = daily.d
+    GROUP BY w.t
+    ORDER BY day_idx
+    """,
+)
+def q_rolling_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily order revenue — the order-statistic
+    sliding window a robust-trend dashboard needs (a mean-based rolling
+    window is one outlier day away from useless; medians can't be
+    computed incrementally, so the window shape matters).
+
+    Scale: NO self-join and NO range join — each day's single
+    pre-aggregated revenue row fans out to the 7 window-end days it
+    participates in (an Expand over the |days|-row frame, the
+    sliding_window_sums trick), then one hash aggregate per window-end
+    computes the exact median over ≤ 7 values.  The fact table is
+    touched once (the daily rollup); everything after runs on the
+    calendar-bounded frame.  Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (proven interpolation parity); the semi join
+    drops phantom window-ends past the last observed day."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.expr(
+                f"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US})"
+            ).alias("d"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        )
+        .groupBy("d")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = daily.select(
+        F.explode(F.expr("sequence(d, d + 6)")).alias("t"),
+        F.col("rev").cast("double").alias("r"),
+    )
+    return (
+        w.join(daily.select(F.col("d").alias("t")), "t", "semi")
+        .groupBy(F.col("t").cast("bigint").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("percentile(r, 0.5)").alias("median_rev"),
+        )
+        .orderBy("day_idx")
+    )

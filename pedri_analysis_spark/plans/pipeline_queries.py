@@ -971,3 +971,51 @@ def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+KFOLDS = 5
+
+
+def _kfold(dialect: str) -> str:
+    return f"({tx.seeded_hash64(dialect, 'source', 'kfold')} % {KFOLDS})"
+
+
+@_register(
+    "kfold_assignment_counts",
+    f"""
+    SELECT {_kfold(tx.DUCK)}::BIGINT AS fold,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY fold
+    """,
+)
+def q_kfold_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware {KFOLDS}-fold cross-validation assignment: the fold
+    is a seeded hash of the provenance group (source) mod {KFOLDS}, so
+    every document of a source shares a fold — each CV round's held-out
+    fold is leakage-free by construction (same guarantee as the 2-way
+    group split, generalized to k folds).
+
+    Scale: fold membership is a pure hash expression on an existing
+    column — no join, no fold table, no shuffle beyond the final
+    {KFOLDS}-row aggregate; assignments are stable as the corpus grows,
+    so fold manifests are reproducible across snapshots."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("fold", F.expr(_kfold(tx.SPARK)).cast("bigint"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("fold")
+    )
