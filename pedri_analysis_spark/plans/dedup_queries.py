@@ -933,3 +933,93 @@ def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_agree")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection (golden-record accounting after clustering)
+# ---------------------------------------------------------------------------
+
+
+def _survivor_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle()}),
+    nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b AS src, a AS dst FROM pairs),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    stats AS (
+      SELECT d.lang,
+             count(*)::BIGINT AS n_in_clusters,
+             count(DISTINCT c.cluster_id)::BIGINT AS n_clusters,
+             sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+               ::BIGINT AS n_removed
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY d.lang
+    ),
+    tot AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+    SELECT t.lang, t.n_docs,
+           coalesce(s.n_in_clusters, 0)::BIGINT AS n_in_clusters,
+           coalesce(s.n_clusters, 0)::BIGINT AS n_clusters,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+           (t.n_docs - coalesce(s.n_removed, 0))::BIGINT AS n_kept
+    FROM tot t LEFT JOIN stats s USING (lang)
+    ORDER BY t.lang
+    """
+
+
+@_register("dedup_survivor_report", _survivor_oracle())
+def q_dedup_survivor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record accounting — the last step of the dedup chain
+    (detect pairs → cluster → SELECT SURVIVORS): per language, how many
+    documents sit in near-dup clusters, how many clusters exist, how
+    many non-canonical members get removed (canonical = the cluster's
+    min doc_id, matching the cluster label), and how many documents
+    survive.
+
+    Scale: reuses the connected-components result (candidate-graph
+    sized — |pairs| rows, not corpus); the survivor flag is
+    ``doc_id <> cluster_id`` (free, since the label IS the canonical
+    id); the lang join touches |clustered docs| rows against the
+    broadcastable doc-dimension projection, and the per-lang rollup is
+    bounded by |langs|.  The corpus-total frame is one map-side-combined
+    aggregate."""
+    comp = QUERIES["dedup_connected_components"](spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    stats = (
+        comp.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_clusters"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        tot.join(stats, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_in_clusters", F.lit(0)).cast("bigint").alias(
+                "n_in_clusters"
+            ),
+            F.coalesce("n_clusters", F.lit(0)).cast("bigint").alias("n_clusters"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            (F.col("n_docs") - F.coalesce("n_removed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
