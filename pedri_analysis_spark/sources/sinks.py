@@ -70,6 +70,31 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> st
     return path
 
 
+def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> str:
+    """Idempotent BACKFILL into an existing partitioned dataset: dynamic
+    partition overwrite replaces ONLY the partitions present in ``df``
+    and leaves every other partition's files untouched (static overwrite
+    mode would truncate the whole table — the classic backfill footgun).
+
+    The mode is set per-write via the DataFrameWriter option, not a
+    session conf, so concurrent writers with different intents cannot
+    race on global state.  Re-running the same backfill converges to the
+    same bytes (deterministic input -> safe to retry).  At 100 TB this
+    is the daily-pipeline repair primitive: recompute one day, slot it
+    in, never touch the other 3 000 days.
+
+    Scale note: requires the write to be partition-pruned upstream
+    (recompute ONLY the target partitions); the sink itself shuffles
+    nothing."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return path
+
+
 def write_jsonl_sharded(df: DataFrame, path: str) -> str:
     """Training-export sink: JSON-Lines shards (one JSON object per line,
     one file per partition — the interchange format LLM data pipelines

@@ -107,3 +107,49 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_backfill_partitions_replaces_only_target_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one day's partition must
+    leave every other partition's files byte-identical, and a repeated
+    identical backfill must converge (idempotent repair)."""
+    import os
+
+    from pedri_analysis_spark.sources.sinks import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    base = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [(d, i, float(d * 100 + i)) for d in (1, 2, 3) for i in range(5)],
+        "day int, k int, v double",
+    )
+    write_partitioned(full, base, ["day"])
+
+    def files_for(day):
+        d = os.path.join(base, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d1, before_d3 = files_for(1), files_for(3)
+    # backfill day 2 with corrected values
+    fixed = spark.createDataFrame(
+        [(2, i, -1.0) for i in range(5)], "day int, k int, v double"
+    )
+    backfill_partitions(fixed, base, ["day"])
+    assert files_for(1) == before_d1 and files_for(3) == before_d3
+    got = {
+        (r["day"], r["k"]): r["v"] for r in spark.read.parquet(base).collect()
+    }
+    assert all(got[(2, i)] == -1.0 for i in range(5))
+    assert got[(1, 0)] == 100.0 and got[(3, 4)] == 304.0
+    # idempotence: the same backfill again converges
+    backfill_partitions(fixed, base, ["day"])
+    again = {
+        (r["day"], r["k"]): r["v"] for r in spark.read.parquet(base).collect()
+    }
+    assert again == got
