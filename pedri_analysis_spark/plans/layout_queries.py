@@ -249,29 +249,46 @@ def ensure_bucketed_tables(
          ["c_custkey", "c_mktsegment"]),
     ]
     for tbl, src, key, cols in specs:
-        if not spark.catalog.tableExists(tbl):
-            # The default in-memory catalog does not survive sessions but
-            # the warehouse directory does: a table dir left by a prior
-            # session makes saveAsTable fail with LOCATION_ALREADY_EXISTS.
-            # Unknown-to-the-catalog data is dead weight — remove it and
-            # rewrite (one shuffle per table, amortized across the session).
+        if spark.catalog.tableExists(tbl):
+            continue
+        # The default in-memory catalog does not survive sessions but the
+        # warehouse directory does.  A complete table dir left by a prior
+        # session (marked by _SUCCESS) is RE-REGISTERED as an external
+        # bucketed table — Spark recovers the bucket id from the
+        # part-…_000NN file-name suffix, so the registered table plans
+        # exactly like the original managed one (no Exchange; pinned by
+        # tests/test_bucketing.py).  This makes the cross-session reuse
+        # real (no re-shuffle of the fact table per process) and stops
+        # concurrent processes from rmtree-ing data a sibling session is
+        # mid-read on.  Only an INCOMPLETE leftover (no _SUCCESS: a
+        # crashed write) is removed and rewritten.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = wh.removeprefix("file:")
+        on_disk = os.path.join(wh_path, tbl.lower())
+        frame = load_table(spark, src, sf_dir).select(*cols)
+        if os.path.isfile(os.path.join(on_disk, "_SUCCESS")):
+            col_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in frame.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({col_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION 'file:{os.path.abspath(on_disk)}'"
+            )
+            continue
+        if os.path.isdir(on_disk):
             import shutil
 
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            wh_path = wh.removeprefix("file:")
-            stale = os.path.join(wh_path, tbl.lower())
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
-            (
-                load_table(spark, src, sf_dir)
-                .select(*cols)
-                .repartition(n_buckets, key)
-                .write.bucketBy(n_buckets, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tbl)
-            )
+            shutil.rmtree(on_disk)
+        (
+            frame.repartition(n_buckets, key)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
     return specs[0][0], specs[1][0]
 
 

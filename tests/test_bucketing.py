@@ -55,6 +55,38 @@ def test_bucketed_join_has_no_exchange_or_sort(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_existing_bucketed_dir_is_reregistered_not_rewritten(spark):
+    # A later PROCESS (fresh in-memory catalog) must reuse a complete
+    # on-disk bucketed table by registering it externally — not rmtree it
+    # (clobbering a sibling session mid-read) and re-shuffle the fact
+    # table.  Simulate the fresh-catalog state: stash the files, drop the
+    # managed table (which deletes them), restore the files, re-ensure.
+    import os
+    import shutil
+
+    orders_tbl, _ = ensure_bucketed_tables(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    on_disk = os.path.join(wh, orders_tbl.lower())
+    stash = on_disk + ".stash"
+    shutil.copytree(on_disk, stash)
+    try:
+        # DROP deletes the files only for a MANAGED table; if a prior
+        # ensure already re-registered it as EXTERNAL the files survive —
+        # remove them explicitly so the restore below is the only copy.
+        spark.sql(f"DROP TABLE {orders_tbl}")
+        shutil.rmtree(on_disk, ignore_errors=True)
+        shutil.move(stash, on_disk)
+        ensure_bucketed_tables(spark, SF)
+        ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {orders_tbl}").collect()
+        text = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
+        assert "EXTERNAL" in text, text
+        assert "Num Buckets 16" in text, text
+        n = spark.table(orders_tbl).count()
+        assert n == load_table(spark, "orders", SF).count()
+    finally:
+        shutil.rmtree(stash, ignore_errors=True)
+
+
 def test_bucketed_join_matches_raw_join(spark):
     got = {
         r["c_mktsegment"]: (r["n_orders"], r["revenue"])
