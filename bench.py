@@ -109,6 +109,17 @@ def main() -> None:
     # (alphabetically ann_lsh) isn't charged several seconds of worker
     # spin-up that every later UDF query gets for free.
     spark.range(1024).select(_warm_udf()("id")).collect()
+    # ... and the one-time bucketed-table materialization, so
+    # bucketed_join_segment_revenue's measured time is the JOIN (what the
+    # query demonstrates), not a first-run table write that later rounds'
+    # reused warehouse dirs never pay — keeps per-query timings
+    # comparable across rounds.
+    try:
+        from pedri_analysis_spark.plans.layout_queries import ensure_bucketed_tables
+
+        ensure_bucketed_tables(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: bucketed-table warmup failed: {exc}", file=sys.stderr)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # Record host load before and after: the container shares a host and

@@ -219,11 +219,30 @@ def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_BUCKETS = 16
 
+# Spec marker written beside _SUCCESS at publish time.  Re-registration
+# trusts catalog-style bucket metadata ONLY when this file's recorded
+# (bucket count, key, sort key, schema) exactly match what the current
+# code would write — Spark elides the Exchange/Sort purely on catalog
+# DDL, so registering a dir written under a DIFFERENT bucketing would
+# silently return wrong join results (rows hashed under the old spec
+# never meet their partners).
+BUCKET_SPEC_MARKER = "_BUCKET_SPEC.json"
+
 
 def _bucket_tag(sf_dir: str) -> str:
     import re as _re
 
     return _re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _bucket_spec(key: str, n_buckets: int, schema) -> dict:
+    return {
+        "n_buckets": n_buckets,
+        "bucket_by": key,
+        "sort_by": key,
+        "schema": schema.simpleString(),
+        "format": "parquet",
+    }
 
 
 def ensure_bucketed_tables(
@@ -240,7 +259,27 @@ def ensure_bucketed_tables(
     repeated-join workhorse at 100 TB, where the fact-table shuffle is
     the single largest cost of a star join and bucketing amortizes it
     to zero across every downstream query (pinned by
-    tests/test_bucketing.py's no-Exchange plan assertion)."""
+    tests/test_bucketing.py's no-Exchange plan assertion).
+
+    Cross-session protocol (the in-memory catalog dies with the
+    session; the warehouse dir does not):
+
+    * WRITE goes to a process-unique STAGING dir (a temp managed
+      table), gets the spec marker stamped beside _SUCCESS, and is
+      published into the final path with one atomic os.rename — a
+      sibling process can never observe (or rmtree) a half-written
+      final dir, and if two processes race, exactly one rename wins
+      and the loser discards its staging copy.
+    * RE-REGISTRATION as an EXTERNAL bucketed table happens ONLY when
+      _SUCCESS and the spec marker are both present and the marker
+      matches the current (n_buckets, key, sort, schema) exactly; any
+      mismatch (changed JOIN_BUCKETS/cols, foreign parquet dir
+      squatting on the path, pre-marker legacy dir) is rewritten
+      rather than trusted — catalog bucket DDL over wrong-hashed files
+      would silently drop join matches."""
+    import json as _json
+    import shutil
+
     tag = _bucket_tag(sf_dir)
     specs = [
         (f"bkt_orders_{tag}", "orders", "o_custkey",
@@ -251,22 +290,13 @@ def ensure_bucketed_tables(
     for tbl, src, key, cols in specs:
         if spark.catalog.tableExists(tbl):
             continue
-        # The default in-memory catalog does not survive sessions but the
-        # warehouse directory does.  A complete table dir left by a prior
-        # session (marked by _SUCCESS) is RE-REGISTERED as an external
-        # bucketed table — Spark recovers the bucket id from the
-        # part-…_000NN file-name suffix, so the registered table plans
-        # exactly like the original managed one (no Exchange; pinned by
-        # tests/test_bucketing.py).  This makes the cross-session reuse
-        # real (no re-shuffle of the fact table per process) and stops
-        # concurrent processes from rmtree-ing data a sibling session is
-        # mid-read on.  Only an INCOMPLETE leftover (no _SUCCESS: a
-        # crashed write) is removed and rewritten.
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         wh_path = wh.removeprefix("file:")
         on_disk = os.path.join(wh_path, tbl.lower())
         frame = load_table(spark, src, sf_dir).select(*cols)
-        if os.path.isfile(os.path.join(on_disk, "_SUCCESS")):
+        want = _bucket_spec(key, n_buckets, frame.schema)
+
+        def _register_external() -> None:
             col_ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in frame.schema.fields
             )
@@ -276,19 +306,53 @@ def ensure_bucketed_tables(
                 f"INTO {n_buckets} BUCKETS "
                 f"LOCATION 'file:{os.path.abspath(on_disk)}'"
             )
-            continue
-        if os.path.isdir(on_disk):
-            import shutil
 
+        def _spec_matches() -> bool:
+            marker = os.path.join(on_disk, BUCKET_SPEC_MARKER)
+            if not os.path.isfile(os.path.join(on_disk, "_SUCCESS")):
+                return False
+            if not os.path.isfile(marker):
+                return False
+            try:
+                with open(marker) as f:
+                    return _json.load(f) == want
+            except (OSError, ValueError):
+                return False
+
+        if _spec_matches():
+            _register_external()
+            continue
+        # Stale/mismatched/incomplete leftover on the final path: safe to
+        # remove — a sibling's in-flight write lives in its own staging
+        # dir, never here, so nothing mid-flight can be clobbered.
+        if os.path.isdir(on_disk):
             shutil.rmtree(on_disk)
+        stg_tbl = f"{tbl}__stg{os.getpid()}"
+        stg_dir = os.path.join(wh_path, stg_tbl.lower())
+        spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+        if os.path.isdir(stg_dir):
+            shutil.rmtree(stg_dir)
         (
             frame.repartition(n_buckets, key)
             .write.bucketBy(n_buckets, key)
             .sortBy(key)
             .mode("overwrite")
             .format("parquet")
-            .saveAsTable(tbl)
+            .saveAsTable(stg_tbl)
         )
+        with open(os.path.join(stg_dir, BUCKET_SPEC_MARKER), "w") as f:
+            _json.dump(want, f, sort_keys=True)
+        try:
+            os.rename(stg_dir, on_disk)  # atomic publish
+        except OSError:
+            # A sibling process published first; keep theirs, drop ours.
+            shutil.rmtree(stg_dir, ignore_errors=True)
+        # Retire the staging catalog entry (its dir has been renamed away;
+        # dropping the managed entry only removes metadata) and expose the
+        # published dir under the real name as an EXTERNAL table so later
+        # sessions and this one plan identically.
+        spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+        _register_external()
     return specs[0][0], specs[1][0]
 
 

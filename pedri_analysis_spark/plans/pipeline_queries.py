@@ -911,11 +911,13 @@ def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     template/navigation text before training.
 
     Scale: distinct bigrams explode once; document frequency is one
-    hash-aggregate on the gram key; the frequent set (df >= 5% of N —
-    by construction at most 20 grams can each cover 5% of all
-    gram-slots, so it is small) broadcast-joins back against the
-    exploded grams; per-doc and per-lang rollups are ordinary
-    map-side-combined aggregates.  Coverage is quantized to integer
+    hash-aggregate on the gram key; the frequent set joins back
+    against the exploded grams WITHOUT a forced broadcast hint — the
+    5% df threshold bounds each gram's document frequency, not the
+    NUMBER of qualifying grams (a templated corpus can clear 5% df
+    with arbitrarily many distinct grams), so the planner/AQE decides
+    broadcast vs shuffle from the set's actual runtime size; per-doc
+    and per-lang rollups are ordinary map-side-combined aggregates.  Coverage is quantized to integer
     micros per doc before summing (exact BIGINT cross-engine);
     flagging is integer cross-multiplied.  Docs with < 2 tokens have
     no bigrams and drop out of the report denominator by design."""
@@ -942,7 +944,7 @@ def q_boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", F.lit(1).alias("_hit"))
     )
     per_doc = (
-        g.join(F.broadcast(freq), "gram", "left")
+        g.join(freq, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),

@@ -87,6 +87,48 @@ def test_existing_bucketed_dir_is_reregistered_not_rewritten(spark):
         shutil.rmtree(stash, ignore_errors=True)
 
 
+def test_mismatched_spec_is_rewritten_not_trusted(spark):
+    # A dir whose spec marker disagrees with the current code (changed
+    # bucket count, key, or schema — or a foreign parquet dir squatting
+    # on the path with _SUCCESS but no marker) must be REWRITTEN, never
+    # re-registered: catalog bucket DDL over wrong-hashed files silently
+    # drops join matches.
+    import json
+    import os
+    import shutil
+
+    from pedri_analysis_spark.plans.layout_queries import BUCKET_SPEC_MARKER
+
+    orders_tbl, _ = ensure_bucketed_tables(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    on_disk = os.path.join(wh, orders_tbl.lower())
+    marker = os.path.join(on_disk, BUCKET_SPEC_MARKER)
+    with open(marker) as f:
+        good = json.load(f)
+
+    # Simulate a fresh process whose warehouse holds a dir written under
+    # a DIFFERENT bucketing (e.g. an older JOIN_BUCKETS).
+    spark.sql(f"DROP TABLE {orders_tbl}")  # external: files survive
+    bad = dict(good, n_buckets=8)
+    with open(marker, "w") as f:
+        json.dump(bad, f)
+    ensure_bucketed_tables(spark, SF)
+    with open(marker) as f:
+        assert json.load(f) == good  # rewritten under the current spec
+    assert os.path.isfile(os.path.join(on_disk, "_SUCCESS"))
+    n = spark.table(orders_tbl).count()
+    assert n == load_table(spark, "orders", SF).count()
+
+    # And a legacy/foreign dir with _SUCCESS but NO marker is also
+    # rewritten rather than trusted.
+    spark.sql(f"DROP TABLE {orders_tbl}")
+    os.remove(marker)
+    ensure_bucketed_tables(spark, SF)
+    assert os.path.isfile(marker)
+    assert spark.table(orders_tbl).count() == n
+    shutil.rmtree(on_disk + ".stash", ignore_errors=True)
+
+
 def test_bucketed_join_matches_raw_join(spark):
     got = {
         r["c_mktsegment"]: (r["n_orders"], r["revenue"])
