@@ -1023,3 +1023,108 @@ def q_dedup_survivor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring cross-document dedup (duplicated token spans)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 20  # tokens per span; production corpora use ~50 (same plan shape)
+
+
+def _span_windows_sql() -> str:
+    """Shared window generator CTEs (DuckDB dialect): every length-W
+    sliding token window per doc, fingerprinted by md5 of its joined
+    text — the byte-identical mirror of the Spark generator."""
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, j + 1, j + {SPAN_W}), ' ')) AS fp
+      FROM t, unnest(generate_series(0, len(toks) - {SPAN_W})) AS u(j)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    g AS (
+      SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS survivor
+      FROM w GROUP BY fp
+    )"""
+
+
+@_register(
+    "substring_dup_spans",
+    f"""
+    WITH {_span_windows_sql()}
+    SELECT w.doc_id,
+           count(*)::BIGINT AS n_windows,
+           sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_windows,
+           sum(CASE WHEN g.nd > 1 AND w.doc_id <> g.survivor
+               THEN 1 ELSE 0 END)::BIGINT AS n_removable_windows
+    FROM w JOIN g USING (fp)
+    GROUP BY w.doc_id
+    HAVING sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-document dedup: find every length-W token
+    span that occurs verbatim in MORE THAN ONE document — the
+    training-data staple ("remove any ~50-token span duplicated across
+    documents", the suffix-array dedup of Lee et al. 2022 re-expressed
+    as a shuffle), which whole-doc MinHash/SimHash cannot see and
+    intra-doc repetition stats do not cross documents for.  Each
+    duplicated span elects a survivor (min doc_id); the per-doc report
+    counts windows, duplicated windows, and removable windows (span is
+    duplicated and this doc lost the election) for every affected doc.
+
+    Scale: sliding windows are a per-row generate (n_tokens - W + 1
+    windows per doc — linear in corpus size, never corpus x corpus);
+    fingerprints md5-compress each span to a fixed-width key; the ONE
+    data-sized shuffle is on the fingerprint (group to per-span
+    stats, then the span->stats equi-join reuses the same hash
+    partitioning / broadcasts under AQE); the per-doc rollup is an
+    ordinary map-side-combined aggregate on doc_id.  At 100 TB the
+    fingerprint shuffle is ~|corpus tokens| fixed-width rows —
+    exactly the cost profile of the MinHash band shuffle, with
+    bucket skew bounded because identical 20-token spans are rare by
+    construction (a pathological template corpus degrades to the df
+    cap pattern used by boilerplate_ngram_flags).  Windows never
+    materialize span TEXT through the shuffle, only 32-byte hashes."""
+    toks_col = F.expr(tx.tokens(tx.SPARK, "text"))
+    d = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", toks_col.alias("toks")
+    )
+    # Materialized toks column: the transform() lambda below indexes a
+    # COLUMN, so Spark does not re-evaluate the tokenizer per element
+    # (the word_shingles_spark_fast lesson).
+    slide = (
+        f"CASE WHEN size(toks) >= {SPAN_W} THEN "
+        f"transform(sequence(0, size(toks) - {SPAN_W}), "
+        f"j -> md5(concat_ws(' ', slice(toks, j + 1, {SPAN_W})))) "
+        f"ELSE array() END"
+    )
+    w = d.select("doc_id", F.explode(F.expr(slide)).alias("fp"))
+    g = w.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("survivor"),
+    )
+    per_doc = (
+        w.join(g, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.sum(
+                F.when(
+                    (F.col("nd") > 1) & (F.col("doc_id") != F.col("survivor")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_removable_windows"),
+        )
+    )
+    return per_doc.filter(F.col("n_dup_windows") > 0).orderBy("doc_id")

@@ -506,3 +506,126 @@ def q_copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view delta apply).
+# ---------------------------------------------------------------------------
+
+
+def rollup_from_snapshot(snapshot: DataFrame) -> DataFrame:
+    """The materialized-view definition: per state_type, how many users
+    are currently in that state (tombstoned keys excluded).  Applied to
+    a full snapshot it gives the from-scratch MV; the incremental path
+    below must produce a hash-identical frame without recomputing it."""
+    return (
+        snapshot.filter(F.col("event_type") != "error")
+        .groupBy(F.col("event_type").alias("state_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def apply_rollup_delta(
+    base_mv: DataFrame, base_snapshot: DataFrame, changelog: DataFrame
+) -> DataFrame:
+    """Maintain the per-state user-count MV under a CDC delta batch
+    WITHOUT recomputing from the raw history — classic incremental view
+    maintenance with signed-count propagation:
+
+    1. the delta touches only keys present in the changelog, so the
+       base snapshot is narrowed by an equi-join on those keys (the
+       |changed-keys| frame, never the full fact history);
+    2. each changed key retracts its old state (-1, if it had one) and
+       asserts its new latest state (+1, unless the delta's winner is
+       the 'error' tombstone);
+    3. the signed per-state deltas merge into the base MV with one
+       full-outer equi-join on the 5-value state key; states whose
+       count reaches zero drop, states born in the delta appear.
+
+    Inputs are positionally any DataFrames with the right columns —
+    the unit test feeds MATERIALIZED parquet (a stored MV + stored
+    snapshot) and asserts the plan scans no raw pre-cutoff fact."""
+    latest_w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    changed = changelog.select("user_id").distinct()
+    old_rows = base_snapshot.join(changed, "user_id")
+    minus = (
+        old_rows.filter(F.col("event_type") != "error")
+        .select(F.col("event_type").alias("state_type"), F.lit(-1).alias("s"))
+    )
+    new_latest = (
+        old_rows.unionByName(changelog)
+        .withColumn("rn", F.row_number().over(latest_w))
+        .filter(F.col("rn") == 1)
+    )
+    plus = (
+        new_latest.filter(F.col("event_type") != "error")
+        .select(F.col("event_type").alias("state_type"), F.lit(1).alias("s"))
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("state_type")
+        .agg(F.sum("s").cast("bigint").alias("net"))
+    )
+    return (
+        base_mv.join(delta, "state_type", "full_outer")
+        .select(
+            "state_type",
+            (F.coalesce(F.col("n_users"), F.lit(0)) + F.coalesce(F.col("net"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+        .filter(F.col("n_users") > 0)
+    )
+
+
+@_register(
+    "incremental_rollup_merge",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, event_type
+      FROM ev
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1
+    )
+    SELECT event_type AS state_type, count(*)::BIGINT AS n_users
+    FROM latest WHERE event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY state_type
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance, proven equivalent to
+    the from-scratch aggregate: the per-state user-count rollup is
+    built once from the pre-cutoff snapshot (the stored MV), then the
+    post-cutoff CDC batch (upserts + 'error' tombstones, the same
+    event split as cdc_latest_snapshot) is applied as SIGNED deltas —
+    retract each changed key's old state, assert its new one — and the
+    net per-state deltas merge into the MV via one full-outer join.
+    The ORACLE recomputes the rollup over the ENTIRE history from
+    scratch: a hash match proves delta-apply == recompute.
+
+    Scale: this is the operation that makes per-key rollups affordable
+    at 100 TB — each maintenance cycle shuffles |changed keys| +
+    |delta| rows (the changelog key join narrows the key-sized
+    snapshot, never the raw fact history) plus a 5-row MV merge,
+    where the from-scratch recompute would re-shuffle the full
+    history every cycle.  Both window passes share the (user_id)
+    partitioning; the final full-outer join is on a 5-value key of a
+    5-row frame.  tests/test_incremental_rollup.py feeds MATERIALIZED
+    base inputs and pins that the delta plan contains no scan of the
+    raw fact."""
+    ev = events_us(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    latest_w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    base_snapshot = (
+        ev.filter(F.col("ts_us") < CDC_CUTOFF_US)
+        .withColumn("rn", F.row_number().over(latest_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    changelog = ev.filter(F.col("ts_us") >= CDC_CUTOFF_US)
+    base_mv = rollup_from_snapshot(base_snapshot)
+    return apply_rollup_delta(base_mv, base_snapshot, changelog).orderBy("state_type")
