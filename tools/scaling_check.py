@@ -11,6 +11,12 @@ or (for fixed-output aggregates) much less; anything growing >RATIO_MAX
 Usage:
     python tools/scaling_check.py            # sf0.001 -> sf0.01 -> sf0.1
     python tools/scaling_check.py --runs 2   # best-of-2 (less noise)
+    python tools/scaling_check.py --only a,b --sf-dirs ...   # focused rerun
+
+The fourth decade: tools/gen_sf_synth.py synthesizes an sf1.0 dir by
+deterministic 10x replication of documents/embeddings/lineitem (other
+tables symlinked), so the dedup/similarity/graph family gets a measured
+sf0.1 -> sf1.0 step instead of a docstring argument.
 
 Writes SCALING.json at the repo root; exits non-zero if any query's
 largest 10x step is super-linear. Queries faster than NOISE_FLOOR_S at
@@ -40,6 +46,11 @@ def main() -> int:
     p.add_argument("--sf-dirs", nargs="*", default=DEFAULT_SF_DIRS)
     p.add_argument("--runs", type=int, default=1)
     p.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names; restricts the sweep",
+    )
+    p.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"
@@ -57,6 +68,12 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     queries = all_queries()
+    if a.only:
+        keep = {n for n in a.only.split(",") if n}
+        missing = keep - queries.keys()
+        if missing:
+            raise SystemExit(f"--only names not in registry: {sorted(missing)}")
+        queries = {n: f for n, f in queries.items() if n in keep}
     timings: dict[str, dict[str, float]] = {}
     failures: dict[str, dict[str, str]] = {}
     for sf_dir in a.sf_dirs:
