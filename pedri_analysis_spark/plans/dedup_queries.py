@@ -280,11 +280,21 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard near-dup pairs, blocked on
     (lang, length-bucket) — the exact-verification cousin of MinHash
     (which estimates this same measure probabilistically). The length
-    bucket exploits |len(a)-len(b)| being small for near-dups, bounding
-    the pair explosion without hashing.
+    bucket exploits |len(a)-len(b)| being small for near-dups.
 
-    Scale: at 100 TB the block must come from LSH (minhash_near_dups);
-    this exact variant is the verify stage / small-corpus path."""
+    Scale (measured, r8): this exact variant is KNOWN-QUADRATIC —
+    block membership is a constant fraction of the corpus, so the
+    in-block self-join's candidate volume grows O(N²) (the sf0.1→
+    sf1.0 decade measured 93x for 10x data; recorded as
+    known_quadratic in SCALING.json).  An AllPairs prefix-filter
+    rewrite was tried and REJECTED: this corpus's template vocabulary
+    saturates the char-3-gram space, so even rarest-first prefix
+    grams carry high document frequency and the "filtered" candidate
+    set came out LARGER than the block join's (21.8s vs 3.3s at
+    sf0.1, OOM at sf1.0).  The honest 100 TB path is the capped
+    MinHash LSH generator (minhash_near_dups) for candidates — which
+    dedup_connected_components and the cascade compose — with this
+    exact form reserved for verify stages and small corpora."""
     d = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
         "ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3))
     ).withColumn("bucket", F.expr("n_chars div 100"))
@@ -317,19 +327,29 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _components_oracle() -> str:
-    return f"""
-    WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle()}),
-    nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
-    edges AS (SELECT a AS src, b AS dst FROM pairs
-              UNION ALL SELECT b AS src, a AS dst FROM pairs),
+def _closure_ctes() -> str:
+    """Transitive-closure CTEs over the capped MinHash-LSH ``verified``
+    pairs (the production candidate generator), ending in ``comp``
+    (doc_id, cluster_id).  Requires WITH RECURSIVE at the call site."""
+    return f"""{minhash_pair_ctes('documents')},
+    nodes AS (SELECT a AS node FROM verified UNION SELECT b FROM verified),
+    edges AS (SELECT a AS src, b AS dst FROM verified
+              UNION ALL SELECT b AS src, a AS dst FROM verified),
     reach(node, lab) AS (
       SELECT node, node FROM nodes
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-    )
-    SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
-    FROM reach GROUP BY node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
+      FROM reach GROUP BY node
+    )"""
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_closure_ctes()}
+    SELECT doc_id, cluster_id FROM comp
     """
 
 
@@ -339,6 +359,15 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id = min doc_id per component) — pairwise dedup only says
     "a~b"; picking one canonical doc per group needs the transitive
     closure.
+
+    Pair source (changed r8): the CAPPED MinHash-LSH generator
+    (minhash_near_dups) — the production candidate topology, linear-ish
+    in corpus size.  The previous composition on the exact in-block
+    char-gram verifier inherited that verifier's O(block²) candidate
+    volume, and the r8 measured decade clocked the whole chain at 60x
+    for 10x data; clustering LSH candidates is also what a real
+    curation pass does (the exact verifier remains available as its
+    own query for small corpora).
 
     Two exact-equivalent physical paths, chosen by candidate-graph size
     (the graph is |pairs|, far smaller than the corpus):
@@ -351,7 +380,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deriving nodes/edges, or each derivation re-runs the whole
     # similarity join (3× evaluation).
     pairs = (
-        QUERIES["ngram_jaccard_near_dups"](spark, sf_dir)
+        QUERIES["minhash_near_dups"](spark, sf_dir)
         .select("a", "b")
         .localCheckpoint()
     )
@@ -942,19 +971,7 @@ def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _survivor_oracle() -> str:
     return f"""
-    WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle()}),
-    nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
-    edges AS (SELECT a AS src, b AS dst FROM pairs
-              UNION ALL SELECT b AS src, a AS dst FROM pairs),
-    reach(node, lab) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (
-      SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
-      FROM reach GROUP BY node
-    ),
+    WITH RECURSIVE {_closure_ctes()},
     stats AS (
       SELECT d.lang,
              count(*)::BIGINT AS n_in_clusters,

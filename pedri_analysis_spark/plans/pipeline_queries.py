@@ -182,14 +182,20 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     (doc_id % 97 == 0). Reports per-language contamination counts/rate
     and the worst per-doc matched-gram count.
 
-    Scale: the eval split's distinct gram set is small by construction
-    (eval benchmarks are KBs-MBs, the corpus is TBs) — it is collapsed to
-    a single BROADCAST array row, and each corpus doc scores itself with
-    one JVM-side ``array_intersect`` — the corpus side never explodes and
-    never shuffles before the per-lang aggregate. Grams intersect as
-    64-bit hashes, not strings (28% faster; both engines hash
-    identically, so even collisions — none at this corpus — would
-    agree). The corpus is read once."""
+    Scale: matching is a HASH JOIN on the gram key — train grams
+    explode once (linear), the eval gram set is an ordinary build side
+    the planner broadcasts while it fits and shuffles when it does not,
+    and per-doc match counts are one aggregate on doc_id.  The r8
+    scaling decade caught the previous broadcast-array design
+    (per-doc ``array_intersect`` against the full eval set) rebuilding
+    the eval hash set PER ROW: cost was |corpus| x |eval grams| —
+    quadratic whenever the eval split scales with the corpus — and the
+    measured sf0.1→sf1.0 step ran 40x, not 10x.  The join formulation
+    is output-identical and linear in |train grams| + |eval grams| +
+    |matches|.  Grams match as 64-bit hashes, not strings (both
+    engines hash identically, so even collisions — none at this
+    corpus — would agree). Docs with no grams survive via the left
+    join (n_matched = 0), mirroring the oracle's own LEFT JOIN."""
     gh = tx.seeded_hash64(tx.SPARK, "g", "cgram")
     # stage tokens as a COLUMN first: word_shingles_spark_fast's contract
     # (textexpr) requires a materialized token column — inlining the
@@ -202,19 +208,22 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("_toks", F.expr(tx.tokens(tx.SPARK, "text")))
         .select("doc_id", "lang", F.expr(grams).alias("grams"))
     )
-    eval_arr = (
+    eval_grams = (
         d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
         .select(F.explode("grams").alias("g"))
         .distinct()
-        .agg(F.collect_list("g").alias("_eg"))
     )
-    scored = (
-        d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-        .crossJoin(F.broadcast(eval_arr))
-        .select(
-            "lang",
-            F.size(F.array_intersect("grams", "_eg")).alias("n_matched"),
-        )
+    train = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    # grams are distinct per doc (word_shingles contract), so the join
+    # match count per doc IS |grams ∩ eval| — array_intersect semantics.
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    scored = train.select("doc_id", "lang").join(hits, "doc_id", "left").select(
+        "lang", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_matched")
     )
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_train_docs"),

@@ -15,8 +15,9 @@ def test_unionfind_and_propagation_agree(spark):
         _components_unionfind,
     )
 
+    # same pair source the registered CC query composes (capped LSH)
     pairs = (
-        QUERIES["ngram_jaccard_near_dups"](spark, SF_DIR)
+        QUERIES["minhash_near_dups"](spark, SF_DIR)
         .select("a", "b")
         .localCheckpoint()
     )

@@ -147,25 +147,21 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
     assert probe.count() < total
 
 
-def test_contamination_broadcasts_eval_grams(spark):
-    """The eval gram set must reach the corpus as a broadcast 1-row
-    array (per-row intersect) — never a shuffle of the corpus side, never
-    a cartesian product."""
+def test_contamination_matches_grams_via_hash_join(spark):
+    """Eval-gram matching must be an EQUI-join on the gram key — never a
+    per-row intersect against a broadcast array (the r7 design: its cost
+    was |corpus| × |eval grams|, measured 40× for 10× data in the r8
+    scaling decade) and never a cartesian/BNLJ."""
     from pedri_analysis_spark.plans.pipeline_queries import QUERIES
 
     plan = _plan(QUERIES["contamination_ngram_overlap"](spark, SF))
-    assert "BroadcastExchange" in plan
-    assert "collect_list" in plan  # the eval set collapses to one array row
-    assert "array_intersect" in plan  # per-row JVM scoring
     assert "CartesianProduct" not in plan
-    # exactly two hash exchanges: the eval-split's tiny gram distinct and
-    # the final per-lang aggregate — the corpus rows themselves reach the
-    # join straight from the scan (no corpus-side shuffle)
-    assert plan.count("Exchange hashpartitioning") == 2
-    corpus_branch = plan.split("BroadcastNestedLoopJoin")[1].split(
-        "BroadcastExchange"
-    )[0]
-    assert "Exchange" not in corpus_branch
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the quadratic per-row scoring primitive must be gone
+    assert "array_intersect" not in plan
+    # gram match + the left join-back of per-doc hit counts are both
+    # proper equi-joins (hash or sort-merge, planner's choice)
+    assert plan.count("HashJoin") + plan.count("SortMergeJoin") >= 2
 
 
 def test_sq_recall_single_ranking_shuffle(spark):
