@@ -372,3 +372,83 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.least(F.lit(1.0), draw) * 1e6) / 1e6).alias("sampling_rate"),
         (F.floor(draw * 1e6) / 1e6).alias("epochs_needed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture (multinomial alpha-sampling weights)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mixture_temperature_weights",
+    """
+    WITH avail AS (
+      SELECT source, sum(n_chars)::BIGINT AS available_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, available_chars,
+             CAST(FLOOR(1000000e0 * sqrt(available_chars)) AS BIGINT)
+               AS w_micro
+      FROM avail
+    ),
+    tot AS (
+      SELECT sum(w_micro)::BIGINT AS tw, sum(available_chars)::BIGINT AS tc
+      FROM w
+    )
+    SELECT source, available_chars,
+           ((available_chars * 1000000) // tc)::BIGINT AS raw_share_micros,
+           ((w_micro * 1000000) // tw)::BIGINT AS temp_share_micros
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture weights (alpha = 0.5): each source's
+    sampling share is proportional to available_chars^alpha instead of
+    its raw size — the multinomial temperature sampling used to keep
+    low-resource sources/languages represented in multilingual
+    pre-training mixes (cf. the public mBERT/XLM-R recipes).  Reports
+    raw vs temperature shares side by side, integer-quantized.
+
+    Determinism: sqrt is IEEE-754 correctly rounded on BOTH engines (the
+    one libm-free transcendental), and it is immediately quantized to
+    integer micros (floor(1e6*sqrt)) BEFORE any aggregation, so the
+    weight total is an exact BIGINT sum and each share is one integer
+    division — no double fold order anywhere (the repo's cross-engine
+    determinism discipline; see plans/relational.py module docstring).
+
+    Scale: one partial+final aggregate to |sources| rows, a 1-row totals
+    frame broadcast back (allowlisted BNLJ: bounded build side), pure
+    integer arithmetic after.  The emitted shares feed the hash-bucket
+    samplers (stratified_source_mix) unchanged."""
+    avail = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("available_chars"))
+    )
+    w = avail.select(
+        "source",
+        "available_chars",
+        F.expr("CAST(FLOOR(1000000e0 * sqrt(available_chars)) AS BIGINT)").alias(
+            "w_micro"
+        ),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("tw"),
+        F.sum("available_chars").cast("bigint").alias("tc"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "available_chars",
+            F.expr("(available_chars * 1000000) div tc")
+            .cast("bigint")
+            .alias("raw_share_micros"),
+            F.expr("(w_micro * 1000000) div tw")
+            .cast("bigint")
+            .alias("temp_share_micros"),
+        )
+        .orderBy("source")
+    )

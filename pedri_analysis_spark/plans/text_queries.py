@@ -707,3 +707,92 @@ def q_phrase_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination / leakage matrix
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cross_source_leakage_matrix",
+    f"""
+    WITH t AS (
+      SELECT source, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source, unnest({tx.word_shingles(tx.DUCK, "toks", k=3)}) AS gram
+        FROM t
+      )
+    ),
+    n AS (SELECT source, count(*)::BIGINT AS n_grams FROM g GROUP BY source),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS n_shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared_grams,
+           ((p.n_shared_grams * 1000000) // least(na.n_grams, nb.n_grams))
+             ::BIGINT AS containment_micros
+    FROM p
+    JOIN n na ON na.source = p.source_a
+    JOIN n nb ON nb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-SOURCE contamination matrix: for every source
+    pair, how many distinct word 3-grams they share, plus the
+    containment ratio against the smaller side's gram vocabulary —
+    the audit a curation pipeline runs to find sources that republish
+    each other's content (crawl snapshots, mirrored corpora) before
+    mixture weights are trusted.
+
+    Scale: shingles are per-row generates deduped to (source, gram)
+    pairs in ONE shuffle; the pair join hashes on the gram key, and its
+    fan-out per gram is bounded by the number of SOURCES carrying the
+    gram (≤ |sources| per gram, never doc×doc — at web scale a df cap
+    on ubiquitous grams bounds the hot keys the same way the
+    boilerplate screen does); per-source totals are a |sources|-row
+    frame the planner broadcasts back.  Output is |sources|²/2 rows —
+    bounded by the catalog of sources, not the corpus."""
+    from pedri_analysis_spark.operators import spread
+
+    d = spread(load_table(spark, "documents", sf_dir)).select(
+        "source", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    g = (
+        d.select(
+            "source",
+            F.explode(F.expr(tx.word_shingles(tx.SPARK, "toks", k=3))).alias("gram"),
+        )
+        .distinct()
+        .persist()
+    )
+    g.count()  # materialize before the multi-consumer self-join
+    n = g.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    p = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        p.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            F.expr("(n_shared_grams * 1000000) div least(na, nb)")
+            .cast("bigint")
+            .alias("containment_micros"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -54,7 +54,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # entry cites where the bounded build side comes from.
 _BNLJ_ALLOWED = {
     "band_join_event_values",  # broadcast k-row band-edge dim (non-equi)
-    "contamination_ngram_overlap",  # 1-row eval-gram-set-size frame
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
     "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
@@ -78,6 +77,7 @@ _BNLJ_ALLOWED = {
     "winsorized_price_stats",  # 1-row percentile-bounds frame
     "zorder_layout_orders",  # 1-row quantization-bounds frame
     "compaction_plan_orders",  # same 1-row bounds frame (reuses the z manifest)
+    "mixture_temperature_weights",  # 1-row weight/char totals frame
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
