@@ -5,19 +5,24 @@ replication — the extra measured decade for the weak-scaling check
 ``--replicas K`` stamps K copies of the three tables the expensive
 dedup/similarity/graph family actually scales on:
 
-* ``documents``: doc_id shifted per replica; every TOKEN of replicas
-  1..K-1 gets a ``_r{i}`` suffix.  This is the load-bearing design
-  choice: replicas share the token-length/shape distribution but have
-  DISJOINT shingle/window/minhash spaces, so each replica is an
-  independent shard of the same corpus distribution (true weak
-  scaling).  Byte-identical replication would instead plant K-way
-  cross-replica duplicates, and candidate-pair volume would grow
-  quadratically in K *in the data itself* — flagging linear algorithms
-  as super-linear.
-* ``embeddings``: vec_id shifted; first component of replicas 1..K-1
-  offset by ``0.037*i`` (cosine is scale-invariant, so a scalar
-  multiply would leave exact cross-replica duplicates; a single-axis
-  shift breaks them).
+* ``documents``: doc_id shifted per replica; replica i's text goes
+  through a CAESAR CIPHER (letters rotated by i).  This is the
+  load-bearing design choice: a cipher changes every character n-gram
+  AND every word shingle while preserving lengths, token counts, and
+  whitespace structure exactly, so replicas share the corpus
+  distribution but have DISJOINT similarity spaces (true weak
+  scaling).  The first cut used per-token ``_r{i}`` suffixes — word
+  shingles diverged but interior CHAR 3-grams still collided across
+  replicas, planting K-way genuine near-dups whose pair count grows
+  quadratically in K *in the data itself*, indistinguishable from an
+  algorithmic quadratic.
+* ``embeddings``: vec_id shifted; replica i's vectors get an ISOMETRY
+  (cyclic component roll by 7i plus a deterministic sign-flip
+  pattern).  An isometry preserves every within-replica pairwise
+  cosine exactly (each replica has identical near-dup structure) while
+  cross-replica cosines decorrelate.  The first cut shifted one
+  component by 0.037i — far too small to pull replica twins under the
+  near-dup threshold, same planted-quadratic problem.
 * ``lineitem``: l_orderkey/l_partkey/l_suppkey shifted per replica —
   replica co-purchase graphs are disjoint components.
 
@@ -52,31 +57,26 @@ ALL_TABLES = (
 SYNTH_TABLES = ("documents", "embeddings", "lineitem")
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
 def replica_select(table: str, i: int) -> str:
     """The SELECT producing replica ``i`` (0 = verbatim original)."""
     src = f"read_parquet('{{src}}/{table}.parquet')"
     if table == "documents":
-        text = (
-            "text"
-            if i == 0
-            else rf"regexp_replace(text, '([^ ]+)', '\1_r{i}', 'g')"
-        )
+        rot = i % 26
+        if i == 0 or rot == 0:
+            text = "text"
+        else:
+            frm = _LOWER + _UPPER
+            to = (
+                _LOWER[rot:] + _LOWER[:rot] + _UPPER[rot:] + _UPPER[:rot]
+            )
+            text = f"translate(text, '{frm}', '{to}')"
         return (
             f"SELECT doc_id + {i * DOC_SHIFT} AS doc_id, {text} AS text, "
             f"* EXCLUDE (doc_id, text) FROM {src}"
-        )
-    if table == "embeddings":
-        emb = (
-            "embedding"
-            if i == 0
-            else (
-                f"CAST([embedding[1] + {round(0.037 * i, 6)}] || embedding[2:] "
-                f"AS FLOAT[])"
-            )
-        )
-        return (
-            f"SELECT vec_id + {i * VEC_SHIFT} AS vec_id, {emb} AS embedding, "
-            f"* EXCLUDE (vec_id, embedding) FROM {src}"
         )
     if table == "lineitem":
         return (
@@ -86,6 +86,47 @@ def replica_select(table: str, i: int) -> str:
             f"* EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM {src}"
         )
     raise ValueError(table)
+
+
+def synth_embeddings(src: str, out: str, replicas: int) -> int:
+    """Replicate embeddings with a per-replica ISOMETRY: cyclic roll by
+    7i components plus a deterministic ±1 pattern (pure integer hash of
+    the component index and replica — no RNG).  Orthogonal transforms
+    preserve all within-replica pairwise cosines exactly and leave
+    norms untouched; cross-replica cosines decorrelate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    vec_id = tbl["vec_id"].to_numpy()
+    label = tbl["label"].to_numpy()
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    dim = emb.shape[1]
+    ids, labels, vecs = [], [], []
+    for i in range(replicas):
+        if i == 0:
+            v = emb
+        else:
+            j = np.arange(dim, dtype=np.int64)
+            signs = np.where(((j * 2654435761 + i * 40503) >> 7) & 1 == 1, -1.0, 1.0)
+            v = np.roll(emb, 7 * i, axis=1) * signs.astype(np.float32)
+        ids.append(vec_id + i * VEC_SHIFT)
+        labels.append(label)
+        vecs.append(v.astype(np.float32))
+    out_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            "embedding": pa.array(
+                [row for v in vecs for row in v.tolist()],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(np.concatenate(labels), type=pa.int32()),
+        }
+    )
+    dst = os.path.join(out, "embeddings.parquet")
+    pq.write_table(out_tbl, dst)
+    return len(out_tbl)
 
 
 def main() -> int:
@@ -103,11 +144,16 @@ def main() -> int:
     con = duckdb.connect()
     for t in SYNTH_TABLES:
         dst = os.path.join(out, f"{t}.parquet")
-        union = " UNION ALL ".join(
-            replica_select(t, i).format(src=a.src) for i in range(a.replicas)
-        )
-        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        if t == "embeddings":
+            n = synth_embeddings(a.src, out, a.replicas)
+        else:
+            union = " UNION ALL ".join(
+                replica_select(t, i).format(src=a.src) for i in range(a.replicas)
+            )
+            con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
         print(f"{t}: {a.replicas} replicas, {n} rows -> {dst}")
     for t in ALL_TABLES:
         if t in SYNTH_TABLES:
