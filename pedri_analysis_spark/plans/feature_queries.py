@@ -435,3 +435,101 @@ def q_dictionary_encode_parttypes(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth feature binning (distributed exact ntile)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BINS = 8
+EQUIDEPTH_BAND = 1000  # coarse value band the distributed rank shuffles on
+
+
+@_register(
+    "equidepth_price_bins",
+    f"""
+    WITH b AS (
+      SELECT l_extendedprice,
+             ntile({EQUIDEPTH_BINS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             )::BIGINT AS bin
+      FROM lineitem
+    )
+    SELECT bin, count(*)::BIGINT AS n_rows,
+           min(l_extendedprice) AS price_lo,
+           max(l_extendedprice) AS price_hi,
+           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS price_sum
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_equidepth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) discretization of a numeric feature into
+    EXACT ntile bins — the QuantileDiscretizer a feature pipeline runs
+    before bucketized embeddings / monotonic binning, with per-bin
+    count/lo/hi/sum so the bin edges ship as metadata.
+
+    The oracle is literally ``ntile(8) OVER (ORDER BY ...)`` — but a
+    global-ORDER window is a single-partition sort of the whole fact
+    table, the one shape this repo bans at 100 TB. The Spark plan instead
+    computes the SAME rank distributively:
+
+    1. band each row by a coarse value prefix (floor(price/1000) — the
+       shuffle key; bands are value-domain-bounded, ~100 here, and the
+       band width is a config knob against skew at scale);
+    2. per-band counts -> prefix-sum offsets (a window over the ~100-row
+       band frame, trivially single-partition);
+    3. row_number within each band (ONE hash shuffle of the fact table,
+       on the band key) + broadcast-joined band offset = exact global
+       rank, because the band key is a monotone function of the sort key
+       and the (price, orderkey, linenumber) tiebreak is total;
+    4. the ntile bin is then pure integer arithmetic on (rank, N): the
+       first N%k bins take ceil(N/k) rows, the rest floor(N/k) — the
+       standard-SQL ntile definition both engines implement.
+
+    N arrives as a 1-row count frame broadcast (allowlisted BNLJ). Money
+    sums in DECIMAL per the determinism rules; lo/hi are exact doubles
+    (min/max, no folding)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    d = li.withColumn(
+        "band",
+        F.floor(F.col("l_extendedprice") / EQUIDEPTH_BAND).cast("bigint"),
+    )
+    bandc = d.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    wb = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offs = bandc.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint").alias("off"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wr = W.partitionBy("band").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    k = EQUIDEPTH_BINS
+    binexpr = (
+        f"CAST(CASE WHEN rank <= (n_total % {k}) * ((n_total div {k}) + 1) "
+        f"THEN (rank - 1) div ((n_total div {k}) + 1) + 1 "
+        f"ELSE (n_total % {k}) "
+        f"  + (rank - (n_total % {k}) * ((n_total div {k}) + 1) - 1) "
+        f"    div (n_total div {k}) + 1 END AS BIGINT)"
+    )
+    ranked = (
+        d.join(offs, "band")
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("rank", (F.col("off") + F.col("rn")).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("bin", F.expr(binexpr))
+    )
+    return (
+        ranked.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_extendedprice").alias("price_lo"),
+            F.max("l_extendedprice").alias("price_hi"),
+            dsum(money("l_extendedprice")).alias("price_sum"),
+        )
+        .orderBy("bin")
+    )

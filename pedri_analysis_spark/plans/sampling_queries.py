@@ -452,3 +452,97 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded contrastive negative sampling (hash-bucket probe, never all-pairs)
+# ---------------------------------------------------------------------------
+
+NEG_SHARDS = 16  # candidate shard count (scales with corpus at 100 TB)
+NEG_PER_ANCHOR = 4
+NEG_ANCHOR_MOD = 53  # anchors = doc_id % 53 == 5 (deterministic sample)
+NEG_ANCHOR_REM = 5
+
+_NEG_SSHARD = f"({tx.seeded_hash64(tx.SPARK, 'CAST(doc_id AS STRING)', 'negshard')} % {NEG_SHARDS})"
+_NEG_DSHARD = f"({tx.seeded_hash64(tx.DUCK, 'doc_id::VARCHAR', 'negshard')} % {NEG_SHARDS})"
+_NEG_SPROBE = f"({tx.seeded_hash64(tx.SPARK, 'CAST(anchor_id AS STRING)', 'negprobe')} % {NEG_SHARDS})"
+_NEG_DPROBE = f"({tx.seeded_hash64(tx.DUCK, 'anchor_id::VARCHAR', 'negprobe')} % {NEG_SHARDS})"
+_NEG_SPAIR = tx.seeded_hash64(
+    tx.SPARK,
+    "concat(CAST(anchor_id AS STRING), ':', CAST(neg_id AS STRING))",
+    "negrank",
+)
+_NEG_DPAIR = tx.seeded_hash64(
+    tx.DUCK, "(anchor_id::VARCHAR || ':' || neg_id::VARCHAR)", "negrank"
+)
+
+
+@_register(
+    "contrastive_negatives_sharded",
+    f"""
+    WITH anchors AS (
+      SELECT doc_id AS anchor_id, lang AS alang
+      FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = {NEG_ANCHOR_REM}
+    ),
+    a AS (SELECT anchor_id, alang, {_NEG_DPROBE} AS shard FROM anchors),
+    cands AS (
+      SELECT doc_id AS neg_id, lang, {_NEG_DSHARD} AS shard FROM documents
+    )
+    SELECT anchor_id, neg_id, neg_rank FROM (
+      SELECT a.anchor_id, c.neg_id,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY {_NEG_DPAIR.replace('anchor_id', 'a.anchor_id').replace('neg_id', 'c.neg_id')} ASC,
+                        c.neg_id ASC
+             )::BIGINT AS neg_rank
+      FROM a JOIN cands c ON a.shard = c.shard
+      WHERE c.neg_id <> a.anchor_id AND c.lang <> a.alang)
+    WHERE neg_rank <= {NEG_PER_ANCHOR}
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q_contrastive_negatives_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-negative sampling for contrastive training, sharded so it
+    never goes all-pairs: candidates are hash-bucketed into NEG_SHARDS
+    shards once (embarrassingly parallel), and each anchor draws its
+    negatives ONLY from the one shard its own hash points at — an
+    equi-join on the shard key, so per-anchor candidate work is
+    |corpus| / NEG_SHARDS, and the shard count scales with the corpus to
+    keep it constant (at 100 TB: shards sized ~oversample x K). Same-doc
+    and same-lang candidates are excluded (the cheap is-it-really-a-
+    negative guard; a production pipeline also excludes mined positives
+    with the same anti-join shape).
+
+    The per-pair priority is a seeded content hash of (anchor, cand) —
+    the A-ES trick without weights — so the drawn negatives are
+    reproducible across engines, partitionings, and re-runs (dataset
+    lineage holds), and every ranking is a bounded window keyed on
+    anchor_id (one shuffle of the shard-join output; the window frame is
+    shard-sized, never corpus-sized)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    anchors = docs.filter(
+        F.col("doc_id") % NEG_ANCHOR_MOD == NEG_ANCHOR_REM
+    ).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("alang")
+    )
+    a = anchors.withColumn("shard", F.expr(_NEG_SPROBE))
+    cands = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        "lang",
+        F.expr(_NEG_SSHARD).alias("shard"),
+    )
+    joined = (
+        a.join(cands, "shard")
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("lang") != F.col("alang"))
+        )
+        .withColumn("_prio", F.expr(_NEG_SPAIR))
+    )
+    wn = W.partitionBy("anchor_id").orderBy(F.asc("_prio"), F.asc("neg_id"))
+    return (
+        joined.withColumn("neg_rank", F.row_number().over(wn).cast("bigint"))
+        .filter(F.col("neg_rank") <= NEG_PER_ANCHOR)
+        .select("anchor_id", "neg_id", "neg_rank")
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -869,3 +869,128 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair construction)
+# ---------------------------------------------------------------------------
+
+HN_ANCHOR_MOD = 97  # anchors = vec_id % 97 == 3 (deterministic sample)
+HN_ANCHOR_REM = 3
+HN_K = 5  # hard negatives per anchor
+HN_NPROBE = 2  # IVF cells probed per anchor
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS alabel, embedding AS avec
+      FROM embeddings WHERE vec_id % {HN_ANCHOR_MOD} = {HN_ANCHOR_REM}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             (SELECT c.cid FROM cent c
+              ORDER BY {_dcos('e.embedding', 'c.embedding')} DESC, c.cid ASC
+              LIMIT 1) AS cluster
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT anchor_id, alabel, avec, cid AS cluster FROM (
+        SELECT a.anchor_id, a.alabel, a.avec, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.anchor_id
+                 ORDER BY {_dcos('c.embedding', 'a.avec')} DESC, c.cid ASC
+               ) AS rn
+        FROM anchors a CROSS JOIN cent c)
+      WHERE rn <= {HN_NPROBE}
+    ),
+    cand AS (
+      SELECT p.anchor_id, s.vec_id AS neg_id,
+             {_dcos('s.embedding', 'p.avec')} AS sim
+      FROM probe p JOIN assigned s ON s.cluster = p.cluster
+      WHERE s.label <> p.alabel AND s.vec_id <> p.anchor_id
+    )
+    SELECT anchor_id, neg_id, sim, hn_rank FROM (
+      SELECT anchor_id, neg_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, neg_id ASC)::BIGINT
+               AS hn_rank
+      FROM cand)
+    WHERE hn_rank <= {HN_K}
+    ORDER BY anchor_id, hn_rank
+    """
+
+
+@_register("hard_negative_mining", _hard_negative_oracle())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor in
+    a deterministic sample, the top-k most-similar vectors carrying a
+    DIFFERENT label — the near-miss negatives that make embedding models
+    learn boundaries (the mining pass behind every public dense-retrieval
+    recipe: in-batch negatives are easy, mined ANN negatives are hard).
+
+    Topology is the IVF probe, not brute force: anchors rank only the
+    candidates inside their ``nprobe`` nearest centroid cells, so the
+    scored-pair volume is |anchors| x (corpus / n_cells) x nprobe —
+    never anchors x corpus. The probe frame (anchors x nprobe rows, with
+    anchor vectors) broadcasts into the cell equi-join; both rankings are
+    windows over their own bounded frames (anchors x n_cells for the
+    probe choice, the candidate join output for the negatives), sharing
+    the anchor_id partition key.
+
+    At 100 TB the assignment comes from the materialized partitioned IVF
+    index (write_ivf_index — probes prune at the file-listing level) and
+    anchors are the training batch; the per-anchor candidate bound is the
+    cell-size cap the index enforces at build time.
+
+    Determinism: cosines go through the 6-dp floor (round6) before any
+    comparison; both rankings tie-break on the integer id, so rank
+    membership is engine-exact."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    anchors = emb.filter(
+        F.col("vec_id") % HN_ANCHOR_MOD == HN_ANCHOR_REM
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("avec"),
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    wp = W.partitionBy("anchor_id").orderBy(F.desc("_csim"), F.asc("cid"))
+    probe = (
+        anchors.crossJoin(
+            F.broadcast(
+                centroids.select("cid", F.col("embedding").alias("_cvec"))
+            )
+        )
+        .withColumn("_csim", sim.round6(sim.cosine_fast("avec", "_cvec")))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= HN_NPROBE)
+        .select("anchor_id", "alabel", "avec", F.col("cid").alias("cluster"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(
+            (F.col("label") != F.col("alabel"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .withColumn("sim", sim.round6(sim.cosine_fast("embedding", "avec")))
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), "sim")
+    )
+    wr = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        cand.withColumn("hn_rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("hn_rank") <= HN_K)
+        .select("anchor_id", "neg_id", "sim", "hn_rank")
+        .orderBy("anchor_id", "hn_rank")
+    )

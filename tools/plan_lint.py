@@ -55,6 +55,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _BNLJ_ALLOWED = {
     "band_join_event_values",  # broadcast k-row band-edge dim (non-equi)
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
+    "equidepth_price_bins",  # 1-row total-count frame (ntile arithmetic)
+    "hard_negative_mining",  # broadcast 8-row centroid dim (probe scoring)
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
     "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
     "ivf_topk",  # k-row centroid frame (probe selection)
@@ -85,6 +87,7 @@ _BNLJ_ALLOWED = {
 _PYTHON_ALLOWED = {
     "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
     "rrf_fusion_topk",  # reuses cosine_topk's Arrow einsum kernel (50-row side)
+    "hard_negative_mining",  # cosine_fast Arrow kernel (probe + candidate scoring)
     "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)
     "wav_roundtrip_stats",  # REAL stdlib-wave codec round trip (mapInPandas)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
