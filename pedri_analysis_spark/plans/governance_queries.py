@@ -626,3 +626,235 @@ def q_rolling_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency (joinability) profiling across candidate FK pairs
+# ---------------------------------------------------------------------------
+
+# (candidate label, child table, child col, parent table, parent col) —
+# the three real FKs, one dim-level FK, and one deliberate near-miss
+# (custkeys vs the much smaller suppkey domain) so the report shows a
+# non-trivial containment spectrum, the way a schema-discovery tool would.
+IND_CANDIDATES = (
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders.o_custkey->supplier.s_suppkey", "orders", "o_custkey", "supplier", "s_suppkey"),
+)
+
+
+def _ind_oracle() -> str:
+    arms = []
+    for label, ct, cc, pt, pc in IND_CANDIDATES:
+        arms.append(f"""
+    SELECT '{label}' AS candidate,
+           count(*)::BIGINT AS n_child_distinct,
+           count(p.v)::BIGINT AS n_contained,
+           ((count(p.v) * 1000000) // count(*))::BIGINT AS containment_micros
+    FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p USING (v)""")
+    return " UNION ALL ".join(arms) + " ORDER BY candidate"
+
+
+@_register("inclusion_dependency_profile", _ind_oracle())
+def q_inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery: for each candidate FK pair, the
+    fraction of the child column's distinct values contained in the
+    parent column — the joinability score a data-discovery catalog
+    computes to propose join paths over an unfamiliar lake (and the
+    referential-integrity check an ingestion gate runs; a true FK scores
+    1.0, the deliberate custkey->suppkey near-miss scores its actual
+    overlap).
+
+    Scale: each candidate costs ONE distinct-agg shuffle on the child
+    key (partial distinct map-side) plus a left join against the
+    parent's distinct frame — dimension-sized parents broadcast, the
+    candidates are independent legs (embarrassingly parallel across the
+    pair list), and nothing ever touches two fact tables in one join.
+    Containment is integer micros from exact BIGINT counts."""
+    out = None
+    for label, ct, cc, pt, pc in IND_CANDIDATES:
+        ch = (
+            load_table(spark, ct, sf_dir)
+            .select(F.col(cc).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        pa = (
+            load_table(spark, pt, sf_dir)
+            .select(F.col(pc).alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        leg = ch.join(pa, "v", "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+            F.count("hit").cast("bigint").alias("n_contained"),
+        ).select(
+            F.lit(label).alias("candidate"),
+            "n_child_distinct",
+            "n_contained",
+            F.expr("(n_contained * 1000000) div n_child_distinct")
+            .cast("bigint")
+            .alias("containment_micros"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over the event stream
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "markov_transition_probs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           ((n_trans * 1000000)
+              // (sum(n_trans) OVER (PARTITION BY prev_type))::BIGINT
+           )::BIGINT AS prob_micros
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event-type
+    sequence — the behavioral model a product-analytics platform fits to
+    answer "what usually follows an error?" (and the generative prior
+    behind next-event prediction features).
+
+    Scale: the lag window shuffles the fact ONCE on user_id (the exact
+    exchange user_activity_streaks/sessionization already pay — at 100 TB
+    a shared user_id bucketing serves all of them); the transition
+    rollup reduces to at most |types|^2 rows (25 here) before the
+    normalizing window, which therefore runs over a constant-size frame.
+    Probabilities are integer micros (floor-divided exact BIGINT counts)
+    — no doubles anywhere in the matrix."""
+    ev = events_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    wnorm = W.partitionBy("prev_type")
+    return (
+        trans.withColumn("n_out", F.sum("n_trans").over(wnorm).cast("bigint"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.expr("(n_trans * 1000000) div n_out").cast("bigint").alias("prob_micros"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point scan over daily revenue
+# ---------------------------------------------------------------------------
+
+CUSUM_TOPN = 5
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // {DAY_US})::BIGINT AS day_idx,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS rev_c
+      FROM orders GROUP BY day_idx
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS n_days, sum(rev_c)::BIGINT AS total_c
+      FROM daily
+    ),
+    dev AS (
+      SELECT day_idx, (d.rev_c * t.n_days - t.total_c)::BIGINT AS d_i
+      FROM daily d CROSS JOIN tot t
+    ),
+    pref AS (
+      SELECT day_idx,
+             sum(d_i) OVER (ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p_i
+      FROM dev
+    ),
+    cusum AS (
+      SELECT day_idx,
+             (p_i - least(0::BIGINT,
+                min(p_i) OVER (ORDER BY day_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             )::BIGINT AS s_i
+      FROM pref
+    )
+    SELECT day_idx, s_i AS cusum_stat
+    FROM cusum
+    ORDER BY s_i DESC, day_idx ASC
+    LIMIT {CUSUM_TOPN}
+    """
+
+
+@_register("cusum_changepoint_daily", _cusum_oracle())
+def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over daily revenue: the classic
+    sequential upward-shift detector S_i = max(0, S_{i-1} + (x_i - mu)),
+    surfacing the days where cumulative above-mean drift peaks (where a
+    monitoring pipeline would raise "this series changed level here").
+
+    The recurrence is NOT a window function — but its closed form is:
+    with P_i the prefix sum of deviations (and P_0 = 0), S_i = P_i -
+    min(0, min_{j<=i} P_j), turning the sequential scan into two
+    cumulative windows. Deviations are mean-centered WITHOUT division:
+    d_i = n_days * rev_i - total (exact BIGINT cross-multiplication), so
+    every statistic in the scan is an exact integer — no doubles.
+
+    Scale: daily rollup is one partial+final agg on epoch-day; the
+    window frame is the DAILY series, bounded by the calendar span (a
+    century is < 40k rows) regardless of fact size, so the
+    single-partition cumulative windows are constant-bounded — the
+    rolling_7d_median / seasonality precedent."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US}")
+        .cast("bigint")
+        .alias("day_idx")
+    ).agg(
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev_c").cast("bigint").alias("total_c"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day_idx", F.expr("CAST(rev_c * n_days - total_c AS BIGINT)").alias("d_i")
+    )
+    wcum = W.orderBy("day_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pref = dev.select(
+        "day_idx", F.sum("d_i").over(wcum).cast("bigint").alias("p_i")
+    )
+    cusum = pref.select(
+        "day_idx",
+        (
+            F.col("p_i")
+            - F.least(F.lit(0).cast("bigint"), F.min("p_i").over(wcum))
+        )
+        .cast("bigint")
+        .alias("cusum_stat"),
+    )
+    return cusum.orderBy(F.desc("cusum_stat"), F.asc("day_idx")).limit(CUSUM_TOPN)

@@ -994,3 +994,187 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id", "sim", "hn_rank")
         .orderBy("anchor_id", "hn_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) recall audit — IVF-PQ's compression half
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (EMB_DIM / PQ_M)
+PQ_C = 8  # codewords per subspace (deterministic subset, like N_CENTROIDS)
+PQ_NQ = 4  # audit queries
+PQ_K = 10
+
+
+def _pq_recall_oracle() -> str:
+    r6 = _r6_sql
+    subdot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {PQ_SUB}), i -> a.vsub[i]::DOUBLE * c.csub[i]::DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+    lutdot = subdot.replace("a.vsub", "q.qsub")
+    return f"""
+    WITH ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    cbm AS (
+      SELECT vec_id AS cid, m,
+             embedding[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS csub
+      FROM embeddings, ms WHERE vec_id < {PQ_C}
+    ),
+    vsub AS (
+      SELECT vec_id, m,
+             embedding[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS vsub
+      FROM embeddings, ms
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT a.vec_id, a.m, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, a.m
+                 ORDER BY {r6(subdot)} DESC, c.cid ASC) AS rn
+        FROM vsub a JOIN cbm c ON a.m = c.m)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS qid, m, embedding[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS qsub
+      FROM embeddings, ms WHERE vec_id < {PQ_NQ}
+    ),
+    lut AS (
+      SELECT q.qid, c.m, c.cid, {r6(lutdot)} AS ld
+      FROM q JOIN cbm c ON q.m = c.m
+    ),
+    adc AS (
+      SELECT l.qid, k.vec_id,
+             ((sum(CASE WHEN k.m = 0 THEN l.ld END)
+               + sum(CASE WHEN k.m = 1 THEN l.ld END))
+               + sum(CASE WHEN k.m = 2 THEN l.ld END))
+               + sum(CASE WHEN k.m = 3 THEN l.ld END) AS pq_score
+      FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.code
+      GROUP BY l.qid, k.vec_id
+    ),
+    exact AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             {r6('list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])')} AS ex
+      FROM embeddings e, embeddings q WHERE q.vec_id < {PQ_NQ}
+    ),
+    ranked AS (
+      SELECT x.qid, x.vec_id,
+             row_number() OVER (PARTITION BY x.qid ORDER BY x.ex DESC, x.vec_id) AS rne,
+             row_number() OVER (PARTITION BY x.qid ORDER BY a.pq_score DESC, x.vec_id) AS rnq
+      FROM exact x JOIN adc a ON a.qid = x.qid AND a.vec_id = x.vec_id
+      WHERE x.vec_id <> x.qid
+    )
+    SELECT qid AS query_id,
+           count(*) FILTER (rne <= {PQ_K} AND rnq <= {PQ_K})::BIGINT AS n_overlap,
+           CAST(count(*) FILTER (rne <= {PQ_K} AND rnq <= {PQ_K}) AS DOUBLE)
+             / {PQ_K} AS recall_at_k
+    FROM ranked GROUP BY qid ORDER BY qid
+    """
+
+
+@_register("pq_recall_at_k", _pq_recall_oracle())
+def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall audit — the compression half of
+    IVF-PQ (Jégou et al., the standard public billion-scale ANN recipe):
+    split each vector into PQ_M subspaces, code each subspace as its
+    nearest codeword, and score queries asymmetrically (ADC) by summing
+    per-subspace lookup-table dots. Reports how much of the exact
+    dot-product top-k survives PQ scoring — the audit run before
+    switching a 100 TB index to 32x-compressed codes (64 floats ->
+    4 bytes here).
+
+    Everything is pure Catalyst — slices via ``slice``, subspace dots
+    via ``zip_with``+``aggregate`` (JVM left fold, bit-identical to the
+    oracle's list_reduce), argmax via one window over the
+    (corpus x PQ_M x PQ_C)-row assignment frame. No Python boundary.
+
+    Scale: the codebook is PQ_M x PQ_C rows — broadcast everywhere; code
+    assignment is one narrow pass with constant fan-out (M x C per
+    vector); ADC scoring touches only the LUT (NQ x M x C rows,
+    broadcast) joined to the corpus codes — the corpus is never paired
+    with itself, and at deployment scale the codes frame IS the index
+    (4 bytes/vector), with the exact side computed only for the sampled
+    audit queries.
+
+    Determinism: every subspace dot is floor-rounded to 6 dp before
+    comparison or summation; the ADC sum adds its 4 rounded terms in a
+    FIXED left-associated order spelled identically in both dialects, so
+    scores are bit-exact; both rankings tie-break on vec_id (PQ codes
+    collide by design — equal-code vectors tie exactly on both
+    engines)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    def subs(df: DataFrame, idc: str, vec: str, out: str) -> DataFrame:
+        slices = F.array(
+            *[F.slice(vec, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+        )
+        return df.select(
+            F.col("vec_id").alias(idc), F.posexplode(slices).alias("m", out)
+        )
+
+    def jdot(a: str, b: str):
+        return sim.round6(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cbm = subs(emb.filter(F.col("vec_id") < PQ_C), "cid", "embedding", "csub")
+    vsub = subs(emb, "vec_id", "embedding", "vsub")
+    wc = W.partitionBy("vec_id", "m").orderBy(F.desc("_d"), F.asc("cid"))
+    codes = (
+        vsub.join(F.broadcast(cbm), "m")
+        .withColumn("_d", jdot("vsub", "csub"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    qsub = subs(emb.filter(F.col("vec_id") < PQ_NQ), "qid", "embedding", "qsub")
+    lut = (
+        qsub.join(F.broadcast(cbm), "m")
+        .withColumn("ld", jdot("qsub", "csub"))
+        .select("qid", "m", "cid", "ld")
+    )
+    part = lambda m: F.max(F.when(F.col("m") == m, F.col("ld")))
+    lutr = lut.select(
+        "qid", F.col("m").alias("lm"), F.col("cid").alias("lcid"), "ld"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lutr),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lcid")),
+        )
+        .select("vec_id", "qid", "m", "ld")
+        .groupBy("qid", "vec_id")
+        .agg((((part(0) + part(1)) + part(2)) + part(3)).alias("pq_score"))
+    )
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qvec")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("ex", jdot("embedding", "_qvec"))
+        .select("qid", "vec_id", "ex")
+    )
+    we = W.partitionBy("qid").orderBy(F.desc("ex"), F.asc("vec_id"))
+    wq = W.partitionBy("qid").orderBy(F.desc("pq_score"), F.asc("vec_id"))
+    ranked = (
+        exact.join(adc, ["qid", "vec_id"])
+        .withColumn("rne", F.row_number().over(we))
+        .withColumn("rnq", F.row_number().over(wq))
+    )
+    hit = F.when((F.col("rne") <= PQ_K) & (F.col("rnq") <= PQ_K), 1).otherwise(0)
+    return (
+        ranked.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            (F.sum(hit).cast("double") / PQ_K).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -796,3 +796,100 @@ def q_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (Cohen's kappa) between two quality heuristics
+# ---------------------------------------------------------------------------
+
+KAPPA_MIN_TOKENS = 20  # rater A: document is long enough
+
+
+def _kappa_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH flags AS (
+      SELECT
+        CASE WHEN len({toks}) >= {KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END AS ra,
+        CASE WHEN 2 * len(list_distinct({toks})) >= len({toks}) THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    conf AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(ra)::HUGEINT AS a,
+             sum(rb)::HUGEINT AS b,
+             sum(ra * rb)::HUGEINT AS n11,
+             sum((1 - ra) * (1 - rb))::HUGEINT AS n00
+      FROM flags
+    )
+    SELECT n::BIGINT AS n_docs,
+           n11::BIGINT AS n11,
+           (a - n11)::BIGINT AS n10,
+           (b - n11)::BIGINT AS n01,
+           n00::BIGINT AS n00,
+           CAST(n * (n11 + n00) - (a * b + (n - a) * (n - b)) AS DOUBLE)
+             / CAST(n * n - (a * b + (n - a) * (n - b)) AS DOUBLE) AS kappa
+    FROM conf
+    """
+
+
+@_register("cohen_kappa_quality_flags", _kappa_oracle())
+def q_cohen_kappa_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters —
+    rater A = "long enough" (>= 20 tokens), rater B =
+    "lexically diverse" (distinct-token ratio >= 1/2, integer
+    cross-multiplied). Chance-corrected agreement is how an annotation
+    pipeline decides whether two cheap heuristic labelers (or a labeler
+    and a model) agree beyond what their marginal rates force.
+
+    Determinism: the whole confusion matrix comes from ONE aggregate
+    pass of integer flags; kappa's textbook (po-pe)/(1-pe) is algebra-
+    reduced to a single ratio of exact integers — numerator
+    n*(n11+n00) - (a*b + (n-a)*(n-b)), denominator n^2 - (same) — so
+    the ONLY floating-point steps are two exact-integer->double casts
+    and one IEEE division. The cross-products run in 128-bit exact
+    arithmetic on both engines (HUGEINT / DECIMAL(38,0)) so n^2 stays
+    exact even at web-corpus row counts where it overflows BIGINT.
+
+    Scale: single pass, map-side partial aggregation, 1-row result —
+    embarrassingly parallel."""
+    toks = tx.tokens(tx.SPARK, "text")
+    d = load_table(spark, "documents", sf_dir).select(
+        F.expr(
+            f"CASE WHEN size({toks}) >= {KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END"
+        ).alias("ra"),
+        F.expr(
+            f"CASE WHEN 2 * size(array_distinct({toks})) >= size({toks})"
+            " THEN 1 ELSE 0 END"
+        ).alias("rb"),
+    )
+    conf = d.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("ra").cast("decimal(19,0)").alias("a"),
+        F.sum("rb").cast("decimal(19,0)").alias("b"),
+        F.sum(F.expr("ra * rb")).cast("decimal(19,0)").alias("n11"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("decimal(19,0)").alias("n00"),
+    )
+    return conf.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("n11"),
+        (F.col("a") - F.col("n11")).cast("bigint").alias("n10"),
+        (F.col("b") - F.col("n11")).cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        (
+            (
+                F.col("n") * (F.col("n11") + F.col("n00"))
+                - (
+                    F.col("a") * F.col("b")
+                    + (F.col("n") - F.col("a")) * (F.col("n") - F.col("b"))
+                )
+            ).cast("double")
+            / (
+                F.col("n") * F.col("n")
+                - (
+                    F.col("a") * F.col("b")
+                    + (F.col("n") - F.col("a")) * (F.col("n") - F.col("b"))
+                )
+            ).cast("double")
+        ).alias("kappa"),
+    )

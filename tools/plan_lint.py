@@ -57,6 +57,7 @@ _BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",  # broadcast 1-row query vector
     "equidepth_price_bins",  # 1-row total-count frame (ntile arithmetic)
     "hard_negative_mining",  # broadcast 8-row centroid dim (probe scoring)
+    "pq_recall_at_k",  # broadcast 4-row query frame (exact audit side)
     "cross_join_region_segments",  # the deliberate tiny-dim cross join demo
     "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
     "ivf_topk",  # k-row centroid frame (probe selection)
@@ -80,6 +81,7 @@ _BNLJ_ALLOWED = {
     "zorder_layout_orders",  # 1-row quantization-bounds frame
     "compaction_plan_orders",  # same 1-row bounds frame (reuses the z manifest)
     "mixture_temperature_weights",  # 1-row weight/char totals frame
+    "cusum_changepoint_daily",  # 1-row (n_days, total) frame (mean centering)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
