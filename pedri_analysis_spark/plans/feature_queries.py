@@ -533,3 +533,85 @@ def q_equidepth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (closed-form, exact 128-bit moment sums)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ols_regression_price_qty",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::HUGEINT AS n,
+             sum(CAST(l_quantity AS BIGINT)::HUGEINT)::HUGEINT AS sx,
+             sum(((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::HUGEINT)::HUGEINT AS sy,
+             sum((CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))::HUGEINT)::HUGEINT AS sxx,
+             sum((CAST(l_quantity AS BIGINT)
+                  * (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::HUGEINT)::HUGEINT AS sxy,
+             sum(((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT
+                  * (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::HUGEINT)::HUGEINT AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n::BIGINT AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents,
+           (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q_ols_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (closed-form OLS) of line price
+    on quantity, per return flag — the per-segment trend fit a pricing /
+    feature-importance pass computes without any ML library.
+
+    Determinism: every moment (n, Sx, Sy, Sxx, Sxy, Syy) is an EXACT
+    128-bit integer (quantities are whole numbers, prices quantized to
+    cents via the money idiom; Spark DECIMAL(38,0) ≡ DuckDB HUGEINT).
+    slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) and intercept =
+    (Sy·Sxx − Sx·Sxy) / (n·Sxx − Sx²) are each ONE IEEE division of two
+    exact-integer casts; r² squares the exact numerators AFTER the cast,
+    so both engines perform the identical two multiplies + one divide.
+    Cross-products stay < 1e38 through sf1000 (n≈6e9 rows: n·Syy≈4e33).
+
+    Scale: one partial+final aggregate — six moments accumulate map-side
+    and merge associatively; the result is |returnflag| = 3 rows.
+    Embarrassingly parallel, zero joins, zero windows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("xq"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("yc"),
+    )
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("xq").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("yc").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.expr("CAST(xq * xq AS DECIMAL(38,0))")).cast(d38).alias("sxx"),
+        F.sum(F.expr("CAST(xq * yc AS DECIMAL(38,0))")).cast(d38).alias("sxy"),
+        F.sum(F.expr("CAST(yc * yc AS DECIMAL(38,0))")).cast(d38).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den.cast("double")
+        ).alias("intercept_cents"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -858,3 +858,169 @@ def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cusum_stat"),
     )
     return cusum.orderBy(F.desc("cusum_stat"), F.asc("day_idx")).limit(CUSUM_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney) of a score against a binary label
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "auc_purchase_value",
+    """
+    WITH e AS (
+      SELECT (value::DECIMAL(12,2) * 100)::BIGINT AS v_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT v_c, sum(pos)::BIGINT AS np, sum(1 - pos)::BIGINT AS nn
+      FROM e GROUP BY v_c
+    ),
+    c AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_nn
+      FROM g
+    ),
+    t AS (
+      SELECT sum(np)::BIGINT AS np_tot, sum(nn)::BIGINT AS nn_tot,
+             sum((np * (2 * cum_nn + nn))::HUGEINT)::HUGEINT AS u2
+      FROM c
+    )
+    SELECT np_tot AS n_pos, nn_tot AS n_neg, u2::BIGINT AS u_times2,
+           CAST(u2 AS DOUBLE)
+             / CAST(2::HUGEINT * np_tot * nn_tot AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def q_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U) of the event value as a predictor
+    of 'purchase' — the model-evaluation statistic an offline scoring
+    pipeline computes over billions of (score, label) rows. AUC equals
+    P(score_pos > score_neg) + ½·P(tie), which the rank-free identity
+    2U = Σ_s np(s)·(2·cum_nn(<s) + nn(s)) computes from per-score class
+    counts — ties handled exactly by the nn(s) term, no average ranks.
+
+    Determinism: scores quantized to cents (2-dp domain, lossless);
+    every term is an exact integer (128-bit accumulators: the U sum
+    crosses BIGINT around np·nn ≈ 1e19, i.e. ~3e9 rows/class); the ONLY
+    float op is the final single IEEE division.
+
+    Scale: ONE groupBy on the quantized score whose output frame is
+    value-DOMAIN-bounded (≤ ~50k distinct cents regardless of fact
+    rows — the calendar-series argument of rolling_7d_median), so the
+    cumulative window over it is constant-bounded; class totals fold in
+    the same pass. The fact table is touched exactly once."""
+    ev = events_us(spark, sf_dir)
+    e = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("v_c"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("pos"),
+    )
+    g = e.groupBy("v_c").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.expr("1 - pos")).cast("bigint").alias("nn"),
+    )
+    wc = W.orderBy("v_c").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wc), F.lit(0)).cast("bigint").alias("cum_nn"),
+    )
+    t = c.agg(
+        F.sum("np").cast("bigint").alias("np_tot"),
+        F.sum("nn").cast("bigint").alias("nn_tot"),
+        F.sum(F.expr("CAST(np * (2 * cum_nn + nn) AS DECIMAL(38,0))")).alias("u2"),
+    )
+    return t.select(
+        F.col("np_tot").alias("n_pos"),
+        F.col("nn_tot").alias("n_neg"),
+        F.col("u2").cast("bigint").alias("u_times2"),
+        (
+            F.col("u2").cast("double")
+            / F.expr(
+                "CAST(CAST(2 AS DECIMAL(38,0)) * np_tot * nn_tot AS DOUBLE)"
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution over per-user event paths
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "attribution_linear_touch",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_rem
+      FROM events
+    ),
+    grp AS (
+      SELECT event_type,
+             count(*) OVER (PARTITION BY user_id, conv_rem) AS n_touch
+      FROM seq WHERE conv_rem > 0 AND event_type <> 'purchase'
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_touches,
+           sum(1000000 // n_touch)::BIGINT AS credit_micros
+    FROM grp GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every conversion (purchase)
+    distributes 1,000,000 micros of credit equally across the touches
+    (non-purchase events) that precede it in the user's timeline — the
+    marketing-analytics allocation behind "which channel earns the
+    revenue". Touch→conversion assignment uses the remaining-purchases
+    trick: a CURRENT-ROW→UNBOUNDED-FOLLOWING running count of purchases
+    is constant exactly within each conversion's attribution span, so
+    (user_id, conv_rem) IS the conversion key — no interval join, no
+    self-join. Post-last-purchase touches (conv_rem = 0) are correctly
+    unattributed.
+
+    Determinism: per-touch credit is floor(1e6 / n_touch) — exact
+    integers, the documented floor-division mass loss (< n_touch micros
+    per conversion) identical on both engines; ordering ties broken by
+    (ts, event_id), total.
+
+    Scale: both windows run inside ONE user_id exchange (Catalyst
+    collapses the (user_id, conv_rem) partition into the same shuffle —
+    the sessionization family's key reuse); per-partition state is one
+    user's path. Final rollup is ≤ |event types| rows."""
+    ev = events_us(spark, sf_dir)
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .over(wseq)
+        .alias("conv_rem"),
+    )
+    touch = seq.where(
+        (F.col("conv_rem") > 0) & (F.col("event_type") != "purchase")
+    )
+    wgrp = W.partitionBy("user_id", "conv_rem")
+    grp = touch.select(
+        "event_type", F.count(F.lit(1)).over(wgrp).alias("n_touch")
+    )
+    return (
+        grp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.expr("1000000 div n_touch")).cast("bigint").alias("credit_micros"),
+        )
+        .orderBy("event_type")
+    )

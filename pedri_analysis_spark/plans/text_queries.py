@@ -893,3 +893,79 @@ def q_cohen_kappa_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes training table: per-language Laplace-smoothed token probs
+# ---------------------------------------------------------------------------
+
+NB_TOPK = 5
+
+
+def _nb_oracle() -> str:
+    toks = tx.tokens(tx.DUCK, "text")
+    return f"""
+    WITH tok AS (
+      SELECT lang, unnest({toks}) AS tok FROM documents
+    ),
+    c AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tok GROUP BY lang, tok),
+    nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM c GROUP BY lang),
+    v AS (SELECT count(DISTINCT tok)::BIGINT AS vsz FROM tok),
+    p AS (
+      SELECT c.lang, c.tok, c.c,
+             ((c.c + 1) * 1000000 // (nl.n_lang + v.vsz))::BIGINT AS p_micros,
+             row_number() OVER (
+               PARTITION BY c.lang ORDER BY c.c DESC, c.tok ASC) AS rk
+      FROM c JOIN nl USING (lang) CROSS JOIN v
+    )
+    SELECT lang, tok, c AS n_tok, p_micros, rk::BIGINT AS rk
+    FROM p WHERE rk <= {NB_TOPK} ORDER BY lang, rk
+    """
+
+
+@_register("naive_bayes_token_probs", _nb_oracle())
+def q_naive_bayes_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes TRAINING table: per-language
+    Laplace-smoothed token conditionals p(tok|lang) = (c+1)/(N_lang+V),
+    reported for each language's top-{NB_TOPK} tokens — the classifier a
+    data pipeline trains by pure counting (classification itself is a
+    broadcast join of this table against documents; scores need logs,
+    which the no-libm oracle discipline keeps out of the catalog — the
+    integer-micro probabilities ARE the model artifact).
+
+    Determinism: pure integer arithmetic — exact BIGINT counts, floor-
+    divided micros ((c+1)·1e6 stays in BIGINT until N_lang ~ 1e12
+    tokens/class); top-k ordering ties broken by token text, total.
+
+    Scale: one explode + partial-agg shuffle on (lang, token); the
+    per-lang totals fold from the (lang, token) frame (5 rows,
+    broadcast back); V is a 1-row distinct-count frame (allowlisted
+    broadcast); the ranking window partitions by lang over the
+    VOCABULARY-bounded count frame — sublinear in corpus size, never
+    the fact table."""
+    from pyspark.sql import Window as W
+
+    toks = tx.tokens(tx.SPARK, "text")
+    tok = load_table(spark, "documents", sf_dir).select(
+        "lang", F.explode(F.expr(toks)).alias("tok")
+    )
+    c = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nl = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_lang"))
+    v = tok.agg(F.countDistinct("tok").cast("bigint").alias("vsz"))
+    wr = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    p = (
+        c.join(nl, "lang")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "p_micros",
+            F.expr("CAST((c + 1) * 1000000 div (n_lang + vsz) AS BIGINT)"),
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    )
+    return (
+        p.where(F.col("rk") <= NB_TOPK)
+        .select("lang", "tok", F.col("c").alias("n_tok"), "p_micros", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -82,6 +82,7 @@ _BNLJ_ALLOWED = {
     "compaction_plan_orders",  # same 1-row bounds frame (reuses the z manifest)
     "mixture_temperature_weights",  # 1-row weight/char totals frame
     "cusum_changepoint_daily",  # 1-row (n_days, total) frame (mean centering)
+    "naive_bayes_token_probs",  # 1-row vocabulary-size frame (Laplace denom)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
