@@ -1145,3 +1145,108 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.filter(F.col("n_dup_windows") > 0).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+LPA_TOP = 20
+
+
+def _lpa_oracle() -> str:
+    iters = []
+    for k in range(1, LPA_ITERS + 1):
+        iters.append(
+            f"""
+    l{k} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM edges e JOIN l{k - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH pair AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pair
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pair
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),{",".join(iters)}
+    SELECT label AS community, count(*)::BIGINT AS n_members
+    FROM l{LPA_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT {LPA_TOP}
+    """
+
+
+@_register("label_propagation_communities", _lpa_oracle())
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the undirected customer↔supplier trade
+    graph — {LPA_ITERS} rounds of "adopt the most frequent neighbor
+    label", reporting the top-{LPA_TOP} communities by size.  Completes
+    the iterative-graph family (PageRank = centrality, connected
+    components = reachability, LPA = density clustering).
+
+    Determinism: labels are strings, counts exact integers, and every
+    adoption breaks frequency ties on MIN label — a total order, so the
+    synchronous update is bit-reproducible and the oracle unrolls the
+    {LPA_ITERS} rounds as CTEs (no floats anywhere).
+
+    Scale: per iteration — one broadcast (node-sized labels) map join
+    into the persisted edge list, one edge-sized partial-agg shuffle on
+    (dst, label), and an argmax window partitioned by dst whose frames
+    are degree-bounded.  Per-generation persist cuts the quadratic
+    lineage (the PageRank discipline, dedup_queries.py:700).  At a node
+    count past the broadcast threshold the join falls back to
+    sort-merge against pre-partitioned edges."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = edges.persist()
+    edges.count()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wadopt = W.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        lsrc = labels.withColumnRenamed("node", "src")
+        labels = (
+            edges.join(F.broadcast(lsrc), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .withColumn("rn", F.row_number().over(wadopt))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = labels.persist()
+    out = (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LPA_TOP)
+    )
+    return out

@@ -615,3 +615,129 @@ def q_ols_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den.cast("double") * deny.cast("double"))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (model-evaluation deciles)
+# ---------------------------------------------------------------------------
+
+LIFT_DECILES = 10
+LIFT_BAND = 1000  # cent band the distributed rank shuffles on
+
+
+def _lift_oracle() -> str:
+    k = LIFT_DECILES
+    return f"""
+    WITH e AS (
+      SELECT (value::DECIMAL(12,2) * 100)::BIGINT AS v_c, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT pos, ntile({k}) OVER (ORDER BY v_c DESC, event_id ASC) AS decile
+      FROM e
+    ),
+    d AS (
+      SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_rows,
+             sum(pos)::BIGINT AS n_pos
+      FROM r GROUP BY decile
+    ),
+    t AS (SELECT sum(n_rows)::BIGINT AS n_tot, sum(n_pos)::BIGINT AS pos_tot FROM d)
+    SELECT decile, n_rows, n_pos,
+           ((n_pos * 1000000) // n_rows)::BIGINT AS pos_rate_micros,
+           ((sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+             // t.pos_tot)::BIGINT AS cum_capture_micros,
+           (((n_pos * 1000000) // n_rows)::HUGEINT * t.n_tot // t.pos_tot)::BIGINT
+             AS lift_micros
+    FROM d CROSS JOIN t ORDER BY decile
+    """
+
+
+@_register("lift_decile_gains", _lift_oracle())
+def q_lift_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: rank events by value descending,
+    cut into exact deciles, and report per-decile positive ('purchase')
+    rate, cumulative capture, and lift vs the base rate — the
+    model-evaluation table a targeting/churn pipeline prints before
+    picking a contact-depth cutoff.
+
+    The oracle is a global ``ntile(10) OVER (ORDER BY score DESC)`` —
+    the Spark plan computes the SAME exact rank distributively via the
+    equidepth band trick: band on the quantized score (monotone in the
+    sort key), per-band prefix-sum offsets over the domain-bounded band
+    frame, row_number within band + offset = exact global rank, then
+    the standard-SQL ntile arithmetic on (rank, N). ONE hash shuffle of
+    the fact table, on the band key.
+
+    Determinism: scores quantized to cents; (v_c DESC, event_id ASC) is
+    a total order; rates/captures are floor-divided exact integers;
+    lift's nested floors are mirrored formula-text-identically (128-bit
+    intermediate for rate·N past ~1e12 rows).
+
+    Scale: identical topology to equidepth_price_bins — bands are
+    value-domain-bounded; the decile rollup is 10 rows; N and totals
+    ride a 1-row broadcast frame (allowlisted)."""
+    k = LIFT_DECILES
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("v_c"),
+        "event_id",
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("pos"),
+    )
+    # descending score order: band ascending in -(v_c div BAND)
+    d = e.withColumn(
+        "band", F.expr(f"-(v_c div {LIFT_BAND})").cast("bigint")
+    )
+    bandc = d.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+    wb = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offs = bandc.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint").alias("off"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wr = W.partitionBy("band").orderBy(F.desc("v_c"), F.asc("event_id"))
+    binexpr = (
+        f"CAST(CASE WHEN rank <= (n_total % {k}) * ((n_total div {k}) + 1) "
+        f"THEN (rank - 1) div ((n_total div {k}) + 1) + 1 "
+        f"ELSE (n_total % {k}) "
+        f"  + (rank - (n_total % {k}) * ((n_total div {k}) + 1) - 1) "
+        f"    div (n_total div {k}) + 1 END AS BIGINT)"
+    )
+    ranked = (
+        d.join(offs, "band")
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("rank", (F.col("off") + F.col("rn")).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr(binexpr))
+    )
+    dd = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    t2 = dd.agg(
+        F.sum("n_rows").cast("bigint").alias("n_tot"),
+        F.sum("n_pos").cast("bigint").alias("pos_tot"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dd.crossJoin(F.broadcast(t2))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum).cast("bigint"))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            F.expr("(n_pos * 1000000) div n_rows")
+            .cast("bigint")
+            .alias("pos_rate_micros"),
+            F.expr("(cum_pos * 1000000) div pos_tot")
+            .cast("bigint")
+            .alias("cum_capture_micros"),
+            F.expr(
+                "CAST(CAST((n_pos * 1000000) div n_rows AS DECIMAL(38,0))"
+                " * n_tot div pos_tot AS BIGINT)"
+            ).alias("lift_micros"),
+        )
+        .orderBy("decile")
+    )

@@ -1024,3 +1024,198 @@ def q_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit fraud audit over order totals
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — precomputed constants so the
+# no-libm oracle discipline holds (both dialects embed the SAME literals).
+BENFORD_MICROS = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def _benford_oracle() -> str:
+    exp_rows = ", ".join(
+        f"({d}, {m})" for d, m in enumerate(BENFORD_MICROS, start=1)
+    )
+    return f"""
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*)::BIGINT AS n
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY digit
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS n_tot FROM obs),
+    exp_t(digit, expected_micros) AS (VALUES {exp_rows})
+    SELECT e.digit::BIGINT AS digit,
+           coalesce(o.n, 0)::BIGINT AS n_orders,
+           ((coalesce(o.n, 0) * 1000000) // t.n_tot)::BIGINT AS observed_micros,
+           e.expected_micros::BIGINT AS expected_micros,
+           (((coalesce(o.n, 0) * 1000000) // t.n_tot - e.expected_micros)
+            * ((coalesce(o.n, 0) * 1000000) // t.n_tot - e.expected_micros)
+            // e.expected_micros)::BIGINT AS chi_term_micros
+    FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY digit
+    """
+
+
+@_register("benford_first_digit_audit", _benford_oracle())
+def q_benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / data-fabrication screen: compare the observed
+    first-significant-digit distribution against log10(1+1/d) and report
+    a per-digit chi-square term. Fabricated or systematically capped
+    amounts light up digits 7-9.
+
+    Determinism: the Benford expectations are PRECOMPUTED integer-micro
+    literals embedded identically in both dialects (the no-libm rule —
+    no runtime log10 anywhere); observed shares are floor-divided exact
+    BIGINT counts; chi terms are pure integer arithmetic.
+
+    Scale: one partial+final aggregate to AT MOST 9 rows; the expected
+    table is a 9-row literal frame; the total is folded from the 9-row
+    frame. The fact table is scanned once, projection-pruned to one
+    column."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") >= 1)
+    obs = o.groupBy(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exp_t = spark.createDataFrame(
+        [(d, m) for d, m in enumerate(BENFORD_MICROS, start=1)],
+        "digit bigint, expected_micros bigint",
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    om = "(coalesce(n, 0) * 1000000) div n_tot"
+    return (
+        exp_t.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.expr(om).cast("bigint").alias("observed_micros"),
+            F.col("expected_micros").cast("bigint").alias("expected_micros"),
+            F.expr(
+                f"(({om} - expected_micros) * ({om} - expected_micros))"
+                " div expected_micros"
+            )
+            .cast("bigint")
+            .alias("chi_term_micros"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini-impurity feature importance (categorical features vs binary label)
+# ---------------------------------------------------------------------------
+
+GINI_LABEL_CENTS = 10000  # label: event value >= $100
+
+
+def _gini_oracle() -> str:
+    legs = []
+    for fname, fexpr in (
+        ("event_type", "event_type"),
+        ("dow", f"CAST((epoch_us(ts) // {DAY_US}) % 7 AS VARCHAR)"),
+        ("user_bucket", "CAST(user_id % 10 AS VARCHAR)"),
+    ):
+        legs.append(f"""
+    SELECT '{fname}' AS feature, v.sum_micros, r.root_micros, r.n_tot
+    FROM (
+      SELECT sum(((p * p + q * q) * 1000000) // t)::BIGINT AS sum_micros
+      FROM (
+        SELECT count(*) FILTER ((value::DECIMAL(12,2) * 100)::BIGINT >= {GINI_LABEL_CENTS})::BIGINT AS p,
+               count(*) FILTER ((value::DECIMAL(12,2) * 100)::BIGINT < {GINI_LABEL_CENTS})::BIGINT AS q,
+               count(*)::BIGINT AS t
+        FROM events WHERE value IS NOT NULL GROUP BY {fexpr})
+    ) v CROSS JOIN (
+      SELECT (((p * p + q * q) * 1000000) // t)::BIGINT AS root_micros, t AS n_tot
+      FROM (
+        SELECT count(*) FILTER ((value::DECIMAL(12,2) * 100)::BIGINT >= {GINI_LABEL_CENTS})::BIGINT AS p,
+               count(*) FILTER ((value::DECIMAL(12,2) * 100)::BIGINT < {GINI_LABEL_CENTS})::BIGINT AS q,
+               count(*)::BIGINT AS t
+        FROM events WHERE value IS NOT NULL)
+    ) r""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+    SELECT feature,
+           ((sum_micros - root_micros) // n_tot)::BIGINT AS importance_nanos
+    FROM ({union})
+    ORDER BY feature
+    """
+
+
+@_register("gini_feature_importance", _gini_oracle())
+def q_gini_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature importance: for each categorical feature
+    (event type, day-of-week, user hash-bucket), the impurity decrease a
+    one-level split on that feature buys when predicting the binary
+    "high-value event" label (value >= $100) — the statistic a tree
+    trainer / feature selector ranks features by, computed by pure
+    counting.  Importance = [Σ_v (p_v²+q_v²)/t_v − (P²+Q²)/N] / N, the
+    algebra-reduced Gini decrease (larger = more informative; the
+    hash-bucket feature scores ~0 by construction — the null control).
+
+    Determinism: per-value terms are floor-quantized to micros BEFORE
+    summation (the quantize-then-sum rule), root term likewise; the
+    final division is integer (nanos = micros/N floor). p² stays exact:
+    128-bit only needed past ~3e9 rows/value, and per-value counts are
+    feature-cardinality-bounded fractions of N (documented; promote to
+    DECIMAL(38,0) when deploying against >1e9-row values).
+
+    Scale: each feature leg is ONE partial+final aggregate to
+    |feature-cardinality| rows (5 / 7 / 10 here) folded to a 1-row term;
+    the root leg is a 1-row aggregate shared by broadcast; legs are
+    independent parallel branches of a 3-row union."""
+    ev = events_us(spark, sf_dir).where(F.col("value").isNotNull())
+    lab = ev.select(
+        "event_type",
+        "user_id",
+        "ts_us",
+        F.expr(
+            f"CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            f" >= {GINI_LABEL_CENTS} THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    feats = {
+        "event_type": F.col("event_type"),
+        "dow": F.expr(f"CAST((ts_us div {DAY_US}) % 7 AS STRING)"),
+        "user_bucket": F.expr("CAST(user_id % 10 AS STRING)"),
+    }
+    root = lab.agg(
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(F.expr("1 - y")).cast("bigint").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    ).select(
+        F.expr("((p * p + q * q) * 1000000) div t")
+        .cast("bigint")
+        .alias("root_micros"),
+        F.col("t").alias("n_tot"),
+    )
+    out = None
+    for fname, fexpr in feats.items():
+        pv = lab.groupBy(fexpr.alias("fv")).agg(
+            F.sum("y").cast("bigint").alias("p"),
+            F.sum(F.expr("1 - y")).cast("bigint").alias("q"),
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+        )
+        leg = (
+            pv.select(
+                F.expr("((p * p + q * q) * 1000000) div t")
+                .cast("bigint")
+                .alias("vm")
+            )
+            .agg(F.sum("vm").cast("bigint").alias("sum_micros"))
+            .crossJoin(F.broadcast(root))
+            .select(
+                F.lit(fname).alias("feature"),
+                F.expr("(sum_micros - root_micros) div n_tot")
+                .cast("bigint")
+                .alias("importance_nanos"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("feature")

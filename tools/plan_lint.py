@@ -83,6 +83,9 @@ _BNLJ_ALLOWED = {
     "mixture_temperature_weights",  # 1-row weight/char totals frame
     "cusum_changepoint_daily",  # 1-row (n_days, total) frame (mean centering)
     "naive_bayes_token_probs",  # 1-row vocabulary-size frame (Laplace denom)
+    "benford_first_digit_audit",  # 1-row digit-total frame (share denom)
+    "gini_feature_importance",  # 1-row root-impurity frame shared by 3 legs
+    "lift_decile_gains",  # 1-row N/total frames (ntile arithmetic + base rate)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
