@@ -741,3 +741,78 @@ def q_lift_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (2-D dominance frontier)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pareto_skyline_parts",
+    """
+    WITH pv AS (
+      SELECT (p_retailprice::DECIMAL(12,2) * 100)::BIGINT AS v,
+             max(p_size)::BIGINT AS s
+      FROM part GROUP BY v
+    ),
+    fr AS (
+      SELECT v, s,
+             coalesce(max(s) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1)::BIGINT AS prevmax
+      FROM pv
+    )
+    SELECT f.v AS price_cents, f.s AS size, count(*)::BIGINT AS n_parts
+    FROM fr f JOIN part p
+      ON (p.p_retailprice::DECIMAL(12,2) * 100)::BIGINT = f.v
+     AND p.p_size::BIGINT = f.s
+    WHERE f.s > f.prevmax
+    GROUP BY f.v, f.s ORDER BY f.v
+    """,
+)
+def q_pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (dominance frontier) over parts on (price ↓ is
+    better, size ↑ is better): the multi-objective shortlist query —
+    a part is on the frontier iff no other part is both cheaper-or-equal
+    and larger (with one strict).  Reported as frontier (price, size)
+    points with the number of parts achieving each.
+
+    Computed by the classic sort-scan reduction: collapse to per-price
+    max size, then a point is on the frontier iff its size exceeds the
+    running max over strictly cheaper prices — one cumulative window,
+    no pairwise dominance join (the naive skyline is O(n²)).
+
+    Determinism: prices quantized to cents; frontier membership is pure
+    integer comparison; member counts join back on the exact (price,
+    size) pair.
+
+    Scale: the per-price frame is value-DOMAIN-bounded (fixed price
+    domain → bounded distinct cents at any fact size — the AUC
+    argument), so the running-max window is constant-bounded; the
+    member-count join is a broadcast of the (smaller still) frontier
+    frame against one fact scan.  For an unbounded value domain, swap
+    the window for the equidepth band trick (banded prefix max)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+        F.col("p_size").cast("bigint").alias("s"),
+    )
+    pv = p.groupBy("v").agg(F.max("s").cast("bigint").alias("s"))
+    wpm = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    fr = (
+        pv.withColumn(
+            "prevmax",
+            F.coalesce(F.max("s").over(wpm), F.lit(-1)).cast("bigint"),
+        )
+        .where(F.col("s") > F.col("prevmax"))
+        .select("v", "s")
+    )
+    return (
+        p.join(F.broadcast(fr), ["v", "s"])
+        .groupBy("v", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .select(F.col("v").alias("price_cents"), F.col("s").alias("size"), "n_parts")
+        .orderBy("price_cents")
+    )

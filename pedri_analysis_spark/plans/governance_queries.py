@@ -1219,3 +1219,207 @@ def q_gini_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training (best 1-feature split by Gini, exact search)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decision_stump_value_split",
+    """
+    WITH e AS (
+      SELECT (value::DECIMAL(12,2) * 100)::BIGINT AS v_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT v_c, sum(y)::BIGINT AS p, sum(1 - y)::BIGINT AS q FROM e GROUP BY v_c),
+    t AS (SELECT sum(p)::BIGINT AS pt, sum(q)::BIGINT AS qt FROM g),
+    c AS (
+      SELECT v_c,
+             sum(p) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pl,
+             sum(q) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ql
+      FROM g
+    ),
+    sc AS (
+      SELECT c.v_c, c.pl, c.ql,
+             (t.pt - c.pl)::BIGINT AS pr, (t.qt - c.ql)::BIGINT AS qr,
+             t.pt, t.qt
+      FROM c CROSS JOIN t
+      WHERE c.pl + c.ql > 0 AND (t.pt - c.pl) + (t.qt - c.ql) > 0
+    ),
+    best AS (
+      SELECT *,
+             CAST(pl * pl + ql * ql AS DOUBLE) / CAST(pl + ql AS DOUBLE)
+               + CAST(pr * pr + qr * qr AS DOUBLE) / CAST(pr + qr AS DOUBLE) AS score,
+             row_number() OVER (ORDER BY
+               CAST(pl * pl + ql * ql AS DOUBLE) / CAST(pl + ql AS DOUBLE)
+                 + CAST(pr * pr + qr * qr AS DOUBLE) / CAST(pr + qr AS DOUBLE) DESC,
+               v_c ASC) AS rn
+      FROM sc
+    )
+    SELECT v_c AS threshold_cents,
+           (pl + ql)::BIGINT AS n_left, (pr + qr)::BIGINT AS n_right,
+           ((greatest(pl, ql) + greatest(pr, qr)) * 1000000 // (pt + qt))::BIGINT
+             AS train_acc_micros,
+           score AS split_score
+    FROM best WHERE rn = 1
+    """,
+)
+def q_decision_stump_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: EXACT search for the best value
+    threshold splitting 'purchase' from the rest by Gini impurity — the
+    depth-1 tree (and the split-finding primitive inside every
+    distributed GBDT: per-feature cumulative class histograms, then an
+    argmax over candidate cuts).  Reports the chosen threshold, split
+    sizes, majority-vote training accuracy, and the purity score.
+
+    Determinism: candidate evaluation uses cumulative EXACT class
+    counts; the score (pl²+ql²)/tl + (pr²+qr²)/tr is two IEEE divisions
+    + one add with formula text identical in both dialects (monotone
+    transform of weighted-Gini decrease, so the argmax is the textbook
+    split); the argmax tie-breaks on MIN threshold; accuracy is
+    floor-divided exact integers.  p² needs 128-bit past ~3e9
+    rows/class (documented; promote the casts then).
+
+    Scale: one fact shuffle onto the cent-quantized score frame —
+    value-DOMAIN-bounded (~50k rows at any fact size, the AUC
+    argument), so the cumulative windows and the argmax run over a
+    constant-bounded frame; class totals ride a 1-row broadcast."""
+    ev = events_us(spark, sf_dir)
+    e = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("v_c"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    g = e.groupBy("v_c").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(F.expr("1 - y")).cast("bigint").alias("q"),
+    )
+    t = g.agg(
+        F.sum("p").cast("bigint").alias("pt"),
+        F.sum("q").cast("bigint").alias("qt"),
+    )
+    wcum = W.orderBy("v_c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "v_c",
+        F.sum("p").over(wcum).cast("bigint").alias("pl"),
+        F.sum("q").over(wcum).cast("bigint").alias("ql"),
+    )
+    sc = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("pr", F.expr("CAST(pt - pl AS BIGINT)"))
+        .withColumn("qr", F.expr("CAST(qt - ql AS BIGINT)"))
+        .where(F.expr("pl + ql > 0 AND pr + qr > 0"))
+    )
+    score = (
+        "CAST(pl * pl + ql * ql AS DOUBLE) / CAST(pl + ql AS DOUBLE)"
+        " + CAST(pr * pr + qr * qr AS DOUBLE) / CAST(pr + qr AS DOUBLE)"
+    )
+    wbest = W.orderBy(F.desc("score"), F.asc("v_c"))
+    best = (
+        sc.withColumn("score", F.expr(score))
+        .withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("v_c").alias("threshold_cents"),
+        F.expr("CAST(pl + ql AS BIGINT)").alias("n_left"),
+        F.expr("CAST(pr + qr AS BIGINT)").alias("n_right"),
+        F.expr(
+            "CAST((greatest(pl, ql) + greatest(pr, qr)) * 1000000"
+            " div (pt + qt) AS BIGINT)"
+        ).alias("train_acc_micros"),
+        F.col("score").alias("split_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user-day
+# ---------------------------------------------------------------------------
+
+TWAP_LIMIT = 50
+
+
+@_register(
+    "twap_user_daily",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) // {DAY_US})::BIGINT AS d,
+             epoch_us(ts)::BIGINT AS ts_us,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS v_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, d, v_c,
+             (coalesce(lead(ts_us) OVER (
+                 PARTITION BY user_id, d ORDER BY ts_us, event_id),
+               (d + 1) * {DAY_US}) - ts_us)::BIGINT AS w_us
+      FROM ev
+    )
+    SELECT user_id, d AS day_idx,
+           count(*)::BIGINT AS n_obs,
+           sum(w_us)::BIGINT AS held_us,
+           (sum((v_c * w_us)::HUGEINT)::HUGEINT * 1000000
+              // sum(w_us)::HUGEINT)::BIGINT AS twap_microcents
+    FROM seg GROUP BY user_id, d
+    ORDER BY user_id, day_idx
+    LIMIT {TWAP_LIMIT}
+    """,
+)
+def q_twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user per day — each
+    observation holds its value until the next one (last until
+    midnight), the finance/observability estimator that de-biases
+    irregular sampling (a plain mean overweights bursts).
+
+    Determinism: hold durations are exact integer microseconds from the
+    lead window ((ts, event_id) total order); the weighted sum v_c·w_us
+    is exact 128-bit; TWAP is ONE floor division to micro-cents — no
+    doubles.
+
+    Scale: one shuffle on (user, day) serves both the lead window and
+    the rollup (same exchange — Catalyst reuses the partitioning);
+    per-partition state is one user-day.  Output bounded to
+    {TWAP_LIMIT} rows by (user, day) order."""
+    ev = events_us(spark, sf_dir)
+    e = ev.where(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST(ts_us div {DAY_US} AS BIGINT)").alias("d"),
+        "ts_us",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("v_c"),
+    )
+    wl = W.partitionBy("user_id", "d").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "d",
+        "v_c",
+        (
+            F.coalesce(
+                F.lead("ts_us").over(wl),
+                F.expr(f"(d + 1) * {DAY_US}"),
+            )
+            - F.col("ts_us")
+        )
+        .cast("bigint")
+        .alias("w_us"),
+    )
+    return (
+        seg.groupBy("user_id", F.col("d").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("w_us").cast("bigint").alias("held_us"),
+            F.expr(
+                "CAST(sum(CAST(v_c * w_us AS DECIMAL(38,0))) * 1000000"
+                " div sum(CAST(w_us AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("twap_microcents"),
+        )
+        .orderBy("user_id", "day_idx")
+        .limit(TWAP_LIMIT)
+    )

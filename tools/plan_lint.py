@@ -86,6 +86,7 @@ _BNLJ_ALLOWED = {
     "benford_first_digit_audit",  # 1-row digit-total frame (share denom)
     "gini_feature_importance",  # 1-row root-impurity frame shared by 3 legs
     "lift_decile_gains",  # 1-row N/total frames (ntile arithmetic + base rate)
+    "decision_stump_value_split",  # 1-row class-totals frame (right-side counts)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
