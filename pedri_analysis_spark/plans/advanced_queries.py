@@ -1891,3 +1891,226 @@ def q_important_stock_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/15/5) classification of suppliers by revenue
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "abc_classification_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(((l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount)::DECIMAL(4,2)) * 10000)::BIGINT)::BIGINT
+               AS rev_i4
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT sum(rev_i4)::HUGEINT AS tot FROM rev),
+    c AS (
+      SELECT rev_i4,
+             sum(rev_i4) OVER (ORDER BY rev_i4 DESC, l_suppkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT rev_i4,
+             CASE WHEN 100 * cum <= 80 * t.tot THEN 'A'
+                  WHEN 100 * cum <= 95 * t.tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             t.tot
+      FROM c CROSS JOIN t
+    )
+    SELECT abc_class,
+           count(*)::BIGINT AS n_suppliers,
+           sum(rev_i4)::BIGINT AS revenue_i4,
+           ((sum(rev_i4)::HUGEINT * 1000000) // max(tot))::BIGINT AS share_micros
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q_abc_classification_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of suppliers by discounted revenue —
+    the 80/15/5 inventory-management cut: 'A' suppliers cover the first
+    80% of cumulative revenue, 'B' the next 15%, 'C' the tail; reported
+    as class population, revenue, and share.
+
+    Determinism: revenue is exact 1e-4-dollar integers (DECIMAL(12,2) ×
+    DECIMAL(4,2) has scale 4 — ×10000 is lossless); class boundaries are
+    integer CROSS-MULTIPLIED comparisons (100·cum ≤ 80·total — no
+    percentage doubles); the cumulative order (revenue DESC, suppkey)
+    is total.  128-bit accumulators carry the cumulative past ~1e14
+    revenue rows.
+
+    Scale: one fact shuffle to the per-supplier rollup (partial agg
+    map-side); the ranking window runs over the DIMENSION-sized
+    supplier frame (orders of magnitude below the fact, the
+    data_skew_report precedent); the grand total rides a 1-row
+    broadcast.  Final output is 3 rows."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.expr(
+                "CAST((CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(1 - l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_i4")
+    )
+    t = rev.agg(F.sum(F.col("rev_i4").cast("decimal(38,0)")).alias("tot"))
+    wc = W.orderBy(F.desc("rev_i4"), F.asc("l_suppkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = rev.select(
+        "rev_i4",
+        F.sum(F.col("rev_i4").cast("decimal(38,0)")).over(wc).alias("cum"),
+    )
+    cls = c.crossJoin(F.broadcast(t)).select(
+        "rev_i4",
+        F.expr(
+            "CASE WHEN 100 * cum <= 80 * tot THEN 'A'"
+            " WHEN 100 * cum <= 95 * tot THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+        "tot",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("rev_i4").cast("bigint").alias("revenue_i4"),
+            F.expr(
+                "CAST(sum(CAST(rev_i4 AS DECIMAL(38,0))) * 1000000"
+                " div max(tot) AS BIGINT)"
+            ).alias("share_micros"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix decomposition of year-over-year revenue change
+# ---------------------------------------------------------------------------
+
+PVM_Y0 = 1996
+PVM_Y1 = 1997
+
+
+@_register(
+    "price_volume_mix_yoy",
+    f"""
+    WITH yr AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS q,
+             sum(((l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount)::DECIMAL(4,2)) * 10000)::BIGINT)::BIGINT
+               AS rev
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({PVM_Y0}, {PVM_Y1})
+      GROUP BY l_partkey, yr
+    ),
+    w AS (
+      SELECT l_partkey,
+             max(CASE WHEN yr = {PVM_Y0} THEN q END) AS q0,
+             max(CASE WHEN yr = {PVM_Y0} THEN rev END) AS rev0,
+             max(CASE WHEN yr = {PVM_Y1} THEN q END) AS q1,
+             max(CASE WHEN yr = {PVM_Y1} THEN rev END) AS rev1
+      FROM yr GROUP BY l_partkey
+    ),
+    eff AS (
+      SELECT CASE WHEN q0 IS NULL THEN 0 ELSE 1 END AS in0,
+             CASE WHEN q1 IS NULL THEN 0 ELSE 1 END AS in1,
+             coalesce(rev0, 0) AS rev0, coalesce(rev1, 0) AS rev1,
+             CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                  THEN ((q1 - q0) * rev0) // q0 ELSE 0 END AS vol_eff
+      FROM w
+    )
+    SELECT sum(rev1 - rev0)::BIGINT AS delta_rev_i4,
+           sum(CASE WHEN in0 = 1 AND in1 = 1 THEN vol_eff ELSE 0 END)::BIGINT
+             AS volume_eff_i4,
+           sum(CASE WHEN in0 = 1 AND in1 = 1 THEN rev1 - rev0 - vol_eff
+                    ELSE 0 END)::BIGINT AS price_eff_i4,
+           sum(CASE WHEN in0 = 0 THEN rev1 ELSE 0 END)::BIGINT AS new_parts_i4,
+           sum(CASE WHEN in1 = 0 THEN -rev0 ELSE 0 END)::BIGINT AS lost_parts_i4
+    FROM eff
+    """,
+)
+def q_price_volume_mix_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of the {PVM_Y0}→{PVM_Y1} revenue
+    change — the FP&A waterfall: per part carried both years, the volume
+    effect is (Δq)·(rev0/q0) and the price effect is the exact residual;
+    parts that appear/disappear contribute new/lost buckets.  The five
+    outputs sum: Δrev = volume + price + new − |lost| — an exact
+    identity by construction.
+
+    Determinism: revenue in exact 1e-4-dollar integers, quantities exact
+    BIGINT; each part's volume effect takes ONE floor division
+    ((Δq·rev0) // q0, quantize-then-sum) and the price effect is the
+    integer residual — no doubles anywhere, and the waterfall closes to
+    the exact integer Δrev.
+
+    Scale: one fact shuffle to the (part, year) rollup (two years
+    pushed down to the scan), one part-key pivot aggregate, then a
+    1-row fold.  Never joins fact to fact; everything after the first
+    rollup is part-dimension-sized."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    yr = (
+        li.where(F.expr(f"year(l_shipdate) IN ({PVM_Y0}, {PVM_Y1})"))
+        .groupBy(
+            "l_partkey", F.expr("CAST(year(l_shipdate) AS BIGINT)").alias("yr")
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("bigint").alias("q"),
+            F.sum(
+                F.expr(
+                    "CAST((CAST(l_extendedprice AS DECIMAL(12,2))"
+                    " * CAST(1 - l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    w = yr.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("yr") == PVM_Y0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == PVM_Y0, F.col("rev"))).alias("rev0"),
+        F.max(F.when(F.col("yr") == PVM_Y1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == PVM_Y1, F.col("rev"))).alias("rev1"),
+    )
+    eff = w.select(
+        F.expr("CASE WHEN q0 IS NULL THEN 0 ELSE 1 END").alias("in0"),
+        F.expr("CASE WHEN q1 IS NULL THEN 0 ELSE 1 END").alias("in1"),
+        F.expr("coalesce(rev0, 0)").alias("rev0"),
+        F.expr("coalesce(rev1, 0)").alias("rev1"),
+        F.expr(
+            "CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL"
+            " THEN ((q1 - q0) * rev0) div q0 ELSE 0 END"
+        ).alias("vol_eff"),
+    )
+    return eff.agg(
+        F.sum(F.expr("rev1 - rev0")).cast("bigint").alias("delta_rev_i4"),
+        F.sum(F.expr("CASE WHEN in0 = 1 AND in1 = 1 THEN vol_eff ELSE 0 END"))
+        .cast("bigint")
+        .alias("volume_eff_i4"),
+        F.sum(
+            F.expr(
+                "CASE WHEN in0 = 1 AND in1 = 1 THEN rev1 - rev0 - vol_eff"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("price_eff_i4"),
+        F.sum(F.expr("CASE WHEN in0 = 0 THEN rev1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("new_parts_i4"),
+        F.sum(F.expr("CASE WHEN in1 = 0 THEN -rev0 ELSE 0 END"))
+        .cast("bigint")
+        .alias("lost_parts_i4"),
+    )

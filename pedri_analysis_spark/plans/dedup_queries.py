@@ -1250,3 +1250,104 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         .limit(LPA_TOP)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability frontier (k-hop breadth-first expansion)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    hops = []
+    for k in range(1, BFS_HOPS + 1):
+        hops.append(
+            f"""
+    h{k} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN h{k - 1} f ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM v{k - 1})
+    ),
+    v{k} AS (SELECT node FROM v{k - 1} UNION SELECT node FROM h{k})"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS hop, count(*)::BIGINT AS n_nodes FROM h{k}"
+        for k in range(BFS_HOPS + 1)
+    )
+    return f"""
+    WITH pair AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pair
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pair
+    ),
+    h0 AS (SELECT min(src) AS node FROM edges),
+    v0 AS (SELECT node FROM h0),{",".join(hops)}
+    SELECT hop::BIGINT AS hop, n_nodes FROM ({unions}) ORDER BY hop
+    """
+
+
+@_register("bfs_frontier_hops", _bfs_oracle())
+def q_bfs_frontier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability from the lexicographically-first node
+    of the trade graph: per-hop frontier sizes for {BFS_HOPS} hops — the
+    shortest-path-layer primitive (friend-of-friend expansion, blast-
+    radius analysis) that completes the graph family alongside PageRank
+    (centrality), connected components (reachability closure), LPA
+    (communities) and triangles (density).
+
+    Determinism: the source is min(node) (total string order); frontiers
+    are DISTINCT sets; outputs are exact counts — no floats, no
+    randomness.
+
+    Scale: per hop — one hash join of the (node-sized, usually tiny)
+    frontier into the persisted edge list plus one left-anti join
+    against the visited set; both are equi-joins on node (the frontier
+    broadcasts while small, falls back to shuffle when it saturates).
+    Visited and frontier persist per generation (the PageRank lineage
+    discipline).  NOT-IN is expressed as LEFT ANTI, never a negated
+    IN-subquery scan."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = edges.persist()
+    edges.count()
+    frontier = edges.agg(F.min("src").alias("node"))
+    frontier = frontier.persist()
+    visited = frontier
+    counts = [(0, frontier)]
+    for k in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        nxt = nxt.persist()
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt
+        counts.append((k, nxt))
+    out = None
+    for k, f in counts:
+        leg = f.agg(
+            F.lit(k).cast("bigint").alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("hop")

@@ -87,6 +87,7 @@ _BNLJ_ALLOWED = {
     "gini_feature_importance",  # 1-row root-impurity frame shared by 3 legs
     "lift_decile_gains",  # 1-row N/total frames (ntile arithmetic + base rate)
     "decision_stump_value_split",  # 1-row class-totals frame (right-side counts)
+    "abc_classification_suppliers",  # 1-row grand-total frame (share denominator)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
