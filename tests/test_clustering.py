@@ -106,3 +106,31 @@ def test_kmeans_empty_cluster_keeps_id_stable(spark):
     assert got <= {0, 1, 2, 3}
     # the duplicate-init clusters (1, 2) kept their original centroid
     assert centroids[1] == [1.0, 1.0] and centroids[2] == [1.0, 1.0]
+
+
+def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
+    """The SemDeDup pair stage must never compare across sub-chunks: with
+    SEMDEDUP_CHUNK forced tiny, per-(cluster, chunk) membership is capped
+    at the chunk size, so pair volume is O(N·CHUNK) — the linear-scale
+    property the r8 sf0.1→sf1.0 decade measured (17x unchunked → 5x
+    chunked).  At the default 512 the sf0.01 corpus has every chunk == 0
+    (clusters smaller than the cap), i.e. results are bit-identical to
+    the unchunked plan at correctness SFs."""
+    from pedri_analysis_spark.operators.clustering import kmeans_fit
+    from pedri_analysis_spark.plans import similarity_queries as sq
+    from pedri_analysis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    _, assigned = kmeans_fit(emb, k=sq.SEMDEDUP_K, iters=2)
+    chunked = assigned.withColumn(
+        "chunk", F.expr(f"CAST((row_number() OVER (PARTITION BY cluster ORDER BY vec_id) - 1) div {sq.SEMDEDUP_CHUNK} AS BIGINT)")
+    )
+    sizes = (
+        chunked.groupBy("cluster", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r.n <= sq.SEMDEDUP_CHUNK for r in sizes)
+    # default cap leaves the sf0.01 correctness corpus unchunked
+    assert all(r.chunk == 0 for r in sizes)
