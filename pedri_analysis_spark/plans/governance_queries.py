@@ -1423,3 +1423,118 @@ def q_twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "day_idx")
         .limit(TWAP_LIMIT)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard over order fulfilment latency
+# ---------------------------------------------------------------------------
+
+NA_HORIZON_DAYS = 60  # administrative right-censoring horizon
+
+
+def _nelson_aalen_oracle() -> str:
+    return f"""
+    WITH lat AS (
+      SELECT l.l_orderkey,
+             (min(epoch_us(l.l_shipdate) // {DAY_US})
+               - min(epoch_us(o.o_orderdate) // {DAY_US}) + 1)::BIGINT AS raw_t
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    obs AS (
+      SELECT least(raw_t, {NA_HORIZON_DAYS})::BIGINT AS t,
+             CASE WHEN raw_t <= {NA_HORIZON_DAYS} THEN 1 ELSE 0 END AS died
+      FROM lat WHERE raw_t >= 1
+    ),
+    tt AS (
+      SELECT t, count(*)::BIGINT AS n_at_t, sum(died)::BIGINT AS d_t
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_t,
+             (sum(n_at_t) OVER (ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS n_risk
+      FROM tt
+    ),
+    hz AS (
+      SELECT t, n_risk, d_t,
+             ((d_t * 1000000) // n_risk)::BIGINT AS hazard_micros
+      FROM risk WHERE d_t > 0
+    )
+    SELECT t AS latency_days, n_risk AS n_at_risk, d_t AS n_events,
+           hazard_micros,
+           (sum(hazard_micros) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS cum_hazard_micros
+    FROM hz ORDER BY latency_days
+    """
+
+
+@_register("nelson_aalen_hazard", _nelson_aalen_oracle())
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over order-fulfilment
+    latency (days from order to FIRST shipment), right-censored at the
+    NA_HORIZON_DAYS administrative horizon — the survival-analysis
+    staple (churn, time-to-failure, SLA latency) in its warehouse form
+    (orders whose first ship PRECEDES the order date — upstream
+    corruption in this synthetic schema — are excluded by the same
+    raw_t >= 1 gate on both engines, the referential-integrity-audit
+    discipline):
+    at each observed latency t the hazard increment is d_t / n_at_risk
+    and H(t) is their running sum.  (Nelson-Aalen is the sum-form twin
+    of Kaplan-Meier — chosen because its cumulative is a window SUM of
+    quantized increments, exactly the quantize-then-sum oracle
+    discipline, where KM's cumulative PRODUCT has no deterministic
+    log-free form.)
+
+    Determinism: latencies, censor flags and at-risk counts are exact
+    integers; each hazard increment is ONE floor division to micros; the
+    cumulative is an integer window sum — no doubles.
+
+    Scale: one fact shuffle to the per-order min-shipdate rollup (the
+    join is orderkey-aligned — bucketed at 100 TB it is the
+    zero-exchange SMJ); everything after runs on the latency-
+    distribution frame, bounded by the horizon (≤ NA_HORIZON_DAYS rows),
+    so both cumulative windows are constant-bounded.  Never a per-order
+    × per-time band join."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                f"CAST(min(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {DAY_US})"
+                f" - min(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {DAY_US})"
+                " + 1 AS BIGINT)"
+            ).alias("raw_t")
+        )
+    )
+    obs = lat.where(F.col("raw_t") >= 1).select(
+        F.expr(f"CAST(least(raw_t, {NA_HORIZON_DAYS}) AS BIGINT)").alias("t"),
+        F.expr(
+            f"CASE WHEN raw_t <= {NA_HORIZON_DAYS} THEN 1 ELSE 0 END"
+        ).alias("died"),
+    )
+    tt = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+        F.sum("died").cast("bigint").alias("d_t"),
+    )
+    wrisk = W.orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    risk = tt.select(
+        "t", "d_t", F.sum("n_at_t").over(wrisk).cast("bigint").alias("n_risk")
+    )
+    hz = risk.where(F.col("d_t") > 0).select(
+        "t",
+        "n_risk",
+        "d_t",
+        F.expr("CAST((d_t * 1000000) div n_risk AS BIGINT)").alias("hazard_micros"),
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hz.select(
+        F.col("t").alias("latency_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d_t").alias("n_events"),
+        "hazard_micros",
+        F.sum("hazard_micros").over(wcum).cast("bigint").alias("cum_hazard_micros"),
+    ).orderBy("latency_days")

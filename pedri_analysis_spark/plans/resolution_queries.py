@@ -629,3 +629,122 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog = ev.filter(F.col("ts_us") >= CDC_CUTOFF_US)
     base_mv = rollup_from_snapshot(base_snapshot)
     return apply_rollup_delta(base_mv, base_snapshot, changelog).orderBy("state_type")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation diff (table-diff audit between two versions)
+# ---------------------------------------------------------------------------
+
+# Deterministic v2 synthesis knobs: key % 19 selects the mutation class.
+DIFF_DEL = 3  # rows absent from v2
+DIFF_UPD = 5  # rows with status + price changed in v2
+DIFF_INS = 7  # rows duplicated into v2 under a shifted key
+DIFF_KEY_SHIFT = 10_000_000_000
+
+
+def _snapshot_diff_oracle() -> str:
+    return f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS pc
+      FROM orders
+    ),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 19 = {DIFF_UPD} THEN 'X' ELSE st END AS st,
+             CASE WHEN k % 19 = {DIFF_UPD} THEN pc + 100 ELSE pc END AS pc
+      FROM v1 WHERE k % 19 <> {DIFF_DEL}
+      UNION ALL
+      SELECT k + {DIFF_KEY_SHIFT}, st, pc FROM v1 WHERE k % 19 = {DIFF_INS}
+    ),
+    d AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.k IS NULL THEN 'added'
+                  WHEN a.st <> b.st OR a.pc <> b.pc THEN 'changed'
+                  ELSE 'identical' END AS verdict,
+             CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                   AND a.st <> b.st THEN 1 ELSE 0 END AS chg_st,
+             CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                   AND a.pc <> b.pc THEN 1 ELSE 0 END AS chg_pc
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT verdict, count(*)::BIGINT AS n_rows,
+           sum(chg_st)::BIGINT AS n_status_changes,
+           sum(chg_pc)::BIGINT AS n_price_changes
+    FROM d GROUP BY verdict ORDER BY verdict
+    """
+
+
+@_register("snapshot_diff_audit", _snapshot_diff_oracle())
+def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): classify every key of two
+    table versions as added / removed / changed / identical with
+    per-column change counts — the audit a warehouse runs before
+    publishing a rebuilt snapshot (did the pipeline change only what the
+    upstream delta says it should?).  Version 2 is synthesized
+    deterministically from orders (key % 19 picks delete / update /
+    insert classes — the record_linkage corruption idiom) so the diff
+    operator itself is what's exercised.
+
+    Determinism: prices compared in exact cents; verdict classes and
+    per-column flags are pure integer/string comparisons; output is the
+    4-row verdict rollup.
+
+    Scale: ONE full-outer hash join on the snapshot key (both sides
+    shuffle-partitioned on k — at 100 TB both snapshots would be
+    bucketed on key, making this the zero-exchange SMJ the bucketing
+    test pins) followed by a 4-row aggregate.  Per-column drift detail
+    is computed inline from the joined row — no per-column subqueries,
+    one pass."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("pc"),
+    )
+    v2 = (
+        o.where(F.expr(f"k % 19 <> {DIFF_DEL}"))
+        .select(
+            "k",
+            F.expr(f"CASE WHEN k % 19 = {DIFF_UPD} THEN 'X' ELSE st END").alias("st"),
+            F.expr(f"CASE WHEN k % 19 = {DIFF_UPD} THEN pc + 100 ELSE pc END").alias("pc"),
+        )
+        .unionByName(
+            o.where(F.expr(f"k % 19 = {DIFF_INS}")).select(
+                (F.col("k") + F.lit(DIFF_KEY_SHIFT)).alias("k"), "st", "pc"
+            )
+        )
+    )
+    a = o.select(
+        F.col("k").alias("ak"), F.col("st").alias("ast"), F.col("pc").alias("apc")
+    )
+    b = v2.select(
+        F.col("k").alias("bk"), F.col("st").alias("bst"), F.col("pc").alias("bpc")
+    )
+    d = a.join(b, F.col("ak") == F.col("bk"), "full_outer").select(
+        F.expr(
+            "CASE WHEN bk IS NULL THEN 'removed'"
+            " WHEN ak IS NULL THEN 'added'"
+            " WHEN ast <> bst OR apc <> bpc THEN 'changed'"
+            " ELSE 'identical' END"
+        ).alias("verdict"),
+        F.expr(
+            "CASE WHEN ak IS NOT NULL AND bk IS NOT NULL AND ast <> bst"
+            " THEN 1 ELSE 0 END"
+        ).alias("chg_st"),
+        F.expr(
+            "CASE WHEN ak IS NOT NULL AND bk IS NOT NULL AND apc <> bpc"
+            " THEN 1 ELSE 0 END"
+        ).alias("chg_pc"),
+    )
+    return (
+        d.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("chg_st").cast("bigint").alias("n_status_changes"),
+            F.sum("chg_pc").cast("bigint").alias("n_price_changes"),
+        )
+        .orderBy("verdict")
+    )
