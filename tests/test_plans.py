@@ -576,3 +576,30 @@ def test_abc_cumulative_window_runs_post_rollup(spark):
     plan = _plan(QUERIES["abc_classification_suppliers"](spark, SF))
     assert "hashpartitioning(l_suppkey" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_is_one_full_outer_key_join(spark):
+    """snapshot_diff_audit must plan as ONE FullOuter key join (hash or
+    sort-merge — broadcastable at test SF) with no nested-loop fallback:
+    the per-column drift flags are computed inline from the joined row,
+    never as per-column subquery joins."""
+    from pedri_analysis_spark.plans.resolution_queries import QUERIES
+
+    plan = _plan(QUERIES["snapshot_diff_audit"](spark, SF))
+    assert "FullOuter" in plan
+    assert plan.count("FullOuter") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nelson_aalen_fact_folds_before_windows(spark):
+    """nelson_aalen_hazard: the fact join folds to the per-order
+    min-shipdate rollup (one orderkey aggregate) BEFORE any window —
+    the cumulative windows run on the horizon-bounded latency frame,
+    never on fact-sized input."""
+    from pedri_analysis_spark.plans.governance_queries import QUERIES
+
+    plan = _plan(QUERIES["nelson_aalen_hazard"](spark, SF))
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
