@@ -256,20 +256,34 @@ def q_simhash_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NGRAM_JACCARD_T = 0.7  # clean separation: true near-dups ~0.9+, word-soup noise <=0.5
+# Pair-work cap (r9, the SemDeDup chunk precedent): each (lang, bucket)
+# block is sub-chunked to at most this many members by doc_id rank before
+# the all-pairs compare, so pair volume is O(N·CHUNK) instead of
+# Σ|block|².  512 leaves every real SF bit-identical to the unchunked
+# plan (largest block: 54 at sf0.01, 451 at sf0.1); only the synthetic
+# sf1.0 decade (max block ~4.5k) actually chunks.
+NGRAM_CHUNK = 512
 
 
 def _ngram_jaccard_oracle() -> str:
     ng = tx.char_ngrams(tx.DUCK, "text", 3)
     return f"""
-    WITH g AS (
+    WITH g0 AS (
       SELECT doc_id, lang, n_chars // 100 AS bucket, {ng} AS ng
       FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, bucket, ng,
+             (row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1)
+               // {NGRAM_CHUNK} AS chunk
+      FROM g0
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
                AS jaccard
     FROM g a JOIN g b
-      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
           >= {NGRAM_JACCARD_T}
     """
@@ -282,27 +296,47 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which estimates this same measure probabilistically). The length
     bucket exploits |len(a)-len(b)| being small for near-dups.
 
-    Scale (measured, r8): this exact variant is KNOWN-QUADRATIC —
-    block membership is a constant fraction of the corpus, so the
-    in-block self-join's candidate volume grows O(N²) (the sf0.1→
-    sf1.0 decade measured 93x for 10x data; recorded as
-    known_quadratic in SCALING.json).  An AllPairs prefix-filter
-    rewrite was tried and REJECTED: this corpus's template vocabulary
-    saturates the char-3-gram space, so even rarest-first prefix
-    grams carry high document frequency and the "filtered" candidate
-    set came out LARGER than the block join's (21.8s vs 3.3s at
-    sf0.1, OOM at sf1.0).  The honest 100 TB path is the capped
-    MinHash LSH generator (minhash_near_dups) for candidates — which
-    dedup_connected_components and the cascade compose — with this
-    exact form reserved for verify stages and small corpora."""
+    Scale (r8 measured the quadratic, r9 bounded it): the unchunked
+    in-block self-join's candidate volume grows O(N²) because block
+    membership is a constant corpus fraction — the r8 sf0.1→sf1.0
+    decade measured 62.9x for 10x data.  r9 applies the SemDeDup
+    chunk-cap precedent (semantic_dedup_prune): each (lang, bucket)
+    block is sub-chunked to NGRAM_CHUNK members by doc_id rank and
+    pairs only form within a (lang, bucket, chunk) cell, so pair
+    volume is O(N·CHUNK) — linear — and the oracle mirrors the same
+    chunk key.  At all real SFs the cap exceeds the largest block, so
+    results are bit-identical to the unchunked plan.  An AllPairs
+    prefix-filter rewrite was tried and REJECTED: this corpus's
+    template vocabulary saturates the char-3-gram space, so even
+    rarest-first prefix grams carry high document frequency and the
+    "filtered" candidate set came out LARGER than the block join's
+    (21.8s vs 3.3s at sf0.1, OOM at sf1.0).  The 100 TB candidate
+    generator remains the capped MinHash LSH (minhash_near_dups) —
+    which dedup_connected_components and the cascade compose — with
+    this exact form as the bounded verify stage."""
+    from pyspark.sql import Window as W
+
     d = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
         "ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3))
     ).withColumn("bucket", F.expr("n_chars div 100"))
-    a = d.select(
-        F.col("doc_id").alias("a"), "lang", "bucket", F.col("ng").alias("ng_a")
+    # chunk by rank-within-block; persist the POST-window frame because
+    # both pair sides consume it (the semantic_dedup_prune lesson: a
+    # pre-window persist re-runs the window AND the gram build per side)
+    wch = W.partitionBy("lang", "bucket").orderBy("doc_id")
+    chunked = (
+        d.withColumn("rn", F.row_number().over(wch))
+        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {NGRAM_CHUNK} AS BIGINT)"))
+        .drop("rn")
+        .persist()
     )
-    b = d.select(
-        F.col("doc_id").alias("b"), "lang", "bucket", F.col("ng").alias("ng_b")
+    chunked.count()
+    a = chunked.select(
+        F.col("doc_id").alias("a"), "lang", "bucket", "chunk",
+        F.col("ng").alias("ng_a"),
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("b"), "lang", "bucket", "chunk",
+        F.col("ng").alias("ng_b"),
     )
     # |A ∪ B| = |A| + |B| - |A ∩ B|: one hash-set build per pair instead
     # of two (array_union would build the larger set again) — the pair
@@ -310,7 +344,7 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hot loop.
     inter = F.size(F.array_intersect("ng_a", "ng_b"))
     return (
-        a.join(b, ["lang", "bucket"])
+        a.join(b, ["lang", "bucket", "chunk"])
         .filter(F.col("a") < F.col("b"))
         .withColumn(
             "jaccard",
@@ -693,9 +727,11 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-sized partial-agg shuffle on dst — O(edges) per iteration, the
     textbook distributed PageRank shape.  Every generation is persisted
     to cut lineage (else iteration k re-derives 1..k-1: quadratic); on a
-    cluster that persist is a localCheckpoint.  Past the broadcast
-    threshold the join falls back to sort-merge against the
-    pre-partitioned edges."""
+    cluster that persist is a localCheckpoint.  The rank⋈edges join is
+    UNHINTED (r9, same fix as LPA): a forced broadcast never falls
+    back, so AQE picks broadcast from the node table's runtime size
+    and degrades to a shuffle join against the pre-partitioned
+    persisted edges when it outgrows the threshold."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     pair = (
@@ -733,11 +769,12 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edge list); pre-join them and BROADCAST the result so each
         # iteration costs exactly one map-side join plus the edge-sized
         # dst aggregation shuffle (with the per-generation persist below:
-        # 5.97s -> 1.43s at sf0.1).  At a node count past the broadcast
-        # threshold, drop the hint and pre-partition edges by src
-        # instead (the persisted frame keeps its partitioning).
+        # 5.97s -> 1.43s at sf0.1).  No broadcast hint: AQE reads the
+        # node table's runtime size — broadcast while it fits, shuffle
+        # join against the pre-partitioned persisted edges when it
+        # doesn't (a pinned hint would OOM instead of degrading).
         rank_deg = ranks.join(deg, "node").withColumnRenamed("node", "src")
-        contrib = edges.join(F.broadcast(rank_deg), "src").select(
+        contrib = edges.join(rank_deg, "src").select(
             "dst",
             rnd(F.col("rank") / F.col("deg"))
             .cast("decimal(18,6)")
@@ -1204,13 +1241,15 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     synchronous update is bit-reproducible and the oracle unrolls the
     {LPA_ITERS} rounds as CTEs (no floats anywhere).
 
-    Scale: per iteration — one broadcast (node-sized labels) map join
-    into the persisted edge list, one edge-sized partial-agg shuffle on
+    Scale: per iteration — one labels⋈edges map join (UNHINTED since
+    r9: a forced F.broadcast never falls back, so past the broadcast
+    threshold it would OOM instead of degrading; leaving the strategy
+    to the planner/AQE picks broadcast from runtime size at test SFs
+    and shuffle join against the pre-partitioned persisted edges at
+    node counts that don't fit), one edge-sized partial-agg shuffle on
     (dst, label), and an argmax window partitioned by dst whose frames
     are degree-bounded.  Per-generation persist cuts the quadratic
-    lineage (the PageRank discipline, dedup_queries.py:700).  At a node
-    count past the broadcast threshold the join falls back to
-    sort-merge against pre-partitioned edges."""
+    lineage (the PageRank discipline, dedup_queries.py:700)."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
@@ -1235,7 +1274,7 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     for _ in range(LPA_ITERS):
         lsrc = labels.withColumnRenamed("node", "src")
         labels = (
-            edges.join(F.broadcast(lsrc), "src")
+            edges.join(lsrc, "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .withColumn("rn", F.row_number().over(wadopt))

@@ -342,16 +342,30 @@ def ensure_bucketed_tables(
         )
         with open(os.path.join(stg_dir, BUCKET_SPEC_MARKER), "w") as f:
             _json.dump(want, f, sort_keys=True)
+        renamed = True
         try:
             os.rename(stg_dir, on_disk)  # atomic publish
         except OSError:
-            # A sibling process published first; keep theirs, drop ours.
+            # USUALLY a sibling process published first — but rename can
+            # also fail for unrelated reasons (permissions, partial
+            # cleanup), so the winner's dir is re-validated below before
+            # anything is registered over it (r9 ADVICE fix).
+            renamed = False
             shutil.rmtree(stg_dir, ignore_errors=True)
         # Retire the staging catalog entry (its dir has been renamed away;
         # dropping the managed entry only removes metadata) and expose the
         # published dir under the real name as an EXTERNAL table so later
         # sessions and this one plan identically.
         spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+        if not renamed and not _spec_matches():
+            # Not the sibling-won race: whatever sits at the final path is
+            # missing/incomplete/mismatched. Registering it would silently
+            # serve wrong (possibly empty) join results — fail loudly.
+            raise RuntimeError(
+                f"bucketed-table publish failed for {tbl}: rename to "
+                f"{on_disk} failed and the path does not hold a valid "
+                f"published table (_SUCCESS + matching {BUCKET_SPEC_MARKER})"
+            )
         _register_external()
     return specs[0][0], specs[1][0]
 

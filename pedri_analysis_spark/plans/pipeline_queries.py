@@ -192,10 +192,14 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     quadratic whenever the eval split scales with the corpus — and the
     measured sf0.1→sf1.0 step ran 40x, not 10x.  The join formulation
     is output-identical and linear in |train grams| + |eval grams| +
-    |matches|.  Grams match as 64-bit hashes, not strings (both
-    engines hash identically, so even collisions — none at this
-    corpus — would agree). Docs with no grams survive via the left
-    join (n_matched = 0), mirroring the oracle's own LEFT JOIN."""
+    |matches|.  Grams match as 64-bit hashes, not strings; the per-doc
+    match count is count(DISTINCT g) on BOTH sides (r9 ADVICE fix —
+    the gram STRINGS are distinct per doc by the word_shingles
+    contract, but an in-doc 64-bit hash collision would leave a
+    duplicate hash in the exploded rows, so a plain count would read 2
+    where the oracle's DISTINCT reads 1).  Docs with no grams survive
+    via the left join (n_matched = 0), mirroring the oracle's own
+    LEFT JOIN."""
     gh = tx.seeded_hash64(tx.SPARK, "g", "cgram")
     # stage tokens as a COLUMN first: word_shingles_spark_fast's contract
     # (textexpr) requires a materialized token column — inlining the
@@ -214,13 +218,15 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     train = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    # grams are distinct per doc (word_shingles contract), so the join
-    # match count per doc IS |grams ∩ eval| — array_intersect semantics.
+    # countDistinct, not count: gram strings are distinct per doc
+    # (word_shingles contract) but their 64-bit hashes need not be —
+    # DISTINCT g makes the per-doc count collision-proof and exactly
+    # |grams ∩ eval| (array_intersect semantics), matching the oracle.
     hits = (
         train.select("doc_id", F.explode("grams").alias("g"))
         .join(eval_grams, "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(F.countDistinct("g").alias("n_hit"))
     )
     scored = train.select("doc_id", "lang").join(hits, "doc_id", "left").select(
         "lang", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_matched")

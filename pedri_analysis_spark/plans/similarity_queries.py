@@ -115,13 +115,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(assigned, centroids, query, k=TOPK, nprobe=NPROBE)
 
 
+# Pair-work cap (r9, the SemDeDup chunk precedent): label blocks are
+# sub-chunked to at most this many members by vec_id rank before the
+# all-pairs compare — pair volume O(N·CHUNK), not Σ|label|².  256 leaves
+# every real SF bit-identical (largest label block: 59 at sf0.01, 218 at
+# sf0.1); only the synthetic sf1.0 decade (~2.2k per label) chunks.
+EMBDUP_CHUNK = 256
+
+
 @_register(
     "embedding_near_dups",
     f"""
+    WITH c AS (
+      SELECT vec_id, label, embedding,
+             (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+               // {EMBDUP_CHUNK} AS chunk
+      FROM embeddings
+    )
     SELECT a.vec_id AS a, b.vec_id AS b,
            {_dcos('a.embedding', 'b.embedding')} AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM c a
+    JOIN c b ON a.label = b.label AND a.chunk = b.chunk AND a.vec_id < b.vec_id
     WHERE {_dcos('a.embedding', 'b.embedding')} >= {NEARDUP_T}
     """,
 )
@@ -129,18 +143,34 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (label): the semantic-dedup operator.
 
-    Scale: the label block bounds the pair explosion (same topology as
-    SimHash blocking); at 100 TB the block key is an LSH bucket of the
-    embedding itself, which keeps the self-join linear-ish."""
+    Scale (r8 measured the quadratic, r9 bounded it): label blocks are
+    a constant corpus fraction, so the unchunked in-label self-join
+    measured 44.3x on the r8 sf0.1→sf1.0 decade.  r9 applies the
+    SemDeDup chunk-cap precedent: each label block is sub-chunked to
+    EMBDUP_CHUNK members by vec_id rank and pairs only form within a
+    (label, chunk) cell — O(N·CHUNK) pair volume, oracle mirrors the
+    chunk key, bit-identical at every real SF (cap > largest block).
+    At 100 TB the block key is an LSH bucket of the embedding itself
+    (ann_lsh_near_dups) with the same per-bucket cap discipline."""
+    from pyspark.sql import Window as W
+
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    a = emb.select(
-        F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va")
+    wch = W.partitionBy("label").orderBy("vec_id")
+    chunked = (
+        emb.withColumn("rn", F.row_number().over(wch))
+        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {EMBDUP_CHUNK} AS BIGINT)"))
+        .drop("rn")
+        .persist()
     )
-    b = emb.select(
-        F.col("vec_id").alias("b"), F.col("label"), F.col("embedding").alias("vb")
+    chunked.count()
+    a = chunked.select(
+        F.col("vec_id").alias("a"), "label", "chunk", F.col("embedding").alias("va")
+    )
+    b = chunked.select(
+        F.col("vec_id").alias("b"), "label", "chunk", F.col("embedding").alias("vb")
     )
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "chunk"])
         .filter(F.col("a") < F.col("b"))
         # JVM fold, not the pandas UDF: a pair join ships BOTH vectors per row
         # over Arrow (dominates), while the fold stays in the JVM

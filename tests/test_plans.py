@@ -552,6 +552,29 @@ def test_lift_deciles_rank_is_banded_never_global_sort_window(spark):
     assert "hashpartitioning(band" in plan
     # the fact row_number must be partitioned by band
     assert "row_number" in plan
+    # every fact-side row_number Window must carry the band partition
+    # spec — a global-sort ntile would plan an unpartitioned
+    # row_number/ntile Window instead
+    for line in plan.splitlines():
+        if "row_number()" in line and "Window" in line:
+            assert "band#" in line.split("windowspecdefinition")[1], line
+    # and NO single-partition exchange may move fact-sized input: each
+    # one must sit directly above a HashAggregate (the 10-row decile /
+    # band rollups and global counts) or the allowlisted 1-row-broadcast
+    # cross join over the decile rollup, mirroring test_skyline's
+    # position-based check (r9 ADVICE fix — presence-only assertions
+    # let a reintroduced global ntile slip through; a global sort/ntile
+    # would put a Sort/Project/Scan child here instead)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert (
+                "HashAggregate" in nxt or "BroadcastNestedLoopJoin" in nxt
+            ), (
+                "single-partition exchange over non-aggregated input:\n"
+                + "\n".join(lines[i : i + 2])
+            )
 
 
 def test_attribution_windows_share_one_user_exchange(spark):
@@ -603,3 +626,38 @@ def test_nelson_aalen_fact_folds_before_windows(spark):
     assert "hashpartitioning(l_orderkey" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_pairs_join_on_chunk_key(spark):
+    """ngram_jaccard_near_dups (r9 chunk-cap fix): the pair self-join
+    must include the rank-derived chunk column in its join key — the
+    SemDeDup precedent that bounds pair volume to O(N·CHUNK) — and the
+    default cap must leave the sf0.01 correctness corpus unchunked
+    (bit-identical to the unchunked plan)."""
+    from pedri_analysis_spark.plans.dedup_queries import NGRAM_CHUNK, QUERIES
+    from pedri_analysis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    plan = _plan(QUERIES["ngram_jaccard_near_dups"](spark, SF))
+    assert "chunk" in plan and "hashpartitioning(lang" in plan
+    assert "CartesianProduct" not in plan
+    sizes = (
+        load_table(spark, "documents", SF)
+        .groupBy("lang", F.expr("n_chars div 100").alias("bucket"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) <= NGRAM_CHUNK
+
+
+def test_embedding_near_dups_pairs_join_on_chunk_key(spark):
+    """embedding_near_dups (r9 chunk-cap fix): same pin for the label
+    block — pair join keyed on (label, chunk), sf0.01 unchunked."""
+    from pedri_analysis_spark.plans.similarity_queries import EMBDUP_CHUNK, QUERIES
+    from pedri_analysis_spark.sources.tables import load_table
+
+    plan = _plan(QUERIES["embedding_near_dups"](spark, SF))
+    assert "chunk" in plan and "hashpartitioning(label" in plan
+    assert "CartesianProduct" not in plan
+    sizes = load_table(spark, "embeddings", SF).groupBy("label").count().collect()
+    assert max(r["count"] for r in sizes) <= EMBDUP_CHUNK

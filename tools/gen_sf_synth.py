@@ -25,10 +25,21 @@ dedup/similarity/graph family actually scales on:
   near-dup threshold, same planted-quadratic problem.
 * ``lineitem``: l_orderkey/l_partkey/l_suppkey shifted per replica —
   replica co-purchase graphs are disjoint components.
+* ``orders``/``customer``/``supplier``/``part`` (r9, ADVICE fix): the
+  whole key-joined chain is replicated with MATCHING shifts
+  (o_orderkey↔l_orderkey, o_custkey↔c_custkey, s_suppkey↔l_suppkey,
+  p_partkey↔l_partkey).  Before r9 only lineitem was replicated, so
+  for replicas i>0 the lineitem⋈orders join matched NOTHING —
+  order-joined queries (LPA, BFS, Nelson-Aalen, the TPC-H analogues)
+  measured 10x scan volume but ~1x join/graph output, understating
+  real growth.  Now replica subgraphs exist: every replica lineitem
+  row finds its order, every replica order its customer, and the
+  customer↔supplier trade graph has K disjoint replica components.
 
-Every other table is symlinked unchanged from the source SF, so the
-whole 192-query catalog still RUNS against the synth dir (queries on
-unscaled tables simply measure ~1x).
+``nation``/``region``/``events`` are symlinked unchanged: nation and
+region are fixed-cardinality dims (more customers per nation is
+exactly how a bigger corpus looks), and the events family is
+self-contained.  Queries on unscaled tables simply measure ~1x.
 
 No randomness anywhere; re-running produces byte-identical parquet.
 
@@ -50,11 +61,14 @@ VEC_SHIFT = 10_000_000
 OK_SHIFT = 1_000_000_000
 PK_SHIFT = 10_000_000
 SK_SHIFT = 1_000_000
+CK_SHIFT = 10_000_000
 
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-SYNTH_TABLES = ("documents", "embeddings", "lineitem")
+SYNTH_TABLES = (
+    "documents", "embeddings", "lineitem", "orders", "customer", "supplier", "part"
+)
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -84,6 +98,27 @@ def replica_select(table: str, i: int) -> str:
             f"l_partkey + {i * PK_SHIFT} AS l_partkey, "
             f"l_suppkey + {i * SK_SHIFT} AS l_suppkey, "
             f"* EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM {src}"
+        )
+    if table == "orders":
+        return (
+            f"SELECT o_orderkey + {i * OK_SHIFT} AS o_orderkey, "
+            f"o_custkey + {i * CK_SHIFT} AS o_custkey, "
+            f"* EXCLUDE (o_orderkey, o_custkey) FROM {src}"
+        )
+    if table == "customer":
+        return (
+            f"SELECT c_custkey + {i * CK_SHIFT} AS c_custkey, "
+            f"* EXCLUDE (c_custkey) FROM {src}"
+        )
+    if table == "supplier":
+        return (
+            f"SELECT s_suppkey + {i * SK_SHIFT} AS s_suppkey, "
+            f"* EXCLUDE (s_suppkey) FROM {src}"
+        )
+    if table == "part":
+        return (
+            f"SELECT p_partkey + {i * PK_SHIFT} AS p_partkey, "
+            f"* EXCLUDE (p_partkey) FROM {src}"
         )
     raise ValueError(table)
 

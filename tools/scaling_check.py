@@ -40,27 +40,14 @@ DEFAULT_SF_DIRS = [
 RATIO_MAX = 15.0  # 10x data -> >15x time = super-linear
 NOISE_FLOOR_S = 0.5
 
-# Queries that are EXACT all-pairs verification inside a fixed-cardinality
-# block: their candidate volume is inherently O(block²), the block grows
-# linearly with the corpus, and no lossless candidate scheme exists for
-# their metric (dense-vector cosine has no AllPairs-style prefix filter).
-# They are measured and REPORTED (known_quadratic in SCALING.json, with
-# the observed ratio) but do not fail the gate — each entry names the
-# shipped linear-scale alternative a 100 TB run must use instead.
-KNOWN_QUADRATIC = {
-    "embedding_near_dups": (
-        "exact in-label all-pairs cosine verify; linear paths are "
-        "ann_lsh_near_dups (hyperplane LSH) and semantic_dedup_prune "
-        "(cluster blocking)"
-    ),
-    "ngram_jaccard_near_dups": (
-        "exact in-block char-gram Jaccard verify; a lossless AllPairs "
-        "prefix filter was tried and measured WORSE (template vocab "
-        "saturates the gram space); the linear candidate path is "
-        "minhash_near_dups (capped LSH), which the clustering chain "
-        "composes"
-    ),
-}
+# Queries that are EXACT all-pairs verification inside a block whose
+# membership grows with the corpus — measured and REPORTED
+# (known_quadratic in SCALING.json) but not gate-failing.  EMPTY since
+# r9: the r8 entries (ngram_jaccard_near_dups, embedding_near_dups) were
+# bounded with the SemDeDup rank-chunk precedent (oracle mirrors the
+# chunk key; bit-identical at every real SF), so every registered query
+# must now measure linear-or-better.
+KNOWN_QUADRATIC: dict[str, str] = {}
 
 
 def main() -> int:
