@@ -256,12 +256,13 @@ def q_simhash_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NGRAM_JACCARD_T = 0.7  # clean separation: true near-dups ~0.9+, word-soup noise <=0.5
-# Pair-work cap (r9, the SemDeDup chunk precedent): each (lang, bucket)
-# block is sub-chunked to at most this many members by doc_id rank before
-# the all-pairs compare, so pair volume is O(N·CHUNK) instead of
-# Σ|block|².  512 leaves every real SF bit-identical to the unchunked
-# plan (largest block: 54 at sf0.01, 451 at sf0.1); only the synthetic
-# sf1.0 decade (max block ~4.5k) actually chunks.
+# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form): each
+# (lang, bucket) block is split into ceil(|block|/NGRAM_CHUNK) cells by
+# doc_id modulus before the all-pairs compare, so pair volume is
+# O(N·CHUNK) instead of Σ|block|².  512 leaves every real SF
+# bit-identical to the unchunked plan (largest block: 54 at sf0.01, 451
+# at sf0.1 ⇒ nch=1); only the synthetic sf1.0 decade (max block ~4.5k)
+# actually chunks.
 NGRAM_CHUNK = 512
 
 
@@ -272,11 +273,14 @@ def _ngram_jaccard_oracle() -> str:
       SELECT doc_id, lang, n_chars // 100 AS bucket, {ng} AS ng
       FROM documents
     ),
+    bc AS (
+      SELECT lang, bucket,
+             (count(*) + {NGRAM_CHUNK - 1}) // {NGRAM_CHUNK} AS nch
+      FROM g0 GROUP BY lang, bucket
+    ),
     g AS (
-      SELECT doc_id, lang, bucket, ng,
-             (row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1)
-               // {NGRAM_CHUNK} AS chunk
-      FROM g0
+      SELECT g0.doc_id, g0.lang, g0.bucket, g0.ng, g0.doc_id % bc.nch AS chunk
+      FROM g0 JOIN bc ON g0.lang = bc.lang AND g0.bucket = bc.bucket
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
@@ -300,12 +304,15 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-block self-join's candidate volume grows O(N²) because block
     membership is a constant corpus fraction — the r8 sf0.1→sf1.0
     decade measured 62.9x for 10x data.  r9 applies the SemDeDup
-    chunk-cap precedent (semantic_dedup_prune): each (lang, bucket)
-    block is sub-chunked to NGRAM_CHUNK members by doc_id rank and
-    pairs only form within a (lang, bucket, chunk) cell, so pair
-    volume is O(N·CHUNK) — linear — and the oracle mirrors the same
-    chunk key.  At all real SFs the cap exceeds the largest block, so
-    results are bit-identical to the unchunked plan.  An AllPairs
+    chunk-cap precedent (semantic_dedup_prune) in MOD form: each
+    (lang, bucket) block is split into ceil(|block|/NGRAM_CHUNK)
+    cells by doc_id modulus (counts from a domain-bounded ~30-row
+    rollup that broadcasts at any scale) and pairs only form within a
+    (lang, bucket, chunk) cell, so pair volume is O(N·CHUNK) — linear
+    (measured: 196s→33.6s at sf1.0synth, 10.3x on the 10x step) — and
+    the oracle mirrors the same integer arithmetic bit-for-bit.  At
+    all real SFs the cap exceeds the largest block (nch=1, chunk=0),
+    so results are bit-identical to the unchunked plan.  An AllPairs
     prefix-filter rewrite was tried and REJECTED: this corpus's
     template vocabulary saturates the char-3-gram space, so even
     rarest-first prefix grams carry high document frequency and the
@@ -314,27 +321,40 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator remains the capped MinHash LSH (minhash_near_dups) —
     which dedup_connected_components and the cascade compose — with
     this exact form as the bounded verify stage."""
-    from pyspark.sql import Window as W
-
-    d = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
-        "ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3))
-    ).withColumn("bucket", F.expr("n_chars div 100"))
-    # chunk by rank-within-block; persist the POST-window frame because
-    # both pair sides consume it (the semantic_dedup_prune lesson: a
-    # pre-window persist re-runs the window AND the gram build per side)
-    wch = W.partitionBy("lang", "bucket").orderBy("doc_id")
-    chunked = (
-        d.withColumn("rn", F.row_number().over(wch))
-        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {NGRAM_CHUNK} AS BIGINT)"))
-        .drop("rn")
-        .persist()
+    # MOD-chunking, not rank-chunking: chunk = doc_id % ceil(|block| /
+    # CHUNK), with the per-block chunk counts coming from a DOMAIN-
+    # BOUNDED rollup (|langs| x |len-buckets| rows — ~30 here, bounded
+    # by vocabulary and max doc length, never by corpus size) that
+    # broadcasts at any scale.  Two rejected alternatives, both
+    # measured: (a) rank-window over the gram-bearing frame + persist
+    # for both pair sides — 6x SLOWER at sf0.1 (42s vs 3s profile; the
+    # ~1.5k-string gram arrays paid the window exchange plus columnar
+    # cache encode/decode); (b) a narrow rank window broadcast-joined
+    # back — the chunk map is per-doc, i.e. corpus-sized, and a forced
+    # broadcast of a growing frame is the exact anti-pattern the LPA
+    # fix removed.  Mod cells are balanced because doc_ids are dense
+    # integers; the cap is statistical (cell ~ CHUNK in expectation),
+    # the pair volume O(N·CHUNK), and the oracle mirrors the arithmetic
+    # bit-for-bit (pure integer ops).  The gram expression stays in the
+    # parquet-scan codegen stage exactly like the uncapped r8 plan.
+    base = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "bucket", F.expr("n_chars div 100")
     )
-    chunked.count()
-    a = chunked.select(
+    block_counts = base.groupBy("lang", "bucket").agg(
+        F.expr(
+            f"CAST((count(*) + {NGRAM_CHUNK - 1}) div {NGRAM_CHUNK} AS BIGINT)"
+        ).alias("nch")
+    )
+    d = (
+        base.withColumn("ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3)))
+        .join(F.broadcast(block_counts), ["lang", "bucket"])
+        .withColumn("chunk", F.expr("doc_id % nch"))
+    )
+    a = d.select(
         F.col("doc_id").alias("a"), "lang", "bucket", "chunk",
         F.col("ng").alias("ng_a"),
     )
-    b = chunked.select(
+    b = d.select(
         F.col("doc_id").alias("b"), "lang", "bucket", "chunk",
         F.col("ng").alias("ng_b"),
     )

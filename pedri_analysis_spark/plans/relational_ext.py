@@ -1421,31 +1421,45 @@ def q_resample_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LINKAGE_T = 0.5  # candidate floor; top-1 decides the link
+# Pair-work cap (r9, the SemDeDup chunk precedent, cross-table form):
+# nation blocks are sub-chunked to at most this many members by
+# s_suppkey rank on BOTH registers — the same rank on both sides, since
+# clean and dirty share the key set — so every planted ground-truth
+# pair stays co-chunked and pair volume is O(N·CHUNK), not Σ|nation|².
+# 64 leaves every real SF bit-identical (largest nation block: 52 at
+# sf0.1); the r9 full-chain synth decade (52→520 per nation after
+# supplier replication) measured the unchunked form at 51x.
+LINKAGE_CHUNK = 64
 
 
 def _linkage_oracle() -> str:
     from pedri_analysis_spark.functions import textexpr as tx
 
     cg = lambda col: tx.char_ngrams(tx.DUCK, col, 3)
+    chunk = (
+        f"(row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1)"
+        f" // {LINKAGE_CHUNK}"
+    )
     return f"""
     WITH clean AS (
       SELECT s_suppkey, s_nationkey, lower(s_name) AS nm,
-             {cg('lower(s_name)')} AS cg
+             {cg('lower(s_name)')} AS cg, {chunk} AS chunk
       FROM supplier
     ),
     dirty AS (
       SELECT s_suppkey AS src_key, s_nationkey,
-             lower(replace(s_name, '2', 'Z') || ' ltd') AS nm
+             lower(replace(s_name, '2', 'Z') || ' ltd') AS nm, {chunk} AS chunk
       FROM supplier
     ),
     dg AS (
-      SELECT src_key, s_nationkey, {cg('nm')} AS cg FROM dirty
+      SELECT src_key, s_nationkey, chunk, {cg('nm')} AS cg FROM dirty
     ),
     scored AS (
       SELECT d.src_key, d.s_nationkey, c.s_suppkey AS cand,
              len(list_intersect(d.cg, c.cg))::DOUBLE
                / len(list_distinct(d.cg || c.cg)) AS sim
-      FROM dg d JOIN clean c ON d.s_nationkey = c.s_nationkey
+      FROM dg d JOIN clean c
+        ON d.s_nationkey = c.s_nationkey AND d.chunk = c.chunk
       WHERE len(list_intersect(d.cg, c.cg))::DOUBLE
               / len(list_distinct(d.cg || c.cg)) >= {LINKAGE_T}
     ),
@@ -1474,31 +1488,47 @@ def q_record_linkage_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean table by char-3-gram Jaccard within nation blocks; top-1
     accuracy against the planted ground truth is reported per nation.
 
-    Scale: blocking bounds the candidate join to |block| x |block| (at
-    real scale the block key is an LSH bucket of the name — the same
-    banded topology the dedup family uses); similarity is JVM array
-    math on pre-materialized n-gram sets; the top-1 pick is a per-source
-    window rank. This is the cross-TABLE variant of near-dup detection —
-    the join keeps source and candidate registers distinct."""
+    Scale (r9 chunk-cap fix): blocking bounds the candidate join to the
+    nation block, but nations are a FIXED 25, so block membership grows
+    with the register and the r9 full-chain synth decade measured the
+    unchunked join at 51x for 10x data.  Both registers are therefore
+    sub-chunked to LINKAGE_CHUNK members by s_suppkey rank within
+    nation — the same rank on both sides (shared key set), so every
+    planted ground-truth pair stays co-chunked, pair volume is
+    O(N·CHUNK), and the oracle mirrors the chunk key (bit-identical at
+    every real SF; the cap exceeds the largest real block).  At real
+    scale the chunk key is an LSH bucket of the name — the same banded
+    topology the dedup family uses.  Similarity is JVM array math on
+    pre-materialized n-gram sets; the top-1 pick is a per-source window
+    rank.  This is the cross-TABLE variant of near-dup detection — the
+    join keeps source and candidate registers distinct."""
+    from pyspark.sql import Window as W
+
     from pedri_analysis_spark.functions import textexpr as tx
 
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    wch = W.partitionBy("s_nationkey").orderBy("s_suppkey")
+    sup = sup.withColumn("rn", F.row_number().over(wch)).withColumn(
+        "chunk", F.expr(f"CAST((rn - 1) div {LINKAGE_CHUNK} AS BIGINT)")
+    )
     cg = lambda e: tx.char_ngrams(tx.SPARK, e, 3)
     clean = sup.select(
         F.col("s_suppkey").alias("cand"),
         "s_nationkey",
+        "chunk",
         F.expr(cg("lower(s_name)")).alias("cg_c"),
     )
     dirty = sup.select(
         F.col("s_suppkey").alias("src_key"),
         "s_nationkey",
+        "chunk",
         F.expr(cg("lower(replace(s_name, '2', 'Z') || ' ltd')")).alias("cg_d"),
     )
     sim = F.size(F.array_intersect("cg_d", "cg_c")).cast("double") / F.size(
         F.array_union("cg_d", "cg_c")
     )
     scored = (
-        dirty.join(clean, "s_nationkey")
+        dirty.join(clean, ["s_nationkey", "chunk"])
         .withColumn("sim", sim)
         .filter(F.col("sim") >= LINKAGE_T)
     )

@@ -630,10 +630,11 @@ def test_nelson_aalen_fact_folds_before_windows(spark):
 
 def test_ngram_jaccard_pairs_join_on_chunk_key(spark):
     """ngram_jaccard_near_dups (r9 chunk-cap fix): the pair self-join
-    must include the rank-derived chunk column in its join key — the
-    SemDeDup precedent that bounds pair volume to O(N·CHUNK) — and the
-    default cap must leave the sf0.01 correctness corpus unchunked
-    (bit-identical to the unchunked plan)."""
+    must include the mod-derived chunk column in its join key — the
+    SemDeDup precedent that bounds pair volume to O(N·CHUNK), in MOD
+    form so the broadcast side is the domain-bounded block-count
+    rollup, never a corpus-sized frame — and the default cap must
+    leave the sf0.01 correctness corpus unchunked (bit-identical)."""
     from pedri_analysis_spark.plans.dedup_queries import NGRAM_CHUNK, QUERIES
     from pedri_analysis_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -661,3 +662,19 @@ def test_embedding_near_dups_pairs_join_on_chunk_key(spark):
     assert "CartesianProduct" not in plan
     sizes = load_table(spark, "embeddings", SF).groupBy("label").count().collect()
     assert max(r["count"] for r in sizes) <= EMBDUP_CHUNK
+
+
+def test_record_linkage_pairs_join_on_chunk_key(spark):
+    """record_linkage_suppliers (r9 chunk-cap fix): the cross-register
+    candidate join must include the rank-derived chunk column — nations
+    are a fixed 25, so unchunked in-nation pairs grow O(N²) (51x on the
+    r9 full-chain synth decade) — and the default cap must leave the
+    sf0.01 correctness register unchunked (bit-identical)."""
+    from pedri_analysis_spark.plans.relational_ext import LINKAGE_CHUNK, QUERIES
+    from pedri_analysis_spark.sources.tables import load_table
+
+    plan = _plan(QUERIES["record_linkage_suppliers"](spark, SF))
+    assert "chunk" in plan and "hashpartitioning(s_nationkey" in plan
+    assert "CartesianProduct" not in plan
+    sizes = load_table(spark, "supplier", SF).groupBy("s_nationkey").count().collect()
+    assert max(r["count"] for r in sizes) <= LINKAGE_CHUNK
