@@ -1046,9 +1046,13 @@ def q_table_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_status"
         ),
     )
+    # UNHINTED (r9, the LPA-fix discipline): the docstring's "broadcast
+    # when the dimension fits, shuffle otherwise" is only true if the
+    # planner/AQE chooses from runtime size — a pinned F.broadcast(c)
+    # would OOM on a 100 TB customer dim instead of degrading.
     orphans = (
         o.select("o_custkey")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     checks = m.crossJoin(F.broadcast(orphans)).select(
