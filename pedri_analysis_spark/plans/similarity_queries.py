@@ -115,22 +115,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(assigned, centroids, query, k=TOPK, nprobe=NPROBE)
 
 
-# Pair-work cap (r9, the SemDeDup chunk precedent): label blocks are
-# sub-chunked to at most this many members by vec_id rank before the
-# all-pairs compare — pair volume O(N·CHUNK), not Σ|label|².  256 leaves
-# every real SF bit-identical (largest label block: 59 at sf0.01, 218 at
-# sf0.1); only the synthetic sf1.0 decade (~2.2k per label) chunks.
+# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form): each
+# label block is split into ceil(|label|/EMBDUP_CHUNK) cells by vec_id
+# modulus before the all-pairs compare — pair volume O(N·CHUNK), not
+# Σ|label|².  256 leaves every real SF bit-identical (largest label
+# block: 59 at sf0.01, 218 at sf0.1 ⇒ nch=1); only the synthetic sf1.0
+# decade (~2.2k per label) chunks.
 EMBDUP_CHUNK = 256
 
 
 @_register(
     "embedding_near_dups",
     f"""
-    WITH c AS (
-      SELECT vec_id, label, embedding,
-             (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
-               // {EMBDUP_CHUNK} AS chunk
-      FROM embeddings
+    WITH bc AS (
+      SELECT label, (count(*) + {EMBDUP_CHUNK - 1}) // {EMBDUP_CHUNK} AS nch
+      FROM embeddings GROUP BY label
+    ),
+    c AS (
+      SELECT e.vec_id, e.label, e.embedding, e.vec_id % bc.nch AS chunk
+      FROM embeddings e JOIN bc ON e.label = bc.label
     )
     SELECT a.vec_id AS a, b.vec_id AS b,
            {_dcos('a.embedding', 'b.embedding')} AS sim
@@ -146,23 +149,26 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r8 measured the quadratic, r9 bounded it): label blocks are
     a constant corpus fraction, so the unchunked in-label self-join
     measured 44.3x on the r8 sf0.1→sf1.0 decade.  r9 applies the
-    SemDeDup chunk-cap precedent: each label block is sub-chunked to
-    EMBDUP_CHUNK members by vec_id rank and pairs only form within a
-    (label, chunk) cell — O(N·CHUNK) pair volume, oracle mirrors the
-    chunk key, bit-identical at every real SF (cap > largest block).
-    At 100 TB the block key is an LSH bucket of the embedding itself
-    (ann_lsh_near_dups) with the same per-bucket cap discipline."""
-    from pyspark.sql import Window as W
-
+    SemDeDup chunk-cap precedent in MOD form (the ngram_jaccard
+    rationale: a rank window + persisted frame paid the window
+    exchange plus columnar cache encode/decode and benched 2.8x the r8
+    time; mod cells need only the domain-bounded |labels|-row count
+    rollup, broadcastable at any scale): each label block splits into
+    ceil(|label|/EMBDUP_CHUNK) cells by vec_id modulus and pairs only
+    form within a (label, chunk) cell — O(N·CHUNK) pair volume, oracle
+    mirrors the integer arithmetic bit-for-bit, results bit-identical
+    at every real SF (nch=1 ⇒ chunk=0).  At 100 TB the block key is an
+    LSH bucket of the embedding itself (ann_lsh_near_dups) with the
+    same per-bucket cap discipline."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    wch = W.partitionBy("label").orderBy("vec_id")
-    chunked = (
-        emb.withColumn("rn", F.row_number().over(wch))
-        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {EMBDUP_CHUNK} AS BIGINT)"))
-        .drop("rn")
-        .persist()
+    block_counts = emb.groupBy("label").agg(
+        F.expr(
+            f"CAST((count(*) + {EMBDUP_CHUNK - 1}) div {EMBDUP_CHUNK} AS BIGINT)"
+        ).alias("nch")
     )
-    chunked.count()
+    chunked = emb.join(F.broadcast(block_counts), "label").withColumn(
+        "chunk", F.expr("vec_id % nch")
+    )
     a = chunked.select(
         F.col("vec_id").alias("a"), "label", "chunk", F.col("embedding").alias("va")
     )
@@ -431,21 +437,24 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_K = 8  # cluster count (scale knob: at corpus scale ~N/target_size)
 SEMDEDUP_T = 0.4  # within-cluster cosine prune threshold
-# Pair-work cap: clusters are sub-chunked to at most this many members
-# before the all-pairs compare, so per-chunk work is constant and total
-# pair volume is O(N·CHUNK) — the local stand-in for the paper's k ∝ N
-# (which keeps clusters at target size by construction).  512 leaves the
-# sf0.001/sf0.01 correctness SFs bit-identical (largest cluster < 512).
+# Pair-work cap: clusters are split into ceil(|cluster|/CHUNK) cells by
+# vec_id modulus before the all-pairs compare, so per-cell work is
+# bounded and total pair volume is O(N·CHUNK) — the local stand-in for
+# the paper's k ∝ N (which keeps clusters at target size by
+# construction).  512 leaves the sf0.001/sf0.01 correctness SFs
+# bit-identical (largest cluster < 512 ⇒ nch=1, chunk=0).
 SEMDEDUP_CHUNK = 512
 
 
 def _semantic_dedup_oracle() -> str:
     return f"""{_kmeans_cte_prefix(SEMDEDUP_K)},
+    bc AS (
+      SELECT cluster, (count(*) + {SEMDEDUP_CHUNK - 1}) // {SEMDEDUP_CHUNK} AS nch
+      FROM {KMEANS_FINAL_A} GROUP BY cluster
+    ),
     chunked AS (
-      SELECT vec_id, cluster, embedding,
-             (row_number() OVER (PARTITION BY cluster ORDER BY vec_id) - 1)
-               // {SEMDEDUP_CHUNK} AS chunk
-      FROM {KMEANS_FINAL_A}
+      SELECT v.vec_id, v.cluster, v.embedding, v.vec_id % bc.nch AS chunk
+      FROM {KMEANS_FINAL_A} v JOIN bc ON v.cluster = bc.cluster
     ),
     pairs AS (
       SELECT x.cluster, y.vec_id AS b
@@ -475,9 +484,17 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The deterministic keep-lowest-id rule replaces the paper's
     keep-random so both engines select identical survivors. Scale: the
-    cluster is the blocking key, and every cluster is sub-chunked to
-    SEMDEDUP_CHUNK members (rank-by-id) before the all-pairs compare, so
-    pair volume is O(N·CHUNK) — linear — instead of Σ|cluster|².
+    cluster is the blocking key, and every cluster is split into
+    ceil(|cluster|/SEMDEDUP_CHUNK) cells by vec_id MODULUS before the
+    all-pairs compare, so pair volume is O(N·CHUNK) — linear — instead
+    of Σ|cluster|².  The r8 cut used a rank window partitioned by
+    cluster; with fixed local k=8 that is 8 single-task sorts — a skew
+    bottleneck at any real corpus size — and its persisted frame paid
+    columnar cache encode/decode (the r9 ngram/embedding lesson).  The
+    mod form needs only the k-row per-cluster count rollup (broadcast)
+    and keeps everything map-side; a cluster's vec_id residues are
+    near-uniform (assignment is independent of id arithmetic), so
+    cells stay near the cap — pinned ≤2x in tests/test_clustering.py.
     Chunking is the local stand-in for the paper's k ≈ N /
     target_cluster_size configuration (~50k clusters at LAION scale),
     which bounds cluster size by construction; with fixed local k the r8
@@ -485,25 +502,22 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~linear after chunking.  Assignment is one broadcast-argmin map, so
     the operator is one shuffle (the (cluster, chunk) pair join) after a
     k-row broadcast."""
-    from pyspark.sql import Window as W
-
     from pedri_analysis_spark.operators.clustering import kmeans_fit
 
     emb = spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
     _, assigned = kmeans_fit(emb, k=SEMDEDUP_K, iters=KMEANS_ITERS)
     # the CHUNKED frame feeds three consumers (both pair sides + the
-    # rollup); persist it MATERIALIZED before fan-out (same
-    # cache-fill-race discipline as ann_lsh above) — persisting the
-    # pre-window frame instead re-runs the window per consumer
-    # (measured 8.6s vs 3s at sf0.1).
-    wch = W.partitionBy("cluster").orderBy("vec_id")
-    chunked = (
-        assigned.withColumn("rn", F.row_number().over(wch))
-        .withColumn("chunk", F.expr(f"CAST((rn - 1) div {SEMDEDUP_CHUNK} AS BIGINT)"))
-        .drop("rn")
+    # rollup); with the mod form every consumer re-derives it as a
+    # map-only argmin + broadcast join over the (already materialized)
+    # kmeans assignment — no window, nothing worth caching.
+    block_counts = assigned.groupBy("cluster").agg(
+        F.expr(
+            f"CAST((count(*) + {SEMDEDUP_CHUNK - 1}) div {SEMDEDUP_CHUNK} AS BIGINT)"
+        ).alias("nch")
     )
-    chunked = chunked.persist()
-    chunked.count()
+    chunked = assigned.join(F.broadcast(block_counts), "cluster").withColumn(
+        "chunk", F.expr("vec_id % nch")
+    )
     a = chunked.select(
         "cluster", "chunk", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
     )

@@ -109,13 +109,17 @@ def test_kmeans_empty_cluster_keeps_id_stable(spark):
 
 
 def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
-    """The SemDeDup pair stage must never compare across sub-chunks: with
-    SEMDEDUP_CHUNK forced tiny, per-(cluster, chunk) membership is capped
-    at the chunk size, so pair volume is O(N·CHUNK) — the linear-scale
-    property the r8 sf0.1→sf1.0 decade measured (17x unchunked → 5x
-    chunked).  At the default 512 the sf0.01 corpus has every chunk == 0
-    (clusters smaller than the cap), i.e. results are bit-identical to
-    the unchunked plan at correctness SFs."""
+    """The SemDeDup pair stage must never compare across sub-chunks:
+    clusters split into ceil(|cluster|/SEMDEDUP_CHUNK) cells by vec_id
+    modulus (the r9 MOD form — no per-cluster rank sort, only a k-row
+    count rollup), so pair volume is O(N·CHUNK) — the linear-scale
+    property the r8 sf0.1→sf1.0 decade measured (17x unchunked → ~5x
+    chunked).  At the default 512 the sf0.01 corpus has nch == 1 for
+    every cluster (all smaller than the cap), i.e. chunk == 0
+    everywhere and results are bit-identical to the unchunked plan at
+    correctness SFs.  With the cap forced tiny, mod cells stay within
+    ~2x of the cap (dense vec_ids ⇒ balanced residues) and pairs only
+    form within a cell."""
     from pedri_analysis_spark.operators.clustering import kmeans_fit
     from pedri_analysis_spark.plans import similarity_queries as sq
     from pedri_analysis_spark.sources.tables import load_table
@@ -123,14 +127,23 @@ def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
 
     emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
     _, assigned = kmeans_fit(emb, k=sq.SEMDEDUP_K, iters=2)
-    chunked = assigned.withColumn(
-        "chunk", F.expr(f"CAST((row_number() OVER (PARTITION BY cluster ORDER BY vec_id) - 1) div {sq.SEMDEDUP_CHUNK} AS BIGINT)")
-    )
-    sizes = (
-        chunked.groupBy("cluster", "chunk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    assert all(r.n <= sq.SEMDEDUP_CHUNK for r in sizes)
+
+    def chunk_sizes(cap):
+        bc = assigned.groupBy("cluster").agg(
+            F.expr(f"CAST((count(*) + {cap - 1}) div {cap} AS BIGINT)").alias("nch")
+        )
+        return (
+            assigned.join(F.broadcast(bc), "cluster")
+            .withColumn("chunk", F.expr("vec_id % nch"))
+            .groupBy("cluster", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
     # default cap leaves the sf0.01 correctness corpus unchunked
+    sizes = chunk_sizes(sq.SEMDEDUP_CHUNK)
     assert all(r.chunk == 0 for r in sizes)
+    # a tiny cap actually splits, and mod cells stay near the cap
+    tiny = chunk_sizes(16)
+    assert any(r.chunk > 0 for r in tiny)
+    assert max(r.n for r in tiny) <= 2 * 16
