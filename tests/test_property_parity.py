@@ -85,3 +85,55 @@ def spark_session_holder(spark):
     # the session is module-scoped anyway — this just renames it out of
     # hypothesis' health-check scope
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Mod-chunk arithmetic parity (r9): three registered oracles
+# (ngram_jaccard_near_dups, embedding_near_dups, semantic_dedup_prune)
+# rely on Spark's `id % nch` / `(cnt + C-1) div C` matching DuckDB's
+# `id % nch` / `(cnt + C-1) // C` EXACTLY for nonnegative ids and
+# positive counts — pin it on arbitrary values, not just the fixtures.
+# ---------------------------------------------------------------------------
+
+chunk_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),  # id
+        st.integers(min_value=1, max_value=2**20),  # block count
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=chunk_rows, cap=st.integers(min_value=1, max_value=4096))
+def test_mod_chunk_arithmetic_matches_duckdb(spark, rows, cap):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, id long, cnt long"
+    )
+    got_s = {
+        r.i: (r.nch, r.chunk)
+        for r in df.selectExpr(
+            "i",
+            f"CAST((cnt + {cap - 1}) div {cap} AS BIGINT) AS nch",
+            f"id % (CAST((cnt + {cap - 1}) div {cap} AS BIGINT)) AS chunk",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, id BIGINT, cnt BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+    )
+    got_d = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"""SELECT i, (cnt + {cap - 1}) // {cap} AS nch,
+                   id % ((cnt + {cap - 1}) // {cap}) AS chunk FROM t"""
+        ).fetchall()
+    }
+    assert got_s == got_d
