@@ -1425,14 +1425,17 @@ def q_resample_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LINKAGE_T = 0.5  # candidate floor; top-1 decides the link
-# Pair-work cap (r9, the SemDeDup chunk precedent, cross-table form):
-# nation blocks are sub-chunked to at most this many members by
-# s_suppkey rank on BOTH registers — the same rank on both sides, since
-# clean and dirty share the key set — so every planted ground-truth
-# pair stays co-chunked and pair volume is O(N·CHUNK), not Σ|nation|².
-# 64 leaves every real SF bit-identical (largest nation block: 52 at
-# sf0.1); the r9 full-chain synth decade (52→520 per nation after
-# supplier replication) measured the unchunked form at 51x.
+# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form,
+# cross-table variant): nation blocks split into ceil(|nation|/CHUNK)
+# cells by s_suppkey MODULUS on BOTH registers — the same arithmetic on
+# the same shared key set, so every planted ground-truth pair stays
+# co-chunked and pair volume is O(N·CHUNK), not Σ|nation|².  (Mod, not
+# rank: nations are a FIXED 25, so a rank window is 25 single-task
+# sorts over a growing register — the skew hazard the semdedup
+# conversion removed; mod needs only the 25-row count rollup.)  64
+# leaves every real SF bit-identical (largest nation block: 52 at
+# sf0.1 ⇒ nch=1); the r9 full-chain synth decade (52→520 per nation
+# after supplier replication) measured the unchunked form at 51x.
 LINKAGE_CHUNK = 64
 
 
@@ -1440,20 +1443,21 @@ def _linkage_oracle() -> str:
     from pedri_analysis_spark.functions import textexpr as tx
 
     cg = lambda col: tx.char_ngrams(tx.DUCK, col, 3)
-    chunk = (
-        f"(row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1)"
-        f" // {LINKAGE_CHUNK}"
-    )
     return f"""
-    WITH clean AS (
-      SELECT s_suppkey, s_nationkey, lower(s_name) AS nm,
-             {cg('lower(s_name)')} AS cg, {chunk} AS chunk
-      FROM supplier
+    WITH bc AS (
+      SELECT s_nationkey, (count(*) + {LINKAGE_CHUNK - 1}) // {LINKAGE_CHUNK} AS nch
+      FROM supplier GROUP BY s_nationkey
+    ),
+    clean AS (
+      SELECT s.s_suppkey, s.s_nationkey, lower(s.s_name) AS nm,
+             {cg('lower(s.s_name)')} AS cg, s.s_suppkey % bc.nch AS chunk
+      FROM supplier s JOIN bc ON s.s_nationkey = bc.s_nationkey
     ),
     dirty AS (
-      SELECT s_suppkey AS src_key, s_nationkey,
-             lower(replace(s_name, '2', 'Z') || ' ltd') AS nm, {chunk} AS chunk
-      FROM supplier
+      SELECT s.s_suppkey AS src_key, s.s_nationkey,
+             lower(replace(s.s_name, '2', 'Z') || ' ltd') AS nm,
+             s.s_suppkey % bc.nch AS chunk
+      FROM supplier s JOIN bc ON s.s_nationkey = bc.s_nationkey
     ),
     dg AS (
       SELECT src_key, s_nationkey, chunk, {cg('nm')} AS cg FROM dirty
@@ -1495,25 +1499,31 @@ def q_record_linkage_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r9 chunk-cap fix): blocking bounds the candidate join to the
     nation block, but nations are a FIXED 25, so block membership grows
     with the register and the r9 full-chain synth decade measured the
-    unchunked join at 51x for 10x data.  Both registers are therefore
-    sub-chunked to LINKAGE_CHUNK members by s_suppkey rank within
-    nation — the same rank on both sides (shared key set), so every
-    planted ground-truth pair stays co-chunked, pair volume is
-    O(N·CHUNK), and the oracle mirrors the chunk key (bit-identical at
-    every real SF; the cap exceeds the largest real block).  At real
-    scale the chunk key is an LSH bucket of the name — the same banded
-    topology the dedup family uses.  Similarity is JVM array math on
-    pre-materialized n-gram sets; the top-1 pick is a per-source window
-    rank.  This is the cross-TABLE variant of near-dup detection — the
-    join keeps source and candidate registers distinct."""
-    from pyspark.sql import Window as W
-
+    unchunked join at 51x for 10x data.  Both registers therefore split
+    into ceil(|nation|/LINKAGE_CHUNK) cells by s_suppkey MODULUS — the
+    same arithmetic on the shared key set, so every planted
+    ground-truth pair stays co-chunked, pair volume is O(N·CHUNK), and
+    the oracle mirrors the integer arithmetic bit-for-bit
+    (bit-identical at every real SF; the cap exceeds the largest real
+    block ⇒ nch=1).  Mod, not rank: a rank window over 25 fixed nation
+    partitions is 25 single-task sorts at any register size (the skew
+    hazard the semdedup conversion removed); the mod form needs only
+    the 25-row count rollup, broadcast.  At real scale the chunk key
+    is an LSH bucket of the name — the same banded topology the dedup
+    family uses.  Similarity is JVM array math on pre-materialized
+    n-gram sets; the top-1 pick is a per-source window rank.  This is
+    the cross-TABLE variant of near-dup detection — the join keeps
+    source and candidate registers distinct."""
     from pedri_analysis_spark.functions import textexpr as tx
 
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
-    wch = W.partitionBy("s_nationkey").orderBy("s_suppkey")
-    sup = sup.withColumn("rn", F.row_number().over(wch)).withColumn(
-        "chunk", F.expr(f"CAST((rn - 1) div {LINKAGE_CHUNK} AS BIGINT)")
+    block_counts = sup.groupBy("s_nationkey").agg(
+        F.expr(
+            f"CAST((count(*) + {LINKAGE_CHUNK - 1}) div {LINKAGE_CHUNK} AS BIGINT)"
+        ).alias("nch")
+    )
+    sup = sup.join(F.broadcast(block_counts), "s_nationkey").withColumn(
+        "chunk", F.expr("s_suppkey % nch")
     )
     cg = lambda e: tx.char_ngrams(tx.SPARK, e, 3)
     clean = sup.select(

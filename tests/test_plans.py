@@ -666,7 +666,7 @@ def test_embedding_near_dups_pairs_join_on_chunk_key(spark):
 
 def test_record_linkage_pairs_join_on_chunk_key(spark):
     """record_linkage_suppliers (r9 chunk-cap fix): the cross-register
-    candidate join must include the rank-derived chunk column — nations
+    candidate join must include the mod-derived chunk column — nations
     are a fixed 25, so unchunked in-nation pairs grow O(N²) (51x on the
     r9 full-chain synth decade) — and the default cap must leave the
     sf0.01 correctness register unchunked (bit-identical)."""
