@@ -178,9 +178,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["label", "chunk"])
         .filter(F.col("a") < F.col("b"))
-        # JVM fold, not the pandas UDF: a pair join ships BOTH vectors per row
-        # over Arrow (dominates), while the fold stays in the JVM
-        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        # Arrow kernel, not the Catalyst HOF fold (r9 A/B at sf2.0synth,
+        # 10M pairs: fold 33.6s vs einsum 6.2s, identical output): the
+        # interpreted zip_with/aggregate lambdas allocate 3 transient
+        # arrays + ~192 lambda frames PER PAIR, which is what bent the
+        # 2x-step probe superlinear; round6 collapses the ulp-order
+        # difference exactly as in cosine_topk/ann_lsh (oracle-proven)
+        .withColumn("sim", sim.round6(sim.cosine_fast("va", "vb")))
         .filter(F.col("sim") >= NEARDUP_T)
         .select("a", "b", "sim")
     )
@@ -527,10 +531,11 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         a.join(b, ["cluster", "chunk"])
         .filter(F.col("a") < F.col("b"))
-        # JVM fold (not the Arrow UDF): the pair join already ships both
-        # vectors per row; keeping scoring in the JVM avoids a second
-        # Arrow transfer of every pair (see embedding_near_dups)
-        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        # Arrow kernel, not the Catalyst HOF fold (see embedding_near_dups:
+        # r9 A/B measured 33.6s -> 6.2s on 10M pairs, identical output —
+        # the interpreted fold's per-pair allocations were the 2x-probe
+        # superlinearity, not the pair volume, which is exactly linear)
+        .withColumn("sim", sim.round6(sim.cosine_fast("va", "vb")))
         .filter(F.col("sim") >= SEMDEDUP_T)
         .select("cluster", F.col("b").alias("vec_id"))
         .distinct()

@@ -103,12 +103,20 @@ _PYTHON_ALLOWED = {
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
     "sq_recall_at_k",  # Arrow int8 quantize/dot kernel
     "thumbnail_manifest",  # mapInPandas resize planner
-    # NOTE: kmeans_embeddings / semantic_dedup_prune / embedding_near_dups
-    # also use justified Arrow kernels, but their Python stages execute
-    # during frame construction (centroid fitting collects k rows), so the
-    # returned plan is JVM-only — they are intentionally NOT listed; if a
-    # refactor surfaces a Python node in their final plan, this audit
-    # should force a fresh look.
+    # r9 fresh look (this audit forced it, as intended): the pair-scoring
+    # stage switched from the Catalyst HOF fold to the cosine_fast Arrow
+    # kernel after an A/B on 10M sf2.0synth pairs (fold 33.6s vs einsum
+    # 6.2s, identical output) — the interpreted zip_with/aggregate
+    # lambdas allocate 3 transient arrays + ~192 frames per pair, which
+    # measured superlinear on the 2x-step probe; justifications in the
+    # two query docstrings.
+    "embedding_near_dups",  # cosine_fast Arrow kernel (pair scoring)
+    "semantic_dedup_prune",  # cosine_fast Arrow kernel (pair scoring)
+    # NOTE: kmeans_embeddings also uses a justified Arrow kernel, but its
+    # Python stage executes during frame construction (centroid fitting
+    # collects k rows), so the returned plan is JVM-only — intentionally
+    # NOT listed; if a refactor surfaces a Python node in its final plan,
+    # this audit should force a fresh look.
 }
 
 # Queries whose QueryFn EXECUTES eagerly (driver-side bounded counts /
