@@ -42,6 +42,24 @@ def seeded_hash64(dialect: str, expr: str, seed: int | str = "") -> str:
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
 
 
+def chunk_of(dialect: str, id_expr: str, nch_expr: str, seed: str = "chunk") -> str:
+    """Residue cell of an id under the mod-chunk pair-work cap:
+    ``seeded_hash64(id) % nch`` — identical in both engines (the hash is
+    positive, both engines use truncated modulo, so the residue is
+    always in [0, nch)).
+
+    HASHED, not raw ``id % nch`` (r10, ADVICE fix): the O(N·CHUNK)
+    bound of raw-id chunking is statistical and collapses when block
+    ids share arithmetic structure with nch (e.g. synth replicas shift
+    ids by powers of 10); hashing makes cell balance independent of id
+    layout.  The recall trade is identical either way — once nch > 1 a
+    true pair survives only if both ids land in the same residue cell
+    (probability 1/nch under the hash) — see tools/chunk_recall.py and
+    the APPROX_PAST_CAP annotations in tools/scaling_check.py."""
+    cast = "STRING" if dialect == SPARK else "VARCHAR"
+    return f"({seeded_hash64(dialect, f'CAST({id_expr} AS {cast})', seed)} % {nch_expr})"
+
+
 DAY_US = 86_400_000_000
 
 

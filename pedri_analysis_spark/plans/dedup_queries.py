@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import chunking as chk
 from pedri_analysis_spark.operators import dedup as dd, spread
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
@@ -256,13 +257,17 @@ def q_simhash_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NGRAM_JACCARD_T = 0.7  # clean separation: true near-dups ~0.9+, word-soup noise <=0.5
-# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form): each
-# (lang, bucket) block is split into ceil(|block|/NGRAM_CHUNK) cells by
-# doc_id modulus before the all-pairs compare, so pair volume is
-# O(N·CHUNK) instead of Σ|block|².  512 leaves every real SF
-# bit-identical to the unchunked plan (largest block: 54 at sf0.01, 451
-# at sf0.1 ⇒ nch=1); only the synthetic sf1.0 decade (max block ~4.5k)
-# actually chunks.
+# Pair-work cap in MOD form (r9; r10 switched the cell key to
+# seeded_hash64(doc_id) and made the cap plan-time adaptive — see
+# operators/chunking.py for the shared semantics contract): each
+# (lang, bucket) block splits into ceil(|block|/NGRAM_CHUNK) residue
+# cells, so pair volume is O(N·CHUNK) instead of Σ|block|².  512 leaves
+# every real SF bit-identical to the unchunked plan (largest block: 54
+# at sf0.01, 451 at sf0.1 ⇒ nch=1, and the adaptive helper then builds
+# the literally-unchunked plan); only the synthetic >=sf1.0 decades
+# chunk — and PAST THE CAP THE QUERY IS APPROXIMATE (expected in-block
+# pair recall 1/nch; measured in tools/chunk_recall.py, reported via
+# APPROX_PAST_CAP in SCALING.json).
 NGRAM_CHUNK = 512
 
 
@@ -274,12 +279,12 @@ def _ngram_jaccard_oracle() -> str:
       FROM documents
     ),
     bc AS (
-      SELECT lang, bucket,
-             (count(*) + {NGRAM_CHUNK - 1}) // {NGRAM_CHUNK} AS nch
+      SELECT lang, bucket, {chk.nch_sql(NGRAM_CHUNK)} AS nch
       FROM g0 GROUP BY lang, bucket
     ),
     g AS (
-      SELECT g0.doc_id, g0.lang, g0.bucket, g0.ng, g0.doc_id % bc.nch AS chunk
+      SELECT g0.doc_id, g0.lang, g0.bucket, g0.ng,
+             {tx.chunk_of(tx.DUCK, 'g0.doc_id', 'bc.nch')} AS chunk
       FROM g0 JOIN bc ON g0.lang = bc.lang AND g0.bucket = bc.bucket
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
@@ -300,55 +305,49 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which estimates this same measure probabilistically). The length
     bucket exploits |len(a)-len(b)| being small for near-dups.
 
-    Scale (r8 measured the quadratic, r9 bounded it): the unchunked
-    in-block self-join's candidate volume grows O(N²) because block
-    membership is a constant corpus fraction — the r8 sf0.1→sf1.0
-    decade measured 62.9x for 10x data.  r9 applies the SemDeDup
-    chunk-cap precedent (semantic_dedup_prune) in MOD form: each
-    (lang, bucket) block is split into ceil(|block|/NGRAM_CHUNK)
-    cells by doc_id modulus (counts from a domain-bounded ~30-row
-    rollup that broadcasts at any scale) and pairs only form within a
-    (lang, bucket, chunk) cell, so pair volume is O(N·CHUNK) — linear
-    (measured: 196s→33.6s at sf1.0synth, 10.3x on the 10x step) — and
-    the oracle mirrors the same integer arithmetic bit-for-bit.  At
-    all real SFs the cap exceeds the largest block (nch=1, chunk=0),
-    so results are bit-identical to the unchunked plan.  An AllPairs
+    Scale (r8 measured the quadratic, r9 bounded it, r10 made the
+    bound honest): the unchunked in-block self-join's candidate volume
+    grows O(N²) because block membership is a constant corpus
+    fraction — the r8 sf0.1→sf1.0 decade measured 62.9x for 10x data.
+    The mod-chunk cap (operators/chunking.py) splits each (lang,
+    bucket) block into ceil(|block|/NGRAM_CHUNK) residue cells by
+    seeded_hash64(doc_id) — counts from a domain-bounded ~30-row
+    rollup — and pairs only form within a (lang, bucket, chunk) cell,
+    so pair volume is O(N·CHUNK) — linear (measured: 196s→33.6s at
+    sf1.0synth, 10.3x on the 10x step) — and the oracle mirrors the
+    hash arithmetic bit-for-bit.  At all real SFs the cap exceeds the
+    largest block, so the adaptive helper builds the plan WITHOUT any
+    chunk join and results are bit-identical to the unchunked form.
+    PAST THE CAP (synthetic decades, cluster scale) this query is
+    APPROXIMATE, not exact verification: a true pair survives only if
+    both doc_ids hash into the same cell — expected and measured
+    in-block recall 1/nch (tools/chunk_recall.py; APPROX_PAST_CAP in
+    SCALING.json).  The recall-preserving 100 TB candidate generator
+    is the capped MinHash LSH (minhash_near_dups) — which
+    dedup_connected_components and the cascade compose — with
+    per-candidate verification; this query's chunked regime is the
+    work-bound safety valve on the exact in-block form.  An AllPairs
     prefix-filter rewrite was tried and REJECTED: this corpus's
     template vocabulary saturates the char-3-gram space, so even
     rarest-first prefix grams carry high document frequency and the
     "filtered" candidate set came out LARGER than the block join's
-    (21.8s vs 3.3s at sf0.1, OOM at sf1.0).  The 100 TB candidate
-    generator remains the capped MinHash LSH (minhash_near_dups) —
-    which dedup_connected_components and the cascade compose — with
-    this exact form as the bounded verify stage."""
-    # MOD-chunking, not rank-chunking: chunk = doc_id % ceil(|block| /
-    # CHUNK), with the per-block chunk counts coming from a DOMAIN-
-    # BOUNDED rollup (|langs| x |len-buckets| rows — ~30 here, bounded
-    # by vocabulary and max doc length, never by corpus size) that
-    # broadcasts at any scale.  Two rejected alternatives, both
+    (21.8s vs 3.3s at sf0.1, OOM at sf1.0)."""
+    # MOD-chunking, not rank-chunking — two rejected alternatives, both
     # measured: (a) rank-window over the gram-bearing frame + persist
     # for both pair sides — 6x SLOWER at sf0.1 (42s vs 3s profile; the
     # ~1.5k-string gram arrays paid the window exchange plus columnar
     # cache encode/decode); (b) a narrow rank window broadcast-joined
     # back — the chunk map is per-doc, i.e. corpus-sized, and a forced
     # broadcast of a growing frame is the exact anti-pattern the LPA
-    # fix removed.  Mod cells are balanced because doc_ids are dense
-    # integers; the cap is statistical (cell ~ CHUNK in expectation),
-    # the pair volume O(N·CHUNK), and the oracle mirrors the arithmetic
-    # bit-for-bit (pure integer ops).  The gram expression stays in the
-    # parquet-scan codegen stage exactly like the uncapped r8 plan.
+    # fix removed.  The gram expression stays in the parquet-scan
+    # codegen stage exactly like the uncapped r8 plan; the r10
+    # adaptive helper keeps even the rollup join out of the plan at
+    # real SFs (isolated A/B: the always-on join cost +0.45s at sf0.1).
     base = dd.spread(load_table(spark, "documents", sf_dir)).withColumn(
         "bucket", F.expr("n_chars div 100")
     )
-    block_counts = base.groupBy("lang", "bucket").agg(
-        F.expr(
-            f"CAST((count(*) + {NGRAM_CHUNK - 1}) div {NGRAM_CHUNK} AS BIGINT)"
-        ).alias("nch")
-    )
-    d = (
-        base.withColumn("ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3)))
-        .join(F.broadcast(block_counts), ["lang", "bucket"])
-        .withColumn("chunk", F.expr("doc_id % nch"))
+    d = chk.mod_chunk(base, ["lang", "bucket"], "doc_id", NGRAM_CHUNK).withColumn(
+        "ng", F.expr(tx.char_ngrams(tx.SPARK, "text", 3))
     )
     a = d.select(
         F.col("doc_id").alias("a"), "lang", "bucket", "chunk",
@@ -769,8 +768,14 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized persist each iteration's join re-runs the
     # lineitem x orders pair-build (5x the dominant cost — measured
     # 5.97s -> ~1s at sf0.1).  Same cache-fill-race discipline as the
-    # LSH self-join: materialize BEFORE fan-out.
-    edges = edges.persist()
+    # LSH self-join: materialize BEFORE fan-out.  Pre-partitioned by
+    # src (r10, ADVICE fix): the unionAll destroys the distinct's
+    # (c,s) partitioning, so without this one-time exchange the
+    # shuffle-join fallback (when ranks outgrow AQE's broadcast
+    # threshold) would re-shuffle the full edge list EVERY iteration;
+    # the InMemoryRelation preserves hashpartitioning(src), making
+    # each fallback iteration a one-sided shuffle of the node table.
+    edges = edges.repartition("src").persist()
     edges.count()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
@@ -1285,7 +1290,12 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    edges = edges.persist()
+    # Pre-partitioned by src (r10, ADVICE fix): the docstring's
+    # shuffle-join fallback claim requires it — the unionAll destroys
+    # the distinct's partitioning, so an unpartitioned persist would
+    # re-shuffle the edge list every iteration once labels outgrow the
+    # broadcast threshold.
+    edges = edges.repartition("src").persist()
     edges.count()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -1383,7 +1393,9 @@ def q_bfs_frontier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    edges = edges.persist()
+    # Pre-partitioned by src (r10): makes the documented saturation
+    # fallback one-sided — same rationale as PageRank/LPA above.
+    edges = edges.repartition("src").persist()
     edges.count()
     frontier = edges.agg(F.min("src").alias("node"))
     frontier = frontier.persist()

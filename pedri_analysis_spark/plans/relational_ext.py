@@ -1425,38 +1425,43 @@ def q_resample_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LINKAGE_T = 0.5  # candidate floor; top-1 decides the link
-# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form,
-# cross-table variant): nation blocks split into ceil(|nation|/CHUNK)
-# cells by s_suppkey MODULUS on BOTH registers — the same arithmetic on
-# the same shared key set, so every planted ground-truth pair stays
-# co-chunked and pair volume is O(N·CHUNK), not Σ|nation|².  (Mod, not
-# rank: nations are a FIXED 25, so a rank window is 25 single-task
-# sorts over a growing register — the skew hazard the semdedup
-# conversion removed; mod needs only the 25-row count rollup.)  64
-# leaves every real SF bit-identical (largest nation block: 52 at
-# sf0.1 ⇒ nch=1); the r9 full-chain synth decade (52→520 per nation
-# after supplier replication) measured the unchunked form at 51x.
+# Pair-work cap in MOD form, cross-table variant (r9; r10: hashed cell
+# key + plan-time adaptivity — operators/chunking.py): nation blocks
+# split into ceil(|nation|/CHUNK) cells by seeded_hash64(s_suppkey) on
+# BOTH registers — the same arithmetic on the same SHARED key set, so
+# every planted ground-truth pair stays co-chunked (recall 100% at ANY
+# nch — unlike the self-join dedup queries, this form is NOT
+# approximate past the cap) and pair volume is O(N·CHUNK), not
+# Σ|nation|².  (Mod, not rank: nations are a FIXED 25, so a rank window
+# is 25 single-task sorts over a growing register — the skew hazard the
+# semdedup conversion removed; mod needs only the 25-row count rollup.)
+# 64 leaves every real SF bit-identical (largest nation block: 52 at
+# sf0.1 ⇒ nch=1 ⇒ the adaptive helper builds the unchunked plan); the
+# r9 full-chain synth decade (52→520 per nation after supplier
+# replication) measured the unchunked form at 51x.
 LINKAGE_CHUNK = 64
 
 
 def _linkage_oracle() -> str:
     from pedri_analysis_spark.functions import textexpr as tx
+    from pedri_analysis_spark.operators import chunking as chk
 
     cg = lambda col: tx.char_ngrams(tx.DUCK, col, 3)
+    chunk = tx.chunk_of(tx.DUCK, "s.s_suppkey", "bc.nch")
     return f"""
     WITH bc AS (
-      SELECT s_nationkey, (count(*) + {LINKAGE_CHUNK - 1}) // {LINKAGE_CHUNK} AS nch
+      SELECT s_nationkey, {chk.nch_sql(LINKAGE_CHUNK)} AS nch
       FROM supplier GROUP BY s_nationkey
     ),
     clean AS (
       SELECT s.s_suppkey, s.s_nationkey, lower(s.s_name) AS nm,
-             {cg('lower(s.s_name)')} AS cg, s.s_suppkey % bc.nch AS chunk
+             {cg('lower(s.s_name)')} AS cg, {chunk} AS chunk
       FROM supplier s JOIN bc ON s.s_nationkey = bc.s_nationkey
     ),
     dirty AS (
       SELECT s.s_suppkey AS src_key, s.s_nationkey,
              lower(replace(s.s_name, '2', 'Z') || ' ltd') AS nm,
-             s.s_suppkey % bc.nch AS chunk
+             {chunk} AS chunk
       FROM supplier s JOIN bc ON s.s_nationkey = bc.s_nationkey
     ),
     dg AS (
@@ -1496,35 +1501,32 @@ def q_record_linkage_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean table by char-3-gram Jaccard within nation blocks; top-1
     accuracy against the planted ground truth is reported per nation.
 
-    Scale (r9 chunk-cap fix): blocking bounds the candidate join to the
-    nation block, but nations are a FIXED 25, so block membership grows
-    with the register and the r9 full-chain synth decade measured the
-    unchunked join at 51x for 10x data.  Both registers therefore split
-    into ceil(|nation|/LINKAGE_CHUNK) cells by s_suppkey MODULUS — the
-    same arithmetic on the shared key set, so every planted
-    ground-truth pair stays co-chunked, pair volume is O(N·CHUNK), and
-    the oracle mirrors the integer arithmetic bit-for-bit
-    (bit-identical at every real SF; the cap exceeds the largest real
-    block ⇒ nch=1).  Mod, not rank: a rank window over 25 fixed nation
-    partitions is 25 single-task sorts at any register size (the skew
-    hazard the semdedup conversion removed); the mod form needs only
-    the 25-row count rollup, broadcast.  At real scale the chunk key
+    Scale (r9 chunk-cap fix; r10 hashed + adaptive): blocking bounds
+    the candidate join to the nation block, but nations are a FIXED
+    25, so block membership grows with the register and the r9
+    full-chain synth decade measured the unchunked join at 51x for 10x
+    data.  Both registers therefore split into
+    ceil(|nation|/LINKAGE_CHUNK) cells by seeded_hash64(s_suppkey)
+    (operators/chunking.py) — the same arithmetic on the SHARED key
+    set, so every planted ground-truth pair stays co-chunked at any
+    nch (this cross-register form loses NO recall past the cap, unlike
+    the self-join dedup caps), pair volume is O(N·CHUNK), and the
+    oracle mirrors the hash arithmetic bit-for-bit (bit-identical at
+    every real SF; the cap exceeds the largest real block ⇒ nch=1 ⇒
+    unchunked plan).  Mod, not rank: a rank window over 25 fixed
+    nation partitions is 25 single-task sorts at any register size
+    (the skew hazard the semdedup conversion removed); the mod form
+    needs only the 25-row count rollup.  At real scale the chunk key
     is an LSH bucket of the name — the same banded topology the dedup
     family uses.  Similarity is JVM array math on pre-materialized
     n-gram sets; the top-1 pick is a per-source window rank.  This is
     the cross-TABLE variant of near-dup detection — the join keeps
     source and candidate registers distinct."""
     from pedri_analysis_spark.functions import textexpr as tx
+    from pedri_analysis_spark.operators import chunking as chk
 
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
-    block_counts = sup.groupBy("s_nationkey").agg(
-        F.expr(
-            f"CAST((count(*) + {LINKAGE_CHUNK - 1}) div {LINKAGE_CHUNK} AS BIGINT)"
-        ).alias("nch")
-    )
-    sup = sup.join(F.broadcast(block_counts), "s_nationkey").withColumn(
-        "chunk", F.expr("s_suppkey % nch")
-    )
+    sup = chk.mod_chunk(sup, ["s_nationkey"], "s_suppkey", LINKAGE_CHUNK)
     cg = lambda e: tx.char_ngrams(tx.SPARK, e, 3)
     clean = sup.select(
         F.col("s_suppkey").alias("cand"),

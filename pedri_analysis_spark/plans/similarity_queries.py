@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import chunking as chk
 from pedri_analysis_spark.operators import similarity as sim, spread
 from pedri_analysis_spark.plans.relational import QueryFn
 from pedri_analysis_spark.sources.tables import load_table
@@ -115,24 +117,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(assigned, centroids, query, k=TOPK, nprobe=NPROBE)
 
 
-# Pair-work cap (r9, the SemDeDup chunk precedent in MOD form): each
-# label block is split into ceil(|label|/EMBDUP_CHUNK) cells by vec_id
-# modulus before the all-pairs compare — pair volume O(N·CHUNK), not
-# Σ|label|².  256 leaves every real SF bit-identical (largest label
-# block: 59 at sf0.01, 218 at sf0.1 ⇒ nch=1); only the synthetic sf1.0
-# decade (~2.2k per label) chunks.
+# Pair-work cap in MOD form (r9; r10: hashed cell key + plan-time
+# adaptivity — operators/chunking.py has the shared semantics
+# contract): each label block splits into ceil(|label|/EMBDUP_CHUNK)
+# residue cells — pair volume O(N·CHUNK), not Σ|label|².  256 leaves
+# every real SF bit-identical (largest label block: 59 at sf0.01, 218
+# at sf0.1 ⇒ nch=1 and the adaptive helper builds the unchunked plan);
+# only the synthetic >=sf1.0 decades chunk, and PAST THE CAP the query
+# is APPROXIMATE (expected in-block pair recall 1/nch — measured in
+# tools/chunk_recall.py, reported via APPROX_PAST_CAP in SCALING.json).
 EMBDUP_CHUNK = 256
 
 
-@_register(
-    "embedding_near_dups",
-    f"""
+def _embdup_oracle() -> str:
+    return f"""
     WITH bc AS (
-      SELECT label, (count(*) + {EMBDUP_CHUNK - 1}) // {EMBDUP_CHUNK} AS nch
+      SELECT label, {chk.nch_sql(EMBDUP_CHUNK)} AS nch
       FROM embeddings GROUP BY label
     ),
     c AS (
-      SELECT e.vec_id, e.label, e.embedding, e.vec_id % bc.nch AS chunk
+      SELECT e.vec_id, e.label, e.embedding,
+             {tx.chunk_of(tx.DUCK, 'e.vec_id', 'bc.nch')} AS chunk
       FROM embeddings e JOIN bc ON e.label = bc.label
     )
     SELECT a.vec_id AS a, b.vec_id AS b,
@@ -140,35 +145,32 @@ EMBDUP_CHUNK = 256
     FROM c a
     JOIN c b ON a.label = b.label AND a.chunk = b.chunk AND a.vec_id < b.vec_id
     WHERE {_dcos('a.embedding', 'b.embedding')} >= {NEARDUP_T}
-    """,
-)
+    """
+
+
+@_register("embedding_near_dups", _embdup_oracle())
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (label): the semantic-dedup operator.
 
-    Scale (r8 measured the quadratic, r9 bounded it): label blocks are
-    a constant corpus fraction, so the unchunked in-label self-join
-    measured 44.3x on the r8 sf0.1→sf1.0 decade.  r9 applies the
-    SemDeDup chunk-cap precedent in MOD form (the ngram_jaccard
-    rationale: a rank window + persisted frame paid the window
-    exchange plus columnar cache encode/decode and benched 2.8x the r8
-    time; mod cells need only the domain-bounded |labels|-row count
-    rollup, broadcastable at any scale): each label block splits into
-    ceil(|label|/EMBDUP_CHUNK) cells by vec_id modulus and pairs only
-    form within a (label, chunk) cell — O(N·CHUNK) pair volume, oracle
-    mirrors the integer arithmetic bit-for-bit, results bit-identical
-    at every real SF (nch=1 ⇒ chunk=0).  At 100 TB the block key is an
-    LSH bucket of the embedding itself (ann_lsh_near_dups) with the
-    same per-bucket cap discipline."""
+    Scale (r8 measured the quadratic, r9 bounded it, r10 made the
+    bound honest): label blocks are a constant corpus fraction, so the
+    unchunked in-label self-join measured 44.3x on the r8 sf0.1→sf1.0
+    decade.  The mod-chunk cap (operators/chunking.py; mod, not rank —
+    a rank window + persisted frame paid the window exchange plus
+    columnar cache encode/decode and benched 2.8x the r8 time) splits
+    each label block into ceil(|label|/EMBDUP_CHUNK) residue cells by
+    seeded_hash64(vec_id); pairs only form within a (label, chunk)
+    cell — O(N·CHUNK) pair volume, oracle mirrors the hash arithmetic
+    bit-for-bit, and at every real SF the adaptive helper builds the
+    literally-unchunked plan (bit-identical results, no rollup join).
+    PAST THE CAP this is APPROXIMATE — expected in-block pair recall
+    1/nch, measured in tools/chunk_recall.py — not exact verification;
+    the recall-preserving 100 TB path is LSH-bucket blocking of the
+    embedding itself (ann_lsh_near_dups) with per-candidate scoring,
+    with this chunked regime as the work-bound safety valve."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    block_counts = emb.groupBy("label").agg(
-        F.expr(
-            f"CAST((count(*) + {EMBDUP_CHUNK - 1}) div {EMBDUP_CHUNK} AS BIGINT)"
-        ).alias("nch")
-    )
-    chunked = emb.join(F.broadcast(block_counts), "label").withColumn(
-        "chunk", F.expr("vec_id % nch")
-    )
+    chunked = chk.mod_chunk(emb, ["label"], "vec_id", EMBDUP_CHUNK)
     a = chunked.select(
         F.col("vec_id").alias("a"), "label", "chunk", F.col("embedding").alias("va")
     )
@@ -441,23 +443,28 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_K = 8  # cluster count (scale knob: at corpus scale ~N/target_size)
 SEMDEDUP_T = 0.4  # within-cluster cosine prune threshold
-# Pair-work cap: clusters are split into ceil(|cluster|/CHUNK) cells by
-# vec_id modulus before the all-pairs compare, so per-cell work is
+# Pair-work cap (operators/chunking.py; r10: hashed cell key +
+# plan-time adaptivity): clusters split into ceil(|cluster|/CHUNK)
+# residue cells before the all-pairs compare, so per-cell work is
 # bounded and total pair volume is O(N·CHUNK) — the local stand-in for
 # the paper's k ∝ N (which keeps clusters at target size by
 # construction).  512 leaves the sf0.001/sf0.01 correctness SFs
-# bit-identical (largest cluster < 512 ⇒ nch=1, chunk=0).
+# bit-identical (largest cluster < 512 ⇒ nch=1 ⇒ unchunked plan); past
+# the cap the prune decision is APPROXIMATE (a near-dup in another
+# residue cell is not seen ⇒ retention over-estimates) — measured in
+# tools/chunk_recall.py, reported via APPROX_PAST_CAP.
 SEMDEDUP_CHUNK = 512
 
 
 def _semantic_dedup_oracle() -> str:
     return f"""{_kmeans_cte_prefix(SEMDEDUP_K)},
     bc AS (
-      SELECT cluster, (count(*) + {SEMDEDUP_CHUNK - 1}) // {SEMDEDUP_CHUNK} AS nch
+      SELECT cluster, {chk.nch_sql(SEMDEDUP_CHUNK)} AS nch
       FROM {KMEANS_FINAL_A} GROUP BY cluster
     ),
     chunked AS (
-      SELECT v.vec_id, v.cluster, v.embedding, v.vec_id % bc.nch AS chunk
+      SELECT v.vec_id, v.cluster, v.embedding,
+             {tx.chunk_of(tx.DUCK, 'v.vec_id', 'bc.nch')} AS chunk
       FROM {KMEANS_FINAL_A} v JOIN bc ON v.cluster = bc.cluster
     ),
     pairs AS (
@@ -489,39 +496,39 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic keep-lowest-id rule replaces the paper's
     keep-random so both engines select identical survivors. Scale: the
     cluster is the blocking key, and every cluster is split into
-    ceil(|cluster|/SEMDEDUP_CHUNK) cells by vec_id MODULUS before the
-    all-pairs compare, so pair volume is O(N·CHUNK) — linear — instead
-    of Σ|cluster|².  The r8 cut used a rank window partitioned by
-    cluster; with fixed local k=8 that is 8 single-task sorts — a skew
-    bottleneck at any real corpus size — and its persisted frame paid
-    columnar cache encode/decode (the r9 ngram/embedding lesson).  The
-    mod form needs only the k-row per-cluster count rollup (broadcast)
-    and keeps everything map-side; a cluster's vec_id residues are
-    near-uniform (assignment is independent of id arithmetic), so
-    cells stay near the cap — pinned ≤2x in tests/test_clustering.py.
-    Chunking is the local stand-in for the paper's k ≈ N /
-    target_cluster_size configuration (~50k clusters at LAION scale),
-    which bounds cluster size by construction; with fixed local k the r8
-    sf0.1→sf1.0 decade measured 17x for the unchunked 10x step and
-    ~linear after chunking.  Assignment is one broadcast-argmin map, so
-    the operator is one shuffle (the (cluster, chunk) pair join) after a
-    k-row broadcast."""
+    ceil(|cluster|/SEMDEDUP_CHUNK) residue cells by seeded_hash64(
+    vec_id) (operators/chunking.py) before the all-pairs compare, so
+    pair volume is O(N·CHUNK) — linear — instead of Σ|cluster|².  The
+    r8 cut used a rank window partitioned by cluster; with fixed local
+    k=8 that is 8 single-task sorts — a skew bottleneck at any real
+    corpus size — and its persisted frame paid columnar cache
+    encode/decode (the r9 ngram/embedding lesson).  The mod form needs
+    only the k-row per-cluster count rollup, and the r10 adaptive
+    helper drops even that from the plan at real SFs (nch=1 ⇒
+    unchunked, bit-identical); hashed cells stay near the cap — pinned
+    ≤2x in tests/test_clustering.py.  Chunking is the local stand-in
+    for the paper's k ≈ N / target_cluster_size configuration (~50k
+    clusters at LAION scale), which bounds cluster size by
+    construction; with fixed local k the r8 sf0.1→sf1.0 decade
+    measured 17x for the unchunked 10x step and ~linear after
+    chunking.  PAST THE CAP the prune is APPROXIMATE — a near-dup
+    hashed into a different cell is not seen, so n_dropped
+    under-counts and retention over-estimates (expected pair recall
+    1/nch; measured in tools/chunk_recall.py) — the honest reading is
+    "SemDeDup with per-cell candidate sets", converging to the paper's
+    own behavior as k approaches its N-proportional setting.
+    Assignment is one broadcast-argmin map, so the operator is one
+    shuffle (the (cluster, chunk) pair join) after a k-row broadcast."""
     from pedri_analysis_spark.operators.clustering import kmeans_fit
 
     emb = spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
     _, assigned = kmeans_fit(emb, k=SEMDEDUP_K, iters=KMEANS_ITERS)
     # the CHUNKED frame feeds three consumers (both pair sides + the
-    # rollup); with the mod form every consumer re-derives it as a
-    # map-only argmin + broadcast join over the (already materialized)
-    # kmeans assignment — no window, nothing worth caching.
-    block_counts = assigned.groupBy("cluster").agg(
-        F.expr(
-            f"CAST((count(*) + {SEMDEDUP_CHUNK - 1}) div {SEMDEDUP_CHUNK} AS BIGINT)"
-        ).alias("nch")
-    )
-    chunked = assigned.join(F.broadcast(block_counts), "cluster").withColumn(
-        "chunk", F.expr("vec_id % nch")
-    )
+    # final per-cluster rollup); every consumer re-derives it as a
+    # map-only argmin (+ at synth scale a broadcast join) over the
+    # (already materialized) kmeans assignment — no window, nothing
+    # worth caching.
+    chunked = chk.mod_chunk(assigned, ["cluster"], "vec_id", SEMDEDUP_CHUNK)
     a = chunked.select(
         "cluster", "chunk", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
     )

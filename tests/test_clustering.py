@@ -110,16 +110,18 @@ def test_kmeans_empty_cluster_keeps_id_stable(spark):
 
 def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
     """The SemDeDup pair stage must never compare across sub-chunks:
-    clusters split into ceil(|cluster|/SEMDEDUP_CHUNK) cells by vec_id
-    modulus (the r9 MOD form — no per-cluster rank sort, only a k-row
-    count rollup), so pair volume is O(N·CHUNK) — the linear-scale
+    clusters split into ceil(|cluster|/SEMDEDUP_CHUNK) cells by
+    seeded_hash64(vec_id) (the r10 hashed MOD form — no per-cluster
+    rank sort, only a k-row count rollup, and balance independent of
+    id layout), so pair volume is O(N·CHUNK) — the linear-scale
     property the r8 sf0.1→sf1.0 decade measured (17x unchunked → ~5x
     chunked).  At the default 512 the sf0.01 corpus has nch == 1 for
-    every cluster (all smaller than the cap), i.e. chunk == 0
-    everywhere and results are bit-identical to the unchunked plan at
-    correctness SFs.  With the cap forced tiny, mod cells stay within
-    ~2x of the cap (dense vec_ids ⇒ balanced residues) and pairs only
-    form within a cell."""
+    every cluster (all smaller than the cap), so the adaptive helper
+    emits the unchunked plan (chunk == 0 literal) and results are
+    bit-identical at correctness SFs.  With the cap forced tiny,
+    hashed cells stay within ~2x of the cap and pairs only form within
+    a cell."""
+    from pedri_analysis_spark.operators.chunking import mod_chunk
     from pedri_analysis_spark.operators.clustering import kmeans_fit
     from pedri_analysis_spark.plans import similarity_queries as sq
     from pedri_analysis_spark.sources.tables import load_table
@@ -129,12 +131,8 @@ def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
     _, assigned = kmeans_fit(emb, k=sq.SEMDEDUP_K, iters=2)
 
     def chunk_sizes(cap):
-        bc = assigned.groupBy("cluster").agg(
-            F.expr(f"CAST((count(*) + {cap - 1}) div {cap} AS BIGINT)").alias("nch")
-        )
         return (
-            assigned.join(F.broadcast(bc), "cluster")
-            .withColumn("chunk", F.expr("vec_id % nch"))
+            mod_chunk(assigned, ["cluster"], "vec_id", cap)
             .groupBy("cluster", "chunk")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -143,7 +141,7 @@ def test_semantic_dedup_chunk_cap_bounds_pair_work(spark):
     # default cap leaves the sf0.01 correctness corpus unchunked
     sizes = chunk_sizes(sq.SEMDEDUP_CHUNK)
     assert all(r.chunk == 0 for r in sizes)
-    # a tiny cap actually splits, and mod cells stay near the cap
+    # a tiny cap actually splits, and hashed cells stay near the cap
     tiny = chunk_sizes(16)
     assert any(r.chunk > 0 for r in tiny)
     assert max(r.n for r in tiny) <= 2 * 16

@@ -628,53 +628,70 @@ def test_nelson_aalen_fact_folds_before_windows(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ngram_jaccard_pairs_join_on_chunk_key(spark):
-    """ngram_jaccard_near_dups (r9 chunk-cap fix): the pair self-join
-    must include the mod-derived chunk column in its join key — the
-    SemDeDup precedent that bounds pair volume to O(N·CHUNK), in MOD
-    form so the broadcast side is the domain-bounded block-count
-    rollup, never a corpus-sized frame — and the default cap must
-    leave the sf0.01 correctness corpus unchunked (bit-identical)."""
-    from pedri_analysis_spark.plans.dedup_queries import NGRAM_CHUNK, QUERIES
+def test_ngram_jaccard_adaptive_chunk_plan(spark, monkeypatch):
+    """ngram_jaccard_near_dups (r9 chunk-cap, r10 adaptive + hashed):
+    at the default cap every sf0.01 block fits, so the plan-time peek
+    must emit the literally-UNCHUNKED plan — no chunk column, no
+    rollup join (the isolated A/B measured the always-on chunk join at
+    +0.45 s at sf0.1).  With the cap forced tiny the pair join must
+    key on the hashed chunk cell (the O(N·CHUNK) bound) and the md5
+    residue must appear in the plan."""
+    from pedri_analysis_spark.plans import dedup_queries as dq
     from pedri_analysis_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    plan = _plan(QUERIES["ngram_jaccard_near_dups"](spark, SF))
-    assert "chunk" in plan and "hashpartitioning(lang" in plan
-    assert "CartesianProduct" not in plan
     sizes = (
         load_table(spark, "documents", SF)
         .groupBy("lang", F.expr("n_chars div 100").alias("bucket"))
         .count()
         .collect()
     )
-    assert max(r["count"] for r in sizes) <= NGRAM_CHUNK
+    assert max(r["count"] for r in sizes) <= dq.NGRAM_CHUNK
+    plan = _plan(dq.QUERIES["ngram_jaccard_near_dups"](spark, SF))
+    assert "chunk" not in plan  # unchunked branch: bit-identical to r8
+    assert "CartesianProduct" not in plan
+
+    monkeypatch.setattr(dq, "NGRAM_CHUNK", 8)
+    tiny = _plan(dq.QUERIES["ngram_jaccard_near_dups"](spark, SF))
+    assert "chunk" in tiny and "md5" in tiny and "% nch" in tiny
+    assert "CartesianProduct" not in tiny
 
 
-def test_embedding_near_dups_pairs_join_on_chunk_key(spark):
-    """embedding_near_dups (r9 chunk-cap fix): same pin for the label
-    block — pair join keyed on (label, chunk), sf0.01 unchunked."""
-    from pedri_analysis_spark.plans.similarity_queries import EMBDUP_CHUNK, QUERIES
+def test_embedding_near_dups_adaptive_chunk_plan(spark, monkeypatch):
+    """embedding_near_dups: same adaptive pin for the label block —
+    sf0.01 plan unchunked, tiny cap keys the pair join on the hashed
+    chunk cell."""
+    from pedri_analysis_spark.plans import similarity_queries as sq
     from pedri_analysis_spark.sources.tables import load_table
 
-    plan = _plan(QUERIES["embedding_near_dups"](spark, SF))
-    assert "chunk" in plan and "hashpartitioning(label" in plan
-    assert "CartesianProduct" not in plan
     sizes = load_table(spark, "embeddings", SF).groupBy("label").count().collect()
-    assert max(r["count"] for r in sizes) <= EMBDUP_CHUNK
+    assert max(r["count"] for r in sizes) <= sq.EMBDUP_CHUNK
+    plan = _plan(sq.QUERIES["embedding_near_dups"](spark, SF))
+    assert "chunk" not in plan
+    assert "CartesianProduct" not in plan
+
+    monkeypatch.setattr(sq, "EMBDUP_CHUNK", 8)
+    tiny = _plan(sq.QUERIES["embedding_near_dups"](spark, SF))
+    assert "chunk" in tiny and "md5" in tiny and "% nch" in tiny
+    assert "CartesianProduct" not in tiny
 
 
-def test_record_linkage_pairs_join_on_chunk_key(spark):
-    """record_linkage_suppliers (r9 chunk-cap fix): the cross-register
-    candidate join must include the mod-derived chunk column — nations
-    are a fixed 25, so unchunked in-nation pairs grow O(N²) (51x on the
-    r9 full-chain synth decade) — and the default cap must leave the
-    sf0.01 correctness register unchunked (bit-identical)."""
-    from pedri_analysis_spark.plans.relational_ext import LINKAGE_CHUNK, QUERIES
+def test_record_linkage_adaptive_chunk_plan(spark, monkeypatch):
+    """record_linkage_suppliers: nations are a fixed 25, so unchunked
+    in-nation pairs grow O(N²) (51x on the r9 full-chain synth decade)
+    — the sf0.01 register fits the cap (unchunked plan), and a tiny
+    cap must key the cross-register join on the hashed chunk of the
+    SHARED s_suppkey (co-chunked ground truth ⇒ no recall loss)."""
+    from pedri_analysis_spark.plans import relational_ext as rx
     from pedri_analysis_spark.sources.tables import load_table
 
-    plan = _plan(QUERIES["record_linkage_suppliers"](spark, SF))
-    assert "chunk" in plan and "hashpartitioning(s_nationkey" in plan
-    assert "CartesianProduct" not in plan
     sizes = load_table(spark, "supplier", SF).groupBy("s_nationkey").count().collect()
-    assert max(r["count"] for r in sizes) <= LINKAGE_CHUNK
+    assert max(r["count"] for r in sizes) <= rx.LINKAGE_CHUNK
+    plan = _plan(rx.QUERIES["record_linkage_suppliers"](spark, SF))
+    assert "chunk" not in plan
+    assert "CartesianProduct" not in plan
+
+    monkeypatch.setattr(rx, "LINKAGE_CHUNK", 4)
+    tiny = _plan(rx.QUERIES["record_linkage_suppliers"](spark, SF))
+    assert "chunk" in tiny and "md5" in tiny and "% nch" in tiny
+    assert "CartesianProduct" not in tiny

@@ -88,11 +88,13 @@ def spark_session_holder(spark):
 
 
 # ---------------------------------------------------------------------------
-# Mod-chunk arithmetic parity (r9): three registered oracles
-# (ngram_jaccard_near_dups, embedding_near_dups, semantic_dedup_prune)
-# rely on Spark's `id % nch` / `(cnt + C-1) div C` matching DuckDB's
-# `id % nch` / `(cnt + C-1) // C` EXACTLY for nonnegative ids and
-# positive counts — pin it on arbitrary values, not just the fixtures.
+# Mod-chunk arithmetic parity (r9; r10 switched the cell key to
+# tx.chunk_of = seeded_hash64(id) % nch): four registered oracles
+# (ngram_jaccard_near_dups, embedding_near_dups, semantic_dedup_prune,
+# record_linkage_suppliers) rely on the HASHED residue and the ceil-div
+# `(cnt + C-1) div C` / `// C` matching EXACTLY across engines for
+# nonnegative ids and positive counts — pin it on arbitrary values, not
+# just the fixtures.
 # ---------------------------------------------------------------------------
 
 chunk_rows = st.lists(
@@ -115,12 +117,15 @@ def test_mod_chunk_arithmetic_matches_duckdb(spark, rows, cap):
     df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, id long, cnt long"
     )
+    from pedri_analysis_spark.operators import chunking as chk
+
+    s_nch = f"CAST((cnt + {cap - 1}) div {cap} AS BIGINT)"
     got_s = {
         r.i: (r.nch, r.chunk)
         for r in df.selectExpr(
             "i",
-            f"CAST((cnt + {cap - 1}) div {cap} AS BIGINT) AS nch",
-            f"id % (CAST((cnt + {cap - 1}) div {cap} AS BIGINT)) AS chunk",
+            f"{s_nch} AS nch",
+            f"{tx.chunk_of(tx.SPARK, 'id', s_nch)} AS chunk",
         ).collect()
     }
     con = duckdb.connect()
@@ -129,11 +134,14 @@ def test_mod_chunk_arithmetic_matches_duckdb(spark, rows, cap):
         "INSERT INTO t VALUES (?, ?, ?)",
         [(i, a, b) for i, (a, b) in enumerate(rows)],
     )
+    d_nch = f"((cnt + {cap - 1}) // {cap})"
     got_d = {
         r[0]: (r[1], r[2])
         for r in con.sql(
-            f"""SELECT i, (cnt + {cap - 1}) // {cap} AS nch,
-                   id % ((cnt + {cap - 1}) // {cap}) AS chunk FROM t"""
+            f"""SELECT i, {d_nch} AS nch,
+                   {tx.chunk_of(tx.DUCK, 'id', d_nch)} AS chunk FROM t"""
         ).fetchall()
     }
     assert got_s == got_d
+    # the residue is always a valid cell index
+    assert all(0 <= c < n for n, c in got_s.values())
