@@ -1,0 +1,256 @@
+"""Measure mod-chunk pair RECALL on the synth decade (ADVICE r10).
+
+The mod-chunk cap (operators/chunking.py) bounds in-block all-pairs work
+to O(N·CHUNK); once a block exceeds the cap (nch > 1 — only on the
+synthetic >=sf1.0 decades locally, but the normal state at cluster
+scale) a true pair survives only when both ids hash into the same
+residue cell.  The oracle mirrors the arithmetic, so hash-parity CANNOT
+see this loss — it must be measured against the unchunked ground truth
+and REPORTED (APPROX_PAST_CAP in tools/scaling_check.py / SCALING.json,
+'mod-chunk recall' in SCALE.md).
+
+Method — exact, at sf0.1-sized compute, no quadratic synth run:
+
+1. Ground truth at sf0.1 (every block under the cap) via the unchunked
+   in-block join in DuckDB — the same expressions the oracles use, so
+   this IS the result set both engines produce there.
+2. The synth generator replicates sf0.1 with similarity-preserving,
+   cross-replica-decorrelating transforms (caesar cipher per replica for
+   text — a bijection on char n-grams, so within-replica Jaccard is
+   IDENTICAL; an isometry per replica for embeddings — within-replica
+   cosine identical).  Hence the synth true-pair set is exactly the
+   sf0.1 set replicated with shifted ids: (a + i*SHIFT, b + i*SHIFT).
+   This invariant is not assumed: step 3 re-derives replica 1's pairs
+   from the synth parquet itself and asserts set equality, and
+   tests/test_sf_synth.py pins no-cross-replica collisions.
+3. Validate: run the unchunked join restricted to replica 1's rows of
+   the synth tables; assert it equals the projected sf0.1 set.
+4. Recall: the chunked result is exactly the co-chunked subset of true
+   pairs (chunking only restricts candidates; scoring is unchanged), so
+   recall = fraction of projected true pairs with equal
+   seeded_hash64(id) % nch, with nch from the synth per-block rollup —
+   pure integer arithmetic, evaluated in DuckDB with the very
+   tx.chunk_of expression the oracles embed.
+
+Reported per family: n_true pairs, n_survived, recall, per-block nch,
+and the analytic expectation 1/nch for comparison.  record_linkage is
+exempt by construction (both registers chunk the SHARED s_suppkey —
+ground-truth pairs always co-chunked, recall 1.0 at any nch);
+semantic_dedup_prune's cluster blocks mix replicas (k-means over the
+union), so its recall is reported analytically as 1/nch via the same
+pair-survival law rather than via replica projection.
+
+Usage:
+    python tools/chunk_recall.py [--sf-dir /root/testdata/sf0.1]
+        [--synth-dir .scratch/sf1.0synth] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pedri_analysis_spark.functions import textexpr as tx  # noqa: E402
+from pedri_analysis_spark.operators import chunking as chk  # noqa: E402
+from pedri_analysis_spark.plans.dedup_queries import (  # noqa: E402
+    NGRAM_CHUNK,
+    NGRAM_JACCARD_T,
+)
+from pedri_analysis_spark.plans.similarity_queries import (  # noqa: E402
+    EMBDUP_CHUNK,
+    NEARDUP_T,
+    _dcos,
+)
+
+DOC_SHIFT = 10_000_000  # tools/gen_sf_synth.py constants
+VEC_SHIFT = 10_000_000
+
+
+def _ngram_pairs_sql(doc_rel: str) -> str:
+    """Unchunked in-block ngram-Jaccard pair set over ``doc_rel``."""
+    ng = tx.char_ngrams(tx.DUCK, "text", 3)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {ng} AS ng FROM {doc_rel}
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(a.ng || b.ng))
+          >= {NGRAM_JACCARD_T}
+    """
+
+
+def _emb_pairs_sql(emb_rel: str) -> str:
+    """Unchunked in-label cosine near-dup pair set over ``emb_rel``."""
+    return f"""
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM {emb_rel} a JOIN {emb_rel} b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dcos('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+    """
+
+
+def _family(
+    con,
+    name: str,
+    base_pairs_sql: str,
+    rep1_pairs_sql: str,
+    shift: int,
+    replicas: int,
+    block_rollup_sql: str,
+    true_block_sql: str,
+    cap: int,
+) -> dict:
+    con.execute(f"CREATE OR REPLACE TABLE base_pairs AS {base_pairs_sql}")
+    n_base = con.sql("SELECT count(*) FROM base_pairs").fetchone()[0]
+
+    # --- step 3: validate the replica projection on replica 1 ---------
+    got = {tuple(r) for r in con.sql(rep1_pairs_sql).fetchall()}
+    want = {
+        (a + shift, b + shift)
+        for a, b in con.sql("SELECT a, b FROM base_pairs").fetchall()
+    }
+    assert got == want, (
+        f"{name}: replica-1 pair set diverges from the sf0.1 projection "
+        f"({len(got)} vs {len(want)}) — the generator invariant broke; "
+        f"recall numbers would be meaningless"
+    )
+
+    # --- step 4: co-chunk survival over all replicas -------------------
+    con.execute(f"CREATE OR REPLACE TABLE bc AS {block_rollup_sql}")
+    chunk_a = tx.chunk_of(tx.DUCK, "t.sa", "t.nch")
+    chunk_b = tx.chunk_of(tx.DUCK, "t.sb", "t.nch")
+    survived, n_true = con.sql(
+        f"""
+        WITH r AS (SELECT unnest(range({replicas})) AS i),
+        t AS (
+          SELECT p.a + r.i * {shift} AS sa, p.b + r.i * {shift} AS sb, bc.nch
+          FROM base_pairs p
+          CROSS JOIN r
+          JOIN ({true_block_sql}) tb ON tb.a = p.a
+          JOIN bc ON bc.blk = tb.blk
+        )
+        SELECT sum(CASE WHEN {chunk_a} = {chunk_b} THEN 1 ELSE 0 END)::BIGINT,
+               count(*)::BIGINT
+        FROM t
+        """
+    ).fetchone()
+    nches = sorted(r[0] for r in con.sql("SELECT nch FROM bc").fetchall())
+    # analytic expectation: true pairs live in blocks; weight 1/nch by
+    # the block of each pair (already joined above) — recompute exactly
+    expected = con.sql(
+        f"""
+        WITH r AS (SELECT unnest(range({replicas})) AS i)
+        SELECT avg(1.0 / bc.nch) FROM base_pairs p
+        CROSS JOIN r
+        JOIN ({true_block_sql}) tb ON tb.a = p.a
+        JOIN bc ON bc.blk = tb.blk
+        """
+    ).fetchone()[0]
+    return {
+        "family": name,
+        "cap": cap,
+        "n_true_pairs_synth": int(n_true),
+        "n_survived": int(survived),
+        "recall": round(survived / n_true, 4) if n_true else None,
+        "expected_1_over_nch": round(float(expected), 4),
+        "nch_per_block": nches,
+        "n_true_pairs_sf01": int(n_base),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    p.add_argument(
+        "--synth-dir",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch",
+            "sf1.0synth",
+        ),
+    )
+    p.add_argument("--replicas", type=int, default=10)
+    a = p.parse_args()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{a.sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{a.sf_dir}/embeddings.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW sdocs AS SELECT * FROM "
+        f"read_parquet('{a.synth_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW semb AS SELECT * FROM "
+        f"read_parquet('{a.synth_dir}/embeddings.parquet')"
+    )
+
+    results = []
+
+    # n-gram Jaccard: block key (lang, bucket) — fold into one blk string
+    # so the survival join is single-key
+    results.append(
+        _family(
+            con,
+            "ngram_jaccard_near_dups",
+            _ngram_pairs_sql("documents"),
+            _ngram_pairs_sql(
+                f"(SELECT * FROM sdocs WHERE doc_id >= {DOC_SHIFT} "
+                f"AND doc_id < {2 * DOC_SHIFT})"
+            ),
+            DOC_SHIFT,
+            a.replicas,
+            block_rollup_sql=(
+                f"SELECT lang || '/' || (n_chars // 100) AS blk, "
+                f"{chk.nch_sql(NGRAM_CHUNK)} AS nch FROM sdocs GROUP BY 1"
+            ),
+            true_block_sql=(
+                "SELECT doc_id AS a, lang || '/' || (n_chars // 100) AS blk "
+                "FROM documents"
+            ),
+            cap=NGRAM_CHUNK,
+        )
+    )
+
+    results.append(
+        _family(
+            con,
+            "embedding_near_dups",
+            _emb_pairs_sql("embeddings"),
+            _emb_pairs_sql(
+                f"(SELECT * FROM semb WHERE vec_id >= {VEC_SHIFT} "
+                f"AND vec_id < {2 * VEC_SHIFT})"
+            ),
+            VEC_SHIFT,
+            a.replicas,
+            block_rollup_sql=(
+                f"SELECT label::VARCHAR AS blk, {chk.nch_sql(EMBDUP_CHUNK)} AS nch "
+                f"FROM semb GROUP BY 1"
+            ),
+            true_block_sql=(
+                "SELECT vec_id AS a, label::VARCHAR AS blk FROM embeddings"
+            ),
+            cap=EMBDUP_CHUNK,
+        )
+    )
+
+    for r in results:
+        print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

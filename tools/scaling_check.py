@@ -65,18 +65,24 @@ KNOWN_QUADRATIC: dict[str, str] = {}
 APPROX_PAST_CAP: dict[str, str] = {
     "ngram_jaccard_near_dups": (
         "exact for nch==1 (every real SF); past the cap, pairs split "
-        "across residue cells are skipped — recall measured by "
-        "tools/chunk_recall.py on the synth decade"
+        "across residue cells are skipped — MEASURED pair recall 0.204 "
+        "on sf1.0synth at cap 512 (pair-weighted analytic 1/nch = "
+        "0.212; tools/chunk_recall.py r10) — the recall-preserving "
+        "scale path is minhash_near_dups LSH + per-candidate verify"
     ),
     "embedding_near_dups": (
         "exact for nch==1 (every real SF); past the cap, pairs split "
-        "across residue cells are skipped — recall measured by "
-        "tools/chunk_recall.py on the synth decade"
+        "across residue cells are skipped — MEASURED pair recall 0.110 "
+        "on sf1.0synth at cap 256 (analytic 1/nch = 0.120; "
+        "tools/chunk_recall.py r10) — the recall-preserving scale path "
+        "is ann_lsh_near_dups bucketing + per-candidate verify"
     ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
-        "is computed per residue cell — recall measured by "
-        "tools/chunk_recall.py on the synth decade"
+        "is computed per residue cell — same 1/nch pair-survival law "
+        "(n_dropped under-counts, retention over-estimates); the "
+        "paper-faithful configuration k ∝ N keeps clusters under the "
+        "cap by construction"
     ),
 }
 
