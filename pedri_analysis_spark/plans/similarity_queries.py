@@ -200,10 +200,25 @@ LSH_TABLES = 8
 LSH_BITS = 8
 EMB_DIM = 64
 LSH_SIM_T = 0.4
+# Per-bucket pair-work cap (r10): the table count is FIXED (8 x 256
+# buckets), so bucket occupancy — and with it the candidate join — grows
+# QUADRATICALLY with the corpus: the r10 2x-step probe measured 3.53x
+# wall (raw pair volume 7.53M -> 30.1M, exactly 4.0x, counted in numpy
+# with the same planes).  Buckets over the cap mod-chunk exactly like
+# the blocked dedup family (operators/chunking.py): 64 exceeds every
+# real-SF bucket (max 10 at sf0.01, 34 at sf0.1 ⇒ nch=1 ⇒ the adaptive
+# helper emits the unchunked plan, bit-identical); the synthetic decades
+# chunk (max 261/505) and the query is then APPROXIMATE per the shared
+# cap contract — while minhash_near_dups DROPS over-cap buckets
+# (max_bucket=64), chunking keeps 1/nch of each hot region instead of
+# zeroing it.  The real 100 TB lever is k/L ∝ log(corpus) so occupancy
+# stays near target — the cap is the safety valve, not the design.
+ANN_CHUNK = 64
 
 
 def _ann_lsh_oracle() -> str:
     from pedri_analysis_spark.functions import lshplanes as lp
+    from pedri_analysis_spark.operators import chunking as chk
 
     bucket_selects = "\n      UNION ALL\n".join(
         f"      SELECT vec_id, {t} AS tbl, "
@@ -215,9 +230,18 @@ def _ann_lsh_oracle() -> str:
     WITH buckets AS (
 {bucket_selects}
     ),
+    bc AS (
+      SELECT tbl, bk, {chk.nch_sql(ANN_CHUNK)} AS nch
+      FROM buckets GROUP BY tbl, bk
+    ),
+    chunked AS (
+      SELECT u.vec_id, u.tbl, u.bk,
+             {tx.chunk_of(tx.DUCK, 'u.vec_id', 'bc.nch')} AS chunk
+      FROM buckets u JOIN bc ON u.tbl = bc.tbl AND u.bk = bc.bk
+    ),
     pairs AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM buckets x JOIN buckets y USING (tbl, bk)
+      FROM chunked x JOIN chunked y USING (tbl, bk, chunk)
       WHERE x.vec_id < y.vec_id
     )
     SELECT p.a, p.b, {_dcos('ea.embedding', 'eb.embedding')} AS sim
@@ -272,12 +296,19 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     block): 8 hash tables x 8 sign bits; candidate pairs come only
     from shared buckets, then exact cosine filters at 0.4.
 
-    Scale: bucketing is one Arrow-batched numpy kernel per partition (no
-    shuffle); the pair join shuffles on (table, bucket) — the same
-    bounded topology as MinHash-LSH. Recall tunes with L/k: here
-    ~100% for near-identical vectors, intentionally partial at the 0.4
-    threshold (that's what 'approximate' buys; the oracle mirrors the
-    same algorithm so the check is exact).
+    Scale (r10 probe fix): bucketing is one Arrow-batched numpy kernel
+    per partition (no shuffle); the pair join shuffles on (table,
+    bucket, chunk).  The table/bucket count is FIXED, so occupancy
+    grows with the corpus and the uncapped join measured 3.53x on the
+    r10 2x-step probe (pair volume exactly 4.0x) — over-cap buckets
+    now mod-chunk (ANN_CHUNK=64, operators/chunking.py; bit-identical
+    + unchunked plan at every real SF, APPROXIMATE past the cap per
+    the shared contract — and the scoring pass uses the cosine_fast
+    Arrow kernel, not the interpreted HOF fold the r9 A/B measured at
+    5.4x the kernel).  Recall tunes with L/k: here ~100% for
+    near-identical vectors, intentionally partial at the 0.4 threshold
+    (that's what 'approximate' buys; the oracle mirrors the same
+    algorithm so the check is exact).
 
     Determinism: planes are literal constants generated in Python
     (functions.lshplanes) shared by both engines, and the UDF accumulates
@@ -295,17 +326,27 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(keys("embedding")).alias("tbl", "bk")
     ).persist()
     buckets.count()
-    x = buckets.select(F.col("vec_id").alias("a"), "tbl", "bk")
-    y = buckets.select(F.col("vec_id").alias("b"), "tbl", "bk")
+    # mod-chunk the fixed 8x256 bucket domain (rollup <= 2048 rows, read
+    # from the materialized persist) — at every real SF nch==1 and the
+    # helper returns the unchunked plan
+    chunked = chk.mod_chunk(buckets, ["tbl", "bk"], "vec_id", ANN_CHUNK)
+    x = chunked.select(F.col("vec_id").alias("a"), "tbl", "bk", "chunk")
+    y = chunked.select(F.col("vec_id").alias("b"), "tbl", "bk", "chunk")
     pairs = (
-        x.join(y, ["tbl", "bk"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        x.join(y, ["tbl", "bk", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
-        .withColumn("sim", sim.round6(sim.cosine("va", "vb")))
+        # Arrow kernel, not the Catalyst HOF fold — the r9 A/B (10M
+        # pairs: fold 33.6s vs einsum 6.2s, identical under round6);
+        # at synth scale this query scores millions of candidates
+        .withColumn("sim", sim.round6(sim.cosine_fast("va", "vb")))
         .filter(F.col("sim") >= LSH_SIM_T)
         .select("a", "b", "sim")
     )

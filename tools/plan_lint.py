@@ -93,7 +93,7 @@ _BNLJ_ALLOWED = {
 # Arrow-vectorized Python kernels with written justifications (see the
 # docstrings at each site).  Anything else crossing into Python fails.
 _PYTHON_ALLOWED = {
-    "ann_lsh_near_dups",  # LSH bucket kernel (similarity_queries.py:186)
+    "ann_lsh_near_dups",  # LSH bucket kernel + cosine_fast pair scoring (r10)
     "rrf_fusion_topk",  # reuses cosine_topk's Arrow einsum kernel (50-row side)
     "hard_negative_mining",  # cosine_fast Arrow kernel (probe + candidate scoring)
     "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)

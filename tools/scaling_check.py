@@ -77,6 +77,12 @@ APPROX_PAST_CAP: dict[str, str] = {
         "tools/chunk_recall.py r10) — the recall-preserving scale path "
         "is ann_lsh_near_dups bucketing + per-candidate verify"
     ),
+    "ann_lsh_near_dups": (
+        "exact for nch==1 (every real SF; max real bucket 34 vs cap 64); "
+        "past the cap over-full LSH buckets mod-chunk — the r10 2x-probe "
+        "measured the uncapped bucket join at 4.0x pair volume on a 2x "
+        "step; the design lever at scale is k/L growing with the corpus"
+    ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
         "is computed per residue cell — same 1/nch pair-survival law "
