@@ -63,16 +63,22 @@ def mod_chunk(df: DataFrame, block_cols: list[str], id_col: str, cap: int) -> Da
     ``tx.chunk_of(tx.DUCK, id, nch)`` with ``nch`` from the same
     ceil-div rollup — at ``nch == 1`` the oracle's ``hash % 1`` is 0,
     matching the literal."""
-    counts = (
-        df.groupBy(*block_cols)
-        .agg(F.expr(nch_sql(cap, tx.SPARK)).alias("nch"))
-        .collect()
+    rollup = df.groupBy(*block_cols).agg(
+        F.expr(nch_sql(cap, tx.SPARK)).alias("nch")
     )
+    counts = rollup.collect()
     if max((r["nch"] for r in counts), default=1) <= 1:
         return df.withColumn("chunk", F.lit(0).cast("bigint"))
-    spark = df.sparkSession
-    schema = df.select(*block_cols).schema.add("nch", "long", False)
-    bc = spark.createDataFrame(counts, schema)
-    return df.join(F.broadcast(bc), list(block_cols)).withColumn(
+    # Join the COMPUTED rollup, not a createDataFrame of the collected
+    # rows: a local relation plans as `Scan ExistingRDD`, whose default
+    # size estimate poisons the join-side statistics so the downstream
+    # PAIR join is forced into SortMergeJoin — shuffling and sorting the
+    # payload (gram arrays / embeddings) even at sizes where the planner
+    # would broadcast one side (measured r10: ngram at sf1.0synth 56 s
+    # forced-SMJ vs 36 s with honest stats).  Recomputing the rollup
+    # in-plan costs one extra column-pruned scan+agg per consumer and
+    # keeps the strategy choice with AQE: broadcast at test scale,
+    # shuffle join at corpus scale.
+    return df.join(F.broadcast(rollup), list(block_cols)).withColumn(
         "chunk", F.expr(tx.chunk_of(tx.SPARK, id_col, "nch"))
     )

@@ -83,6 +83,15 @@ APPROX_PAST_CAP: dict[str, str] = {
         "measured the uncapped bucket join at 4.0x pair volume on a 2x "
         "step; the design lever at scale is k/L growing with the corpus"
     ),
+    "minhash_near_dups": (
+        "the LSH drop-cap (max_bucket=64, oracle-mirrored) discards "
+        "over-full band buckets ENTIRELY — a candidate pair survives "
+        "only via a band whose bucket fits, so recall degrades once "
+        "common bands saturate (the r10 2x-probe measured saturation: "
+        "1.02x wall on a 2x step); same contract as the mod-chunk "
+        "family — parity cannot see the loss because both engines "
+        "apply the same cap"
+    ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
         "is computed per residue cell — same 1/nch pair-survival law "
