@@ -94,10 +94,13 @@ APPROX_PAST_CAP: dict[str, str] = {
     ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
-        "is computed per residue cell — same 1/nch pair-survival law "
-        "(n_dropped under-counts, retention over-estimates); the "
-        "paper-faithful configuration k ∝ N keeps clusters under the "
-        "cap by construction"
+        "is computed per residue cell — MEASURED prune-set recall "
+        "0.348 on sf1.0synth at cap 512 (chunked drop-set is a subset "
+        "of the exact one: 4542 of 13057 drops; above the 1/nch~0.2 "
+        "pair law because a vector drops if ANY lower-id near-dup "
+        "co-chunks, 1-(1-1/nch)^d); n_dropped under-counts, retention "
+        "over-estimates; the paper-faithful configuration k ∝ N keeps "
+        "clusters under the cap by construction"
     ),
 }
 
