@@ -35,14 +35,22 @@ Method — exact, at sf0.1-sized compute, no quadratic synth run:
 Reported per family: n_true pairs, n_survived, recall, per-block nch,
 and the analytic expectation 1/nch for comparison.  record_linkage is
 exempt by construction (both registers chunk the SHARED s_suppkey —
-ground-truth pairs always co-chunked, recall 1.0 at any nch);
-semantic_dedup_prune's cluster blocks mix replicas (k-means over the
-union), so its recall is reported analytically as 1/nch via the same
-pair-survival law rather than via replica projection.
+ground-truth pairs always co-chunked, recall 1.0 at any nch).
+
+semantic_dedup_prune cannot use the replica projection (its k-means
+cluster blocks mix replicas), so ``--semdedup`` measures its PRUNE-SET
+recall directly in Spark: run the registered query twice on the synth
+dir — shipped cap vs a cap larger than any cluster (exact) — and ratio
+the drop counts.  The chunked drop-set is provably a subset of the
+exact one (chunking only removes candidate pairs, and a vector is
+dropped iff some lower-id near-dup shares its cell), so the count
+ratio IS set recall.  Measured r10: 0.348 at cap 512 on sf1.0synth —
+above the 1/nch pair law because a vector drops if ANY of its near-dup
+predecessors co-chunks (1-(1-1/nch)^d).
 
 Usage:
     python tools/chunk_recall.py [--sf-dir /root/testdata/sf0.1]
-        [--synth-dir .scratch/sf1.0synth] [--replicas 10]
+        [--synth-dir .scratch/sf1.0synth] [--replicas 10] [--semdedup]
 """
 
 from __future__ import annotations
@@ -166,6 +174,35 @@ def _family(
     }
 
 
+def semdedup_prune_recall(synth_dir: str) -> dict:
+    """Prune-set recall of the chunked SemDeDup vs the exact (uncapped)
+    run on the same synth dir — see module docstring."""
+    from pedri_analysis_spark.plans import similarity_queries as sq
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-recall-semdedup")
+
+    def dropped(cap: int) -> dict:
+        orig = sq.SEMDEDUP_CHUNK
+        sq.SEMDEDUP_CHUNK = cap
+        try:
+            rows = sq.QUERIES["semantic_dedup_prune"](spark, synth_dir).collect()
+        finally:
+            sq.SEMDEDUP_CHUNK = orig
+        return {r["cluster"]: r["n_dropped"] for r in rows}
+
+    shipped = dropped(sq.SEMDEDUP_CHUNK)
+    exact = dropped(1 << 40)
+    nd_c, nd_u = sum(shipped.values()), sum(exact.values())
+    return {
+        "family": "semantic_dedup_prune",
+        "cap": sq.SEMDEDUP_CHUNK,
+        "n_dropped_chunked": int(nd_c),
+        "n_dropped_exact": int(nd_u),
+        "prune_set_recall": round(nd_c / nd_u, 4) if nd_u else None,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -178,6 +215,12 @@ def main() -> int:
         ),
     )
     p.add_argument("--replicas", type=int, default=10)
+    p.add_argument(
+        "--semdedup",
+        action="store_true",
+        help="also measure semantic_dedup_prune's prune-set recall "
+        "(starts a Spark session; ~2 min)",
+    )
     a = p.parse_args()
 
     con = duckdb.connect()
@@ -246,6 +289,9 @@ def main() -> int:
             cap=EMBDUP_CHUNK,
         )
     )
+
+    if a.semdedup:
+        results.append(semdedup_prune_recall(a.synth_dir))
 
     for r in results:
         print(json.dumps(r))
