@@ -452,3 +452,197 @@ def q_theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope_micros").cast("bigint").alias("median_slope_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test on the same monthly points (Theil–Sen companion)
+# ---------------------------------------------------------------------------
+
+# significance via integer arithmetic ONLY: z > 1.96 <=> (|S|-1)^2 * 10000
+# > 38416/10000... kept rational: (|S|-1)^2 * 10^8 > 384_160_000 * var_S
+# (z^2 = 1.96^2 = 3.8416 exactly) — sqrt/float never evaluated, so the
+# verdict is bit-identical across engines.
+_MK_Z2_NUM = 38_416  # 1.96^2 scaled by 10^4
+_MK_Z2_DEN = 10_000
+
+
+def _mk_pts_sql() -> str:
+    return """
+      SELECT c.c_mktsegment AS segment,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT AS mon,
+             (sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                * 10000) // count(*) AS y_micros
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    """
+
+
+@_register(
+    "mann_kendall_trend",
+    f"""
+    WITH pts AS ({_mk_pts_sql()}),
+    s AS (
+      SELECT p1.segment,
+             sum(CASE WHEN p2.y_micros > p1.y_micros THEN 1
+                      WHEN p2.y_micros < p1.y_micros THEN -1
+                      ELSE 0 END)::BIGINT AS s_stat
+      FROM pts p1 JOIN pts p2
+        ON p1.segment = p2.segment AND p1.mon < p2.mon
+      GROUP BY p1.segment
+    ),
+    n AS (SELECT segment, count(*)::BIGINT AS n_points FROM pts GROUP BY segment)
+    SELECT n.segment, n.n_points, s.s_stat,
+           (n.n_points * (n.n_points - 1) * (2 * n.n_points + 5) / 18)::BIGINT
+             AS var_s_x18_div18,
+           CASE WHEN s.s_stat = 0 THEN 'none'
+                WHEN (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * {_MK_Z2_DEN} * 18
+                     > {_MK_Z2_NUM} * (n.n_points * (n.n_points - 1) * (2 * n.n_points + 5))
+                THEN (CASE WHEN s.s_stat > 0 THEN 'increasing' ELSE 'decreasing' END)
+                ELSE 'none' END AS trend
+    FROM n JOIN s ON n.segment = s.segment
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on monthly average order value
+    per market segment — the non-parametric significance companion to
+    theil_sen_monthly_trend (same points, same bounded pair grid): S =
+    Σ sign(y_j - y_i) over month pairs i<j, var(S) = n(n-1)(2n+5)/18
+    (no-ties form; monthly means in micro-dollars make exact ties
+    measure-zero and a tie contributes 0 to S either way), trend called
+    at |z| > 1.96.
+
+    Determinism — the z-test WITHOUT floats: z = (|S|-1)/sqrt(var) >
+    1.96 is evaluated as (|S|-1)^2 * 10^4 * 18 > 38416 * n(n-1)(2n+5),
+    pure integer comparison (1.96^2 = 3.8416 exactly); sqrt is never
+    computed, so both engines render the identical verdict.  The
+    continuity-corrected |S|-1 matches the standard normal
+    approximation.
+
+    Scale: identical topology to theil_sen_monthly_trend — the fact
+    table collapses to |segments| x |months| points first (one shuffle,
+    map-side combine); the sign grid is calendar-domain-bounded.  The
+    var formula stays in BIGINT far past any real calendar span."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)").alias(
+            "mon"
+        ),
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    pts = (
+        o.join(c, "o_custkey")
+        .groupBy("segment", "mon")
+        .agg(F.expr("(sum(cents) * 10000) div count(*)").alias("y_micros"))
+    )
+    p1 = pts.select("segment", F.col("mon").alias("m1"), F.col("y_micros").alias("y1"))
+    p2 = pts.select("segment", F.col("mon").alias("m2"), F.col("y_micros").alias("y2"))
+    s = (
+        p1.join(p2, "segment")
+        .filter(F.col("m1") < F.col("m2"))
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = pts.groupBy("segment").agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    verdict = (
+        f"CASE WHEN s_stat = 0 THEN 'none' "
+        f"WHEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * {_MK_Z2_DEN} * 18 "
+        f"     > {_MK_Z2_NUM} * (n_points * (n_points - 1) * (2 * n_points + 5)) "
+        f"THEN (CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END) "
+        f"ELSE 'none' END"
+    )
+    return (
+        n.join(s, "segment")
+        .withColumn(
+            "var_s_x18_div18",
+            F.expr("CAST(n_points * (n_points - 1) * (2 * n_points + 5) div 18 AS BIGINT)"),
+        )
+        .withColumn("trend", F.expr(verdict))
+        .select("segment", "n_points", "s_stat", "var_s_x18_div18", "trend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index of supplier revenue, per nation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hhi_supplier_concentration",
+    """
+    WITH rev AS (
+      SELECT l.l_suppkey, s.s_nationkey,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, sum(cents) AS tot_cents, count(*)::BIGINT AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    )
+    SELECT t.s_nationkey, t.n_suppliers,
+           sum((r.cents * 10000 // t.tot_cents) * (r.cents * 10000 // t.tot_cents))::BIGINT
+             AS hhi_bp2,
+           (10000 * 10000 // t.n_suppliers)::BIGINT AS hhi_min_bp2
+    FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+    GROUP BY t.s_nationkey, t.n_suppliers
+    """,
+)
+def q_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation: HHI = Σ share², with shares in floor-divided basis points —
+    the market-concentration screen (10000² = monopoly; 10⁸/n = perfect
+    competition floor, reported alongside).
+
+    Determinism: revenue in exact integer cents (the DECIMAL idiom),
+    shares floor-divided to basis points BEFORE squaring — both engines
+    square identical integers; the per-nation floor is pure integer
+    division.
+
+    Scale: one fact-table aggregation (map-side combined) to the
+    supplier grain, one domain-bounded (25-nation) rollup joined back
+    broadcast-style, one final 25-row aggregation — no window, no pair
+    stage, everything BIGINT (cents² at 100 TB revenue grain would
+    overflow, which is exactly why shares quantize to bp first: the
+    squared term is bounded by 10⁸ regardless of revenue scale)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    rev = (
+        li.join(sup, "l_suppkey")
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .withColumn("share_bp", F.expr("(cents * 10000) div tot_cents"))
+        .groupBy("s_nationkey", "n_suppliers")
+        .agg(F.sum(F.expr("share_bp * share_bp")).cast("bigint").alias("hhi_bp2"))
+        .withColumn(
+            "hhi_min_bp2", F.expr("CAST((10000 * 10000) div n_suppliers AS BIGINT)")
+        )
+        .select("s_nationkey", "n_suppliers", "hhi_bp2", "hhi_min_bp2")
+    )
