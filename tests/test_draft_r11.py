@@ -34,6 +34,27 @@ def test_draft_matches_oracle(spark, duck, name, qfn, sql):
     assert_query_matches_oracle(spark, duck, qfn, sql)
 
 
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    """The drafts must already satisfy the catalog plan rules
+    (tools/plan_lint.py) so r11 registration cannot introduce a
+    violation: no CartesianProduct, no Python boundary, and BNLJ only
+    for the two queries whose 1-row-broadcast frames are pre-listed in
+    _BNLJ_ALLOWED."""
+    from tools.plan_lint import _BNLJ_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    assert not facts["python"]
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
 def test_reservoir_prefilter_is_exact(spark, duck, monkeypatch):
     """The hash-threshold pre-filter must be invisible in the result:
     force a tiny margin so under-filled strata actually occur and the
