@@ -57,10 +57,10 @@ def _boot_w(dialect: str) -> str:
     discipline, and a three-point mean-1 weight gives the replicate
     variance a CI needs while staying a pure integer expression both
     engines evaluate identically."""
-    cast = "STRING" if dialect == tx.SPARK else "VARCHAR"
-    key = f"concat(CAST(o_orderkey AS {cast}), ':', CAST(rep AS {cast}))"
     if dialect == tx.DUCK:
-        key = f"(o_orderkey::VARCHAR || ':' || rep::VARCHAR)"
+        key = "(o_orderkey::VARCHAR || ':' || rep::VARCHAR)"
+    else:
+        key = "concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING))"
     return f"({tx.seeded_hash64(dialect, key, 'boot')} % 3)"
 
 
@@ -492,7 +492,7 @@ def _mk_pts_sql() -> str:
     ),
     n AS (SELECT segment, count(*)::BIGINT AS n_points FROM pts GROUP BY segment)
     SELECT n.segment, n.n_points, s.s_stat,
-           (n.n_points * (n.n_points - 1) * (2 * n.n_points + 5) / 18)::BIGINT
+           ((n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)) // 18)::BIGINT
              AS var_s_x18_div18,
            CASE WHEN s.s_stat = 0 THEN 'none'
                 WHEN (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * {_MK_Z2_DEN} * 18

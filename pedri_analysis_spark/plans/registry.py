@@ -19,10 +19,13 @@ round by the repo's own driver-identical oracle suite
 
 from __future__ import annotations
 
+import ast
 import glob
+import hashlib
 import json
 import os
 import re
+import sys
 import warnings
 from collections.abc import Callable
 
@@ -133,6 +136,7 @@ def _modules():
         "streaming_queries",
         "pedri_queries",
         "pedri_profile_queries",
+        "draft_r11",
     ):
         try:
             mods.append(
@@ -152,6 +156,86 @@ def _modules():
 
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# SOURCE_MANIFEST.json maps query name -> sha256 of the query function's
+# source AS LAST PROVEN GREEN by the driver (tools/update_source_manifest.py
+# maintains it: --bootstrap reconstructs from the per-round git trees,
+# --stamp-latest is the round-start protocol).  The ordering below compares
+# it against the CURRENT source so a query rewritten after its green row
+# re-enters the driver window immediately instead of waiting out the
+# least-recently-green rotation (r10 verdict ask #2: the four pair queries
+# rewritten in r9/r10 carried r08 proofs for two extra rounds).
+_MANIFEST_PATH = os.path.join(_REPO_ROOT, "SOURCE_MANIFEST.json")
+
+
+def extract_fn_source(module_text: str, fn_name: str) -> str | None:
+    """Source slice (decorators INCLUDED — the oracle SQL lives in the
+    ``@_register`` argument, so an oracle edit must count as a rewrite)
+    of the unique top-level function ``fn_name``, or None if absent or
+    ambiguous.  Shared with tools/update_source_manifest.py so the
+    bootstrap's git-tree hashes and the runtime hashes are comparable."""
+    try:
+        tree = ast.parse(module_text)
+    except SyntaxError:
+        return None
+    hits = [
+        n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and n.name == fn_name
+    ]
+    if len(hits) != 1:
+        return None
+    node = hits[0]
+    lines = module_text.splitlines()
+    start = min([d.lineno for d in node.decorator_list] + [node.lineno])
+    return "\n".join(lines[start - 1 : node.end_lineno])
+
+
+def fn_source_hash(module_text: str, fn_name: str) -> str | None:
+    src = extract_fn_source(module_text, fn_name)
+    if src is None:
+        return None
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()
+
+
+def _current_hashes(fns: dict[str, object]) -> dict[str, str]:
+    """sha256 of each query function's on-disk source, by query name.
+    Queries whose function can't be located (non-function placeholder in
+    tests, C extension) are simply absent — the ordering treats that as
+    'cannot tell' and trusts the manifest stamp."""
+    texts: dict[str, str] = {}
+    out: dict[str, str] = {}
+    for name, fn in fns.items():
+        mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+        path = getattr(mod, "__file__", None)
+        if not path:
+            continue
+        if path not in texts:
+            try:
+                with open(path, encoding="utf-8") as f:
+                    texts[path] = f.read()
+            except OSError:
+                texts[path] = ""
+        h = fn_source_hash(texts[path], getattr(fn, "__name__", ""))
+        if h is not None:
+            out[name] = h
+    return out
+
+
+def _manifest() -> dict[str, str]:
+    try:
+        with open(_MANIFEST_PATH, encoding="utf-8") as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(raw, dict):
+        return {}
+    return {
+        n: e["hash"]
+        for n, e in raw.items()
+        if isinstance(e, dict) and isinstance(e.get("hash"), str)
+    }
 
 
 def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
@@ -194,20 +278,39 @@ def _ordered(names: dict[str, object]) -> list[str]:
         rest = [n for n in names if n not in set(prio)]
         return prio + rest
     reg = {n: i for i, n in enumerate(names)}
+    manifest = _manifest()
+    current = _current_hashes(names)
+
+    def rewritten(n: str) -> bool:
+        stamped = manifest.get(n)
+        if stamped is None:
+            # green but never stamped: the proof's source is unknowable,
+            # so re-prove (conservative; self-heals once the round-start
+            # --stamp-latest protocol records the proven hash)
+            return True
+        cur = current.get(n)
+        if cur is None:
+            return False  # can't compute current source: trust the stamp
+        return stamped != cur
 
     def key(n: str):
         # tier 0: latest driver check FAILED (error/mismatch after the
         #         last green) — must be re-proven immediately;
-        # tier 1: never driver-checked at all;
-        # tier 2: green — least-recently-verified first, so the window
-        #         sweeps the whole catalog over successive rounds.
+        # tier 1: green, but the query function's source hash differs
+        #         from the hash the green proof was recorded against
+        #         (rewritten-since-green) — re-prove before trusting;
+        # tier 2: never driver-checked at all;
+        # tier 3: green on proven source — least-recently-verified
+        #         first, so the window sweeps the whole catalog.
         green, seen = last_green.get(n, -1), last_seen.get(n, -1)
         if seen > green:
             tier = 0
-        elif seen < 0:
+        elif green >= 0 and rewritten(n):
             tier = 1
-        else:
+        elif seen < 0:
             tier = 2
+        else:
+            tier = 3
         return (tier, green, reg[n])
 
     return sorted(names, key=key)

@@ -31,8 +31,10 @@ def test_query_catalog_is_current(tmp_path):
 def test_registry_rotation_prioritizes_unverified(tmp_path, monkeypatch):
     """The driver checks only the first N registered queries per round, so
     the registry orders by verification debt: latest-check-failed first,
-    then never-checked, then least-recently-green — parsed from the
-    committed CORRECTNESS_r*.json files."""
+    then rewritten-since-green (source hash differs from the stamp the
+    green proof was recorded against — SOURCE_MANIFEST.json), then
+    never-checked, then least-recently-green — parsed from the committed
+    CORRECTNESS_r*.json files."""
     import json
 
     from pedri_analysis_spark.plans import registry
@@ -47,18 +49,69 @@ def test_registry_rotation_prioritizes_unverified(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"b": green, "c": broken})
     )
+    (tmp_path / "SOURCE_MANIFEST.json").write_text(
+        json.dumps({
+            "a": {"hash": "ha", "round": 1},
+            "b": {"hash": "hb-as-proven", "round": 2},
+            "c": {"hash": "hc", "round": 1},
+        })
+    )
     monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.setattr(
+        registry, "_MANIFEST_PATH", str(tmp_path / "SOURCE_MANIFEST.json")
+    )
+    # b's on-disk source no longer matches its proven stamp; a's does;
+    # c and d have no computable current hash (trust the stamp)
+    monkeypatch.setattr(
+        registry,
+        "_current_hashes",
+        lambda fns: {"a": "ha", "b": "hb-rewritten"},
+    )
 
     names = {n: None for n in ("a", "b", "c", "d")}
     # c: failed its LATEST check (r02 error after r01 green) -> tier 0
-    # d: never driver-checked -> tier 1
-    # a: green r01 (stalest) before b: green r02
-    assert registry._ordered(names) == ["c", "d", "a", "b"]
+    # b: green r02 but rewritten since its proof            -> tier 1
+    # d: never driver-checked                               -> tier 2
+    # a: green on proven source                             -> tier 3
+    assert registry._ordered(names) == ["c", "b", "d", "a"]
+
+    # a green query with NO manifest stamp is conservatively re-proven
+    # (tier 1) — forgetting the round-start --stamp-latest self-heals
+    (tmp_path / "SOURCE_MANIFEST.json").write_text(
+        json.dumps({"b": {"hash": "hb-as-proven", "round": 2}})
+    )
+    assert registry._ordered(names) == ["c", "a", "b", "d"]
 
     # no history at all -> falls back to the hand-curated priority order
     monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path / "empty"))
     ordered = registry._ordered(names)
     assert set(ordered) == set(names)
+
+
+def test_source_manifest_covers_every_green_query():
+    """Every query with a driver-green row must carry a SOURCE_MANIFEST
+    stamp (bootstrap/stamp-latest keeps this true); an unstamped green
+    query would silently burn a re-prove window slot every round."""
+    from pedri_analysis_spark.plans import registry
+
+    fns = {}
+    for mod in registry._modules():
+        fns.update(mod.QUERIES)
+    last_green, _ = registry._verification_history()
+    manifest = registry._manifest()
+    missing = sorted(
+        n for n in fns if last_green.get(n, -1) >= 0 and n not in manifest
+    )
+    # allow exactly the window the CURRENT round's driver will stamp next
+    # round-start: queries green in the NEWEST correctness file only
+    newest = max(
+        (r for r in set(last_green.values())), default=-1
+    )
+    missing = [n for n in missing if last_green.get(n) != newest]
+    assert not missing, (
+        f"green queries without a source stamp {missing} — run "
+        "tools/update_source_manifest.py (--stamp-latest at round start)"
+    )
 
 
 def test_bench_diff_flags_regressions_and_failures(tmp_path):

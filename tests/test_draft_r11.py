@@ -1,58 +1,28 @@
-"""The r11-staged draft queries (plans/draft_r11.py) must already pass
-the driver-identical oracle comparison — registration in r11 is then a
-registry toggle, not new risk.  The module is intentionally NOT in
-``registry._modules`` this round (r10 freeze: the driver's correctness
-window is draining the verification-staleness tail; VERDICT r9 #2/#6).
-"""
+"""The r11 draft queries (plans/draft_r11.py) are REGISTERED as of r11
+(the r10 freeze is over: the r04/r05 staleness tail is drained and the
+rewritten semdedup/zorder re-proven, per VERDICT r10).  Their generic
+oracle-parity and plan-invariant coverage now comes from the registry
+sweeps (tests/test_oracle_parity.py, tests/test_plan_audit.py); this
+module keeps only the checks the sweeps cannot express."""
 
 from __future__ import annotations
-
-import pytest
 
 from tests.conftest import assert_query_matches_oracle
 
 
-def _pairs():
-    from pedri_analysis_spark.plans import draft_r11 as d
-
-    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
-
-
-def test_drafts_are_not_registered():
+def test_drafts_are_registered():
     from pedri_analysis_spark.plans import draft_r11 as d
     from pedri_analysis_spark.plans import registry
 
     registered = set(registry.all_queries())
-    assert not (set(d.QUERIES) & registered), (
-        "draft queries leaked into the frozen r10 registry — they must "
-        "not displace the driver's stale-re-proof slots this round"
+    missing = set(d.QUERIES) - registered
+    assert not missing, (
+        f"draft queries absent from the registry: {sorted(missing)} — "
+        "plans/registry.py must list draft_r11 in _modules (r11 registration)"
     )
-
-
-@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
-def test_draft_matches_oracle(spark, duck, name, qfn, sql):
-    assert_query_matches_oracle(spark, duck, qfn, sql)
-
-
-@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
-def test_draft_plan_invariants(spark, name, qfn, sql):
-    """The drafts must already satisfy the catalog plan rules
-    (tools/plan_lint.py) so r11 registration cannot introduce a
-    violation: no CartesianProduct, no Python boundary, and BNLJ only
-    for the two queries whose 1-row-broadcast frames are pre-listed in
-    _BNLJ_ALLOWED."""
-    from tools.plan_lint import _BNLJ_ALLOWED, lint_plan
-
-    facts = lint_plan(
-        qfn(spark, "/root/testdata/sf0.01")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert not facts["cartesian"]
-    assert not facts["python"]
-    if facts["bnlj"]:
-        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+    # every draft is oracle-paired (full hash-match contract, no
+    # rows-only weakening)
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
 
 
 def test_reservoir_prefilter_is_exact(spark, duck, monkeypatch):

@@ -61,7 +61,11 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
-        spark.catalog.clearCache()
+            # between runs, not after the loop: queries that persist
+            # frames (ann_lsh, pagerank, LPA, BFS) would otherwise
+            # plan-cache-match run 1's InMemoryRelation and best-of-N
+            # would measure a warm-cache replay instead of cold-plan cost
+            spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
     print(json.dumps({"loadavg": list(os.getloadavg()), "timings": timings}))

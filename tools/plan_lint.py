@@ -88,8 +88,7 @@ _BNLJ_ALLOWED = {
     "lift_decile_gains",  # 1-row N/total frames (ntile arithmetic + base rate)
     "decision_stump_value_split",  # 1-row class-totals frame (right-side counts)
     "abc_classification_suppliers",  # 1-row grand-total frame (share denominator)
-    # r11 drafts (plans/draft_r11.py — unregistered under the r10 freeze,
-    # facts pinned by tests/test_draft_r11.py so registration is friction-free)
+    # r11 queries (plans/draft_r11.py — registered in r11)
     "bootstrap_ci_avg_order",  # 1-row point/lo/hi CI frames crossed together
     "vocab_coverage_curve",  # 1-row n_vocab/occ_total frames (ntile + ppm share)
 }
