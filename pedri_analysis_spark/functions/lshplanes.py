@@ -79,3 +79,32 @@ def bucket_key(
         d = dot_literal(dialect, vec_expr, plane(table * bits + b, dim))
         terms.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def bucket_key_adaptive(
+    dialect: str,
+    vec_expr: str,
+    table: int,
+    max_bits: int,
+    dim: int,
+    k_expr: str,
+) -> str:
+    """LSH bucket for hash-table ``table`` with a DATA-DEPENDENT bit count:
+    packs sign bits ``b < k_expr`` (an SQL expression, e.g. a params-CTE
+    column) out of a fixed ``max_bits`` plane family — the oracle half of
+    the adaptive-k/L design, where the engine picks k = ceil(log2(n /
+    occupancy-target)) at plan time (plans.similarity_queries.lsh_params)
+    and the oracle derives the SAME k from count(*) in SQL.  Plane
+    indices are ``table * max_bits + b`` so every k selects a PREFIX of
+    one fixed plane family (both engines see identical constants at any
+    k).  The outer CASE guards the dot product itself: bits >= k are
+    never evaluated, matching the engine side which never computes them
+    (DuckDB evaluates CASE branches only on their selection vectors)."""
+    terms = []
+    for b in range(max_bits):
+        d = dot_literal(dialect, vec_expr, plane(table * max_bits + b, dim))
+        terms.append(
+            f"(CASE WHEN {b} < {k_expr} THEN "
+            f"(CASE WHEN ({d}) >= 0 THEN {1 << b} ELSE 0 END) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -196,38 +196,95 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hyperplane-LSH approximate near-dup pairs (the ANN scale path)
 # ---------------------------------------------------------------------------
 
-LSH_TABLES = 8
-LSH_BITS = 8
 EMB_DIM = 64
 LSH_SIM_T = 0.4
-# Per-bucket pair-work cap (r10): the table count is FIXED (8 x 256
-# buckets), so bucket occupancy — and with it the candidate join — grows
-# QUADRATICALLY with the corpus: the r10 2x-step probe measured 3.53x
-# wall (raw pair volume 7.53M -> 30.1M, exactly 4.0x, counted in numpy
-# with the same planes).  Buckets over the cap mod-chunk exactly like
-# the blocked dedup family (operators/chunking.py): 64 exceeds every
-# real-SF bucket (max 10 at sf0.01, 34 at sf0.1 ⇒ nch=1 ⇒ the adaptive
-# helper emits the unchunked plan, bit-identical); the synthetic decades
-# chunk (max 261/505) and the query is then APPROXIMATE per the shared
-# cap contract — while minhash_near_dups DROPS over-cap buckets
-# (max_bucket=64), chunking keeps 1/nch of each hot region instead of
-# zeroing it.  The real 100 TB lever is k/L ∝ log(corpus) so occupancy
-# stays near target — the cap is the safety valve, not the design.
+# Adaptive k/L (r11 — the "named design lever" from the r10 verdict):
+# a FIXED table/bit count makes bucket occupancy, and with it the
+# candidate join, quadratic in the corpus (the r10 2x-step probe
+# measured 3.53x wall on the fixed 8x256 domain; raw pair volume
+# exactly 4.0x).  k and L therefore now grow with log2(corpus), picked
+# at plan time from one count and re-derived IDENTICALLY by the oracle
+# from count(*) in SQL (lsh_params below mirrors the params CTE):
+#   k = min{{kk : n <= OCC_TARGET << kk}}   (expected occupancy n/2^k
+#       stays in (OCC_TARGET/2, OCC_TARGET] — pair volume per table is
+#       ~n * occupancy, i.e. LINEAR in n instead of quadratic)
+#   L = L_BASE + (k - K_BASE), clamped      (more tables compensate the
+#       per-table recall p^k lost to the extra bits; at n <= 2048 this
+#       reproduces r10's 8x8 exactly)
+# Planes are indexed table * K_MAX + bit, so every k selects a PREFIX
+# of one fixed literal plane family — both engines see byte-identical
+# constants at any k.  K_MAX=16 bounds the LOCAL plane table (occupancy
+# target holds to 8 << 16 = 512k vectors); on a cluster the same rule
+# keeps scaling by raising K_MAX/L_MAX — the constants, not the shape.
+LSH_K_MIN, LSH_K_MAX = 4, 16
+LSH_L_MIN, LSH_L_MAX = 4, 16
+LSH_K_BASE, LSH_L_BASE = 8, 8
+LSH_OCC_TARGET = 8  # expected (mean) bucket occupancy ceiling
+# Per-bucket pair-work cap: with adaptive k the MEAN occupancy is
+# bounded by OCC_TARGET, but hot buckets are cluster-sized (a label
+# cluster of near-identical vectors shares its bucket in most tables),
+# so the mod-chunk safety valve stays (operators/chunking.py).  64
+# exceeds every real-SF bucket (max 34 at sf0.1 under k=8 — nch=1, the
+# adaptive helper emits the literally-unchunked plan); on the synth
+# decades cluster-replicas chunk and the query is APPROXIMATE past the
+# cap per the shared contract (measured: tools/chunk_recall.py
+# --annlsh, APPROX_PAST_CAP).
 ANN_CHUNK = 64
+
+
+def lsh_params(n: int) -> tuple[int, int]:
+    """(k bits, L tables) for a corpus of ``n`` vectors — the Python
+    mirror of the oracle's params CTE (same pure-integer arithmetic, so
+    both engines pick identical k/L from identical counts)."""
+    k = next(
+        (
+            kk
+            for kk in range(LSH_K_MIN, LSH_K_MAX + 1)
+            if n <= (LSH_OCC_TARGET << kk)
+        ),
+        LSH_K_MAX,
+    )
+    tables = min(LSH_L_MAX, max(LSH_L_MIN, LSH_L_BASE + (k - LSH_K_BASE)))
+    return k, tables
+
+
+def _lsh_params_cte() -> str:
+    """The oracle's ``params`` CTE body (expects a CTE ``n(n)`` in scope):
+    pure-integer derivation of (k, l) — MUST stay arithmetic-identical to
+    ``lsh_params``; tests/test_property_parity.py pins the equivalence
+    over the full count range."""
+    return f"""
+      SELECT kk.k,
+             least({LSH_L_MAX}, greatest({LSH_L_MIN},
+                   {LSH_L_BASE} + (kk.k - {LSH_K_BASE}))) AS l
+      FROM (
+        SELECT coalesce(min(s.kk), {LSH_K_MAX})::BIGINT AS k
+        FROM (SELECT unnest(range({LSH_K_MIN}, {LSH_K_MAX + 1})) AS kk) s
+        CROSS JOIN n
+        WHERE n.n <= ({LSH_OCC_TARGET}::BIGINT << s.kk)
+      ) kk
+    """
 
 
 def _ann_lsh_oracle() -> str:
     from pedri_analysis_spark.functions import lshplanes as lp
     from pedri_analysis_spark.operators import chunking as chk
 
+    # one branch per POSSIBLE table; branch t yields zero rows (and never
+    # evaluates its dot products) unless t < L, and bits >= k are guarded
+    # inside bucket_key_adaptive — the oracle computes exactly the L*k
+    # sign bits the engine computes
     bucket_selects = "\n      UNION ALL\n".join(
-        f"      SELECT vec_id, {t} AS tbl, "
-        f"{lp.bucket_key(lp.DUCK, 'embedding', t, LSH_BITS, EMB_DIM)} AS bk "
-        f"FROM embeddings"
-        for t in range(LSH_TABLES)
+        f"      SELECT e.vec_id, {t} AS tbl, "
+        f"{lp.bucket_key_adaptive(lp.DUCK, 'e.embedding', t, LSH_K_MAX, EMB_DIM, 'p.k')}"
+        f" AS bk "
+        f"FROM embeddings e CROSS JOIN params p WHERE {t} < p.l"
+        for t in range(LSH_L_MAX)
     )
     return f"""
-    WITH buckets AS (
+    WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+    params AS ({_lsh_params_cte()}),
+    buckets AS (
 {bucket_selects}
     ),
     bc AS (
@@ -252,9 +309,13 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-def _bucket_keys_udf():
+def _bucket_keys_udf(k_bits: int, n_tables: int):
     """Arrow-vectorized LSH bucket assignment: one pandas UDF emits all
-    {L} bucket keys per row (array position = hash-table index).
+    ``n_tables`` bucket keys per row (array position = hash-table index),
+    each packing ``k_bits`` sign bits.  The plane for (table t, bit b)
+    is global index t * LSH_K_MAX + b — the same prefix-of-a-fixed-family
+    indexing the adaptive oracle uses, so any (k, L) the plan-time peek
+    picks sees byte-identical constants in both engines.
 
     Why a UDF when the planes are plain arithmetic: the per-plane dot is a
     64-term fold, and Spark HOF lambdas are interpreted per element while
@@ -271,7 +332,14 @@ def _bucket_keys_udf():
 
     from pedri_analysis_spark.functions import lshplanes as lp
 
-    planes = lp.planes_matrix(LSH_TABLES, LSH_BITS, EMB_DIM)  # (L*k, dim)
+    planes = np.array(
+        [
+            lp.plane(t * LSH_K_MAX + b, EMB_DIM)
+            for t in range(n_tables)
+            for b in range(k_bits)
+        ],
+        dtype=np.float64,
+    )  # (L*k, dim) — only the planes this (k, L) actually uses
 
     @pandas_udf("array<bigint>")
     def bucket_keys(emb: pd.Series) -> pd.Series:
@@ -280,10 +348,10 @@ def _bucket_keys_udf():
         for d in range(planes.shape[1]):  # sequential in d == fold order
             acc += mat[:, d : d + 1] * planes[None, :, d]
         bits = acc >= 0.0
-        keys = np.zeros((mat.shape[0], LSH_TABLES), dtype=np.int64)
-        for t in range(LSH_TABLES):
-            for b in range(LSH_BITS):
-                keys[:, t] += bits[:, t * LSH_BITS + b].astype(np.int64) << b
+        keys = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for b in range(k_bits):
+                keys[:, t] += bits[:, t * k_bits + b].astype(np.int64) << b
         return pd.Series(list(keys))
 
     return bucket_keys
@@ -293,35 +361,42 @@ def _bucket_keys_udf():
 def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup candidates + exact cosine verify —
     the blocking-free ANN topology (vs. embedding_near_dups' label
-    block): 8 hash tables x 8 sign bits; candidate pairs come only
-    from shared buckets, then exact cosine filters at 0.4.
+    block): L hash tables x k sign bits, BOTH adaptive in log2(corpus)
+    (lsh_params — k holds expected occupancy at OCC_TARGET, L grows one
+    table per extra bit; 8x8 at the bench SFs, r10-identical there);
+    candidate pairs come only from shared buckets, then exact cosine
+    filters at 0.4.
 
-    Scale (r10 probe fix): bucketing is one Arrow-batched numpy kernel
-    per partition (no shuffle); the pair join shuffles on (table,
-    bucket, chunk).  The table/bucket count is FIXED, so occupancy
-    grows with the corpus and the uncapped join measured 3.53x on the
-    r10 2x-step probe (pair volume exactly 4.0x) — over-cap buckets
-    now mod-chunk (ANN_CHUNK=64, operators/chunking.py; bit-identical
-    + unchunked plan at every real SF, APPROXIMATE past the cap per
-    the shared contract — and the scoring pass uses the cosine_fast
-    Arrow kernel, not the interpreted HOF fold the r9 A/B measured at
-    5.4x the kernel).  Recall tunes with L/k: here ~100% for
-    near-identical vectors, intentionally partial at the 0.4 threshold
-    (that's what 'approximate' buys; the oracle mirrors the same
-    algorithm so the check is exact).
+    Scale (r11 — the r10 verdict's named lever): with FIXED k/L the r10
+    2x-step probe measured 3.53x wall (pair volume exactly 4.0x);
+    adaptive k keeps per-table pair volume ~n * OCC_TARGET, LINEAR in
+    the corpus, so the probe bound no longer leans on the cap.  The
+    plan-time peek is the corpus count (one column-pruned scan that
+    also materializes the persist below); the oracle re-derives the
+    identical k/L from count(*) in pure-integer SQL.  Hot buckets
+    (cluster-sized, skew — not mean occupancy) keep the mod-chunk
+    safety valve (ANN_CHUNK=64: nch=1 at every real SF, APPROXIMATE
+    past the cap with recall measured by tools/chunk_recall.py
+    --annlsh).  The scoring pass uses the cosine_fast Arrow kernel,
+    not the interpreted HOF fold (r9 A/B: 5.4x).  Recall tunes with
+    L/k: ~100% for near-identical vectors, intentionally partial at
+    the 0.4 threshold (that's what 'approximate' buys; the oracle
+    mirrors the same algorithm so the check is exact).
 
     Determinism: planes are literal constants generated in Python
-    (functions.lshplanes) shared by both engines, and the UDF accumulates
-    dimensions in the oracle fold's exact order — bit-identical bucket
-    assignment in both engines."""
+    (functions.lshplanes, table * LSH_K_MAX + bit indexing shared with
+    the oracle's prefix guard) and the UDF accumulates dimensions in
+    the oracle fold's exact order — bit-identical bucket assignment in
+    both engines at every adaptive (k, L)."""
     # persist both reused frames: emb feeds the bucket kernel AND both
     # verify sides; buckets feeds both sides of the pair self-join —
     # without persist the Arrow bucket kernel runs twice in one plan.
     # The persist is MATERIALIZED (count) before the self-join: two scans
     # of a lazily-persisted frame inside one job race the cache fill and
-    # both recompute the kernel.
+    # both recompute the kernel.  The count doubles as the k/L peek.
     emb = spread(load_table(spark, "embeddings", sf_dir)).persist()
-    keys = _bucket_keys_udf()
+    k_bits, n_tables = lsh_params(emb.count())
+    keys = _bucket_keys_udf(k_bits, n_tables)
     buckets = emb.select(
         "vec_id", F.posexplode(keys("embedding")).alias("tbl", "bk")
     ).persist()

@@ -97,11 +97,10 @@ def test_semantic_dedup_chunked_branch_matches_oracle(spark, duck, monkeypatch):
 
 
 def test_ann_lsh_chunked_branch_matches_oracle(spark, duck, monkeypatch):
-    """r10 probe fix: the fixed 8x256 LSH bucket domain makes bucket
-    occupancy — hence the candidate join — quadratic in the corpus
-    (measured 4.0x pair volume on a 2x step); over-cap buckets
-    mod-chunk.  Force the cap tiny so sf0.01 buckets (max 10) actually
-    chunk and prove the chunked branch cross-engine."""
+    """Adaptive k/L (r11) keeps MEAN occupancy at OCC_TARGET but hot
+    cluster-sized buckets still mod-chunk past ANN_CHUNK.  Force the
+    cap tiny so sf0.01 buckets actually chunk and prove the chunked
+    branch cross-engine — through the adaptive params CTE too."""
     from pedri_analysis_spark.plans import similarity_queries as sq
 
     monkeypatch.setattr(sq, "ANN_CHUNK", 4)

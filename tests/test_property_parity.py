@@ -145,3 +145,21 @@ def test_mod_chunk_arithmetic_matches_duckdb(spark, rows, cap):
     assert got_s == got_d
     # the residue is always a valid cell index
     assert all(0 <= c < n for n, c in got_s.values())
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(min_value=0, max_value=2**40))
+def test_lsh_params_python_matches_oracle_cte(n):
+    """The adaptive-LSH (k, L) must be derived identically by the engine
+    (plans.similarity_queries.lsh_params, plan-time Python) and the
+    oracle (the params CTE, SQL over count(*)) for ANY corpus size —
+    a drift here silently desynchronizes bucket assignment between the
+    two engines at exactly one count threshold."""
+    from pedri_analysis_spark.plans import similarity_queries as sq
+
+    k, tables = sq.lsh_params(n)
+    got = duckdb.sql(
+        f"WITH n AS (SELECT {n}::BIGINT AS n), params AS ({sq._lsh_params_cte()}) "
+        "SELECT k, l FROM params"
+    ).fetchone()
+    assert (k, tables) == (got[0], got[1])

@@ -174,6 +174,45 @@ def _family(
     }
 
 
+def annlsh_pair_recall(synth_dir: str, forced_cap: int = 16) -> dict:
+    """Pair recall of the capped ann_lsh_near_dups vs the uncapped run on
+    the same synth dir.  Under the r11 adaptive k/L the SHIPPED cap never
+    engages at any measured scale (max bucket occupancy 40 at sf1.0synth
+    / 54 at sf2.0synth vs ANN_CHUNK=64 — occupancy is pinned near
+    OCC_TARGET by construction), so the shipped-cap run equals the exact
+    run; this measures the cap's recall behaviour by FORCING it small
+    enough to engage (the regime a pathological >cap hot cluster would
+    hit at cluster scale).  The capped candidate set is a subset of the
+    uncapped one (chunking only removes candidates and scoring is
+    unchanged), so recall = the count ratio."""
+    from pedri_analysis_spark.plans import similarity_queries as sq
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-recall-annlsh")
+
+    def n_pairs(cap: int) -> int:
+        orig = sq.ANN_CHUNK
+        sq.ANN_CHUNK = cap
+        try:
+            return sq.QUERIES["ann_lsh_near_dups"](spark, synth_dir).count()
+        finally:
+            sq.ANN_CHUNK = orig
+
+    exact = n_pairs(1 << 40)
+    shipped = n_pairs(sq.ANN_CHUNK)
+    forced = n_pairs(forced_cap)
+    return {
+        "family": "ann_lsh_near_dups",
+        "cap": sq.ANN_CHUNK,
+        "n_pairs_exact": int(exact),
+        "n_pairs_shipped_cap": int(shipped),
+        "shipped_cap_engages": shipped != exact,
+        "forced_cap": forced_cap,
+        "n_pairs_forced_cap": int(forced),
+        "forced_cap_recall": round(forced / exact, 4) if exact else None,
+    }
+
+
 def semdedup_prune_recall(synth_dir: str) -> dict:
     """Prune-set recall of the chunked SemDeDup vs the exact (uncapped)
     run on the same synth dir — see module docstring."""
@@ -220,6 +259,12 @@ def main() -> int:
         action="store_true",
         help="also measure semantic_dedup_prune's prune-set recall "
         "(starts a Spark session; ~2 min)",
+    )
+    p.add_argument(
+        "--annlsh",
+        action="store_true",
+        help="also measure ann_lsh_near_dups' capped-vs-exact pair "
+        "recall (starts a Spark session)",
     )
     a = p.parse_args()
 
@@ -292,6 +337,8 @@ def main() -> int:
 
     if a.semdedup:
         results.append(semdedup_prune_recall(a.synth_dir))
+    if a.annlsh:
+        results.append(annlsh_pair_recall(a.synth_dir))
 
     for r in results:
         print(json.dumps(r))

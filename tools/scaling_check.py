@@ -78,10 +78,16 @@ APPROX_PAST_CAP: dict[str, str] = {
         "is ann_lsh_near_dups bucketing + per-candidate verify"
     ),
     "ann_lsh_near_dups": (
-        "exact for nch==1 (every real SF; max real bucket 34 vs cap 64); "
-        "past the cap over-full LSH buckets mod-chunk — the r10 2x-probe "
-        "measured the uncapped bucket join at 4.0x pair volume on a 2x "
-        "step; the design lever at scale is k/L growing with the corpus"
+        "exact for nch==1 — which r11's adaptive k/L makes EVERY measured "
+        "scale, synth decades included (k=ceil(log2(n/8)) pins mean "
+        "occupancy ~5; max bucket 34 at sf0.1, 40 at sf1.0synth, 54 at "
+        "sf2.0synth vs cap 64; 2x-probe 1.11x without the cap, vs 3.53x "
+        "when k/L was fixed in r10); the cap remains the safety valve "
+        "for a pathological >64-vector near-identical cluster, whose "
+        "recall behaviour is MEASURED by forcing the cap to engage: "
+        "0.9098 at forced cap 16 on sf1.0synth (tools/chunk_recall.py "
+        "--annlsh; high because a pair chunked out of one table's "
+        "bucket usually survives via another of the L tables)"
     ),
     "minhash_near_dups": (
         "the LSH drop-cap (max_bucket=64, oracle-mirrored) discards "
