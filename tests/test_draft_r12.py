@@ -1,0 +1,106 @@
+"""The r12-staged draft queries (plans/draft_r12.py) must already pass
+the driver-identical oracle comparison — registration in r12 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules`` this round (the r11 verification window is spent
+on the 10 rewritten-since-green re-proofs + 6 r11-draft first contacts
++ the r06/r07 stale drain)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r12 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered), (
+        "r12 draft queries leaked into the r11 registry — they must not "
+        "displace the rewritten-re-proof / stale-drain window slots"
+    )
+    # every draft is oracle-paired (full hash-match contract)
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    """The drafts must already satisfy the catalog plan rules
+    (tools/plan_lint.py): no CartesianProduct, no Python boundary, and
+    BNLJ only for the pre-allowlisted 1-row-count report frame
+    (kcore_decomposition)."""
+    from tools.plan_lint import _BNLJ_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    assert not facts["python"]
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
+def test_fellegi_sunter_chunked_branch_matches_oracle(spark, duck, monkeypatch):
+    """The (type, noun) blocks are corpus-fraction, so the pair stage
+    carries the shared mod-chunk cap; every real SF is unchunked
+    (nch == 1), so force the cap tiny to cross-engine-prove the chunked
+    branch — the branch that actually runs past the cap."""
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    monkeypatch.setattr(d, "FS_CHUNK", 4)
+    assert_query_matches_oracle(
+        spark, duck, d.QUERIES["fellegi_sunter_parts"], d._fs_oracle()
+    )
+
+
+def test_kcore_rounds_monotone(spark):
+    """Peeling is monotone: survivor node/edge counts never grow, and a
+    converged round (0 removals) stays converged — the structural
+    property the fixed-prefix contract leans on."""
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    rows = sorted(
+        d.QUERIES["kcore_decomposition"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [r["iter"] for r in rows] == list(range(1, d.KCORE_ITERS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+        if prev["n_removed"] == 0:
+            assert cur["n_removed"] == 0
+    for r in rows:
+        assert r["n_removed"] >= 0
+
+
+def test_kcenter_rounds_cover_radius_monotone(spark):
+    """Farthest-point traversal's coverage radius is non-increasing in
+    the selection round (Gonzalez 1985's key invariant) and the
+    selected ids are distinct."""
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    rows = sorted(
+        d.QUERIES["kcenter_coreset"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [r["sel_round"] for r in rows] == list(range(d.KCENTER_K))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r["min_d2_r6"] for r in rows[1:]]  # round 0 is the seed (0.0)
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

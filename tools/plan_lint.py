@@ -91,6 +91,9 @@ _BNLJ_ALLOWED = {
     # r11 queries (plans/draft_r11.py — registered in r11)
     "bootstrap_ci_avg_order",  # 1-row point/lo/hi CI frames crossed together
     "vocab_coverage_curve",  # 1-row n_vocab/occ_total frames (ntile + ppm share)
+    # r12 drafts (plans/draft_r12.py — unregistered in r11, facts pinned
+    # by tests/test_draft_r12.py so registration is friction-free)
+    "kcore_decomposition",  # per-round report crosses three 1-row counts
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
