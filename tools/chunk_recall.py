@@ -213,6 +213,44 @@ def annlsh_pair_recall(synth_dir: str, forced_cap: int = 16) -> dict:
     }
 
 
+def fellegi_sunter_recall(synth_dir: str) -> dict:
+    """Pair and match-class recall of the capped fellegi_sunter_parts
+    (draft_r12) vs the uncapped run on the same synth dir.  The (type,
+    noun) blocks are corpus-fraction, so unlike ann_lsh the FS_CHUNK cap
+    DOES engage at the synth decade (blocks ~330 at sf1.0synth vs cap
+    64) — the capped candidate set is a subset (chunking only removes
+    pairs; scoring unchanged), so the count ratios are set recalls."""
+    from pedri_analysis_spark.plans import draft_r12 as d12
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-recall-fs")
+
+    def totals(cap: int) -> tuple[int, int]:
+        orig = d12.FS_CHUNK
+        d12.FS_CHUNK = cap
+        try:
+            rows = d12.QUERIES["fellegi_sunter_parts"](spark, synth_dir).collect()
+        finally:
+            d12.FS_CHUNK = orig
+        return (
+            sum(r["n_pairs"] for r in rows),
+            sum(r["n_match"] for r in rows),
+        )
+
+    pairs_c, match_c = totals(d12.FS_CHUNK)
+    pairs_u, match_u = totals(1 << 40)
+    return {
+        "family": "fellegi_sunter_parts",
+        "cap": d12.FS_CHUNK,
+        "n_pairs_capped": int(pairs_c),
+        "n_pairs_exact": int(pairs_u),
+        "pair_recall": round(pairs_c / pairs_u, 4) if pairs_u else None,
+        "n_match_capped": int(match_c),
+        "n_match_exact": int(match_u),
+        "match_recall": round(match_c / match_u, 4) if match_u else None,
+    }
+
+
 def semdedup_prune_recall(synth_dir: str) -> dict:
     """Prune-set recall of the chunked SemDeDup vs the exact (uncapped)
     run on the same synth dir — see module docstring."""
@@ -265,6 +303,12 @@ def main() -> int:
         action="store_true",
         help="also measure ann_lsh_near_dups' capped-vs-exact pair "
         "recall (starts a Spark session)",
+    )
+    p.add_argument(
+        "--fs",
+        action="store_true",
+        help="also measure fellegi_sunter_parts' capped-vs-exact pair "
+        "and match recall (starts a Spark session)",
     )
     a = p.parse_args()
 
@@ -339,6 +383,8 @@ def main() -> int:
         results.append(semdedup_prune_recall(a.synth_dir))
     if a.annlsh:
         results.append(annlsh_pair_recall(a.synth_dir))
+    if a.fs:
+        results.append(fellegi_sunter_recall(a.synth_dir))
 
     for r in results:
         print(json.dumps(r))

@@ -98,6 +98,16 @@ APPROX_PAST_CAP: dict[str, str] = {
         "family — parity cannot see the loss because both engines "
         "apply the same cap"
     ),
+    "fellegi_sunter_parts": (
+        "r12 draft, pre-staged: exact for nch==1 (every real SF); past "
+        "the cap the (type, noun) blocks mod-chunk and — unlike the "
+        "multi-table ann_lsh — a pair lost to a residue split has no "
+        "second chance, so recall follows the 1/nch law exactly: "
+        "MEASURED pair recall 0.0152 and match-class recall 0.0153 on "
+        "sf1.0synth at cap 64 where nch~66 (tools/chunk_recall.py "
+        "--fs); the recall-preserving scale path is sorted-neighborhood "
+        "or LSH candidate blocking before FS scoring"
+    ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
         "is computed per residue cell — MEASURED prune-set recall "
