@@ -30,6 +30,21 @@ Families and the public designs they implement:
   co-purchase graph, fixed unrolled iterations like PageRank/LPA.
 - l_diversity_audit — l-diversity (Machanavajjhala et al. 2007), the
   companion to k_anonymity_report on the same QI ladder.
+
+Wave B (same staging round):
+- chi2_token_selection — chi-square discriminative-vocabulary selection
+  (the classic text-classification feature selector).
+- source_divergence_audit — per-source L1 unigram drift from the corpus
+  distribution (mixture-rebalancing audit).
+- link_prediction_jaccard — common-neighbor Jaccard link prediction
+  (Liben-Nowell & Kleinberg 2003), hub-capped candidate generation.
+- matryoshka_recall_at_k — prefix-dimension retrieval recall audit
+  (Kusupati et al. 2022), completing the sq/pq representation-audit
+  family on the dimension axis.
+- negative_hardness_histogram — cosine-hardness distribution of seeded
+  pseudo-random negative pairs (contrastive-training diagnostic).
+- partition_checksums — order-independent XOR content checksums per
+  hash shard (dataset replication/migration integrity audit).
 """
 
 from __future__ import annotations
@@ -43,6 +58,7 @@ from pedri_analysis_spark.operators import chunking as chk
 from pedri_analysis_spark.operators import similarity as sim
 from pedri_analysis_spark.operators.clustering import _dist2
 from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.plans.similarity_queries import _dcos, spread
 from pedri_analysis_spark.sources.tables import load_table
 
 QUERIES: dict[str, QueryFn] = {}
@@ -777,3 +793,568 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level(1000).unionByName(level(3000))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square token selection (discriminative vocabulary per language)
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_COUNT = 5  # support filter: tokens below this never enter ranking
+CHI2_TOP_N = 5
+
+
+def _chi2_expr(dialect: str) -> str:
+    """chi2 in milli-units from the exact integer contingency counts
+    (a, b, c, d, n) — a fixed sequence of IEEE double ops, identical
+    text in both dialects (no libm), floor-quantized at the end.  The
+    op ORDER interleaves multiplies and divides so intermediates stay
+    ~1e8-1e12 (all exactly representable or identically rounded)."""
+    cast = "CAST(%s AS DOUBLE)" if dialect == tx.SPARK else "(%s)::DOUBLE"
+
+    def d(e: str) -> str:
+        return cast % e
+
+    num = f"({d('a')} * {d('dd')} - {d('b')} * {d('c')})"
+    return (
+        f"CAST(floor({d('n')} * {num} / ({d('a')} + {d('b')}) * {num} "
+        f"/ ({d('c')} + {d('dd')}) / ({d('a')} + {d('c')}) "
+        f"/ ({d('b')} + {d('dd')}) * 1000 + 0.5) AS BIGINT)"
+    )
+
+
+@_register(
+    "chi2_token_selection",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT lang, u.t AS token
+      FROM (SELECT lang, {tx.tokens(tx.DUCK, 'text')} AS ts FROM documents),
+           unnest(ts) AS u(t)
+    ),
+    lt AS (SELECT lang, token, count(*)::BIGINT AS a FROM tok GROUP BY 1, 2),
+    tt AS (SELECT token, count(*)::BIGINT AS t_tot FROM tok GROUP BY 1),
+    lg AS (SELECT lang, count(*)::BIGINT AS l_tot FROM tok GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n FROM tok),
+    cells AS (
+      SELECT lt.lang, lt.token, lt.a,
+             (tt.t_tot - lt.a) AS b,
+             (lg.l_tot - lt.a) AS c,
+             (nn.n - tt.t_tot - lg.l_tot + lt.a) AS dd,
+             nn.n AS n
+      FROM lt
+      JOIN tt ON tt.token = lt.token
+      JOIN lg ON lg.lang = lt.lang
+      CROSS JOIN nn
+      WHERE lt.a >= {CHI2_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT lang, token, a, {_chi2_expr(tx.DUCK)} AS chi2_milli
+      FROM cells
+    )
+    SELECT lang, token, a AS n_in_lang, chi2_milli, rn::BIGINT AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY chi2_milli DESC, token ASC
+      ) AS rn FROM scored
+    ) WHERE rn <= {CHI2_TOP_N}
+    """,
+)
+def q_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the {CHI2_TOP_N} most
+    language-discriminative tokens per language, chi2 computed from the
+    exact 2x2 contingency counts (token-in-lang vs rest) — the classic
+    text-classification vocabulary selector, and the language-ID
+    feature audit for a curation pipeline.
+
+    Determinism: counts are exact BIGINTs; chi2 is one fixed sequence
+    of IEEE double multiply/divides on those integers (identical
+    expression text both engines, no libm — the chi-square drift
+    monitor's discipline), floor-quantized to milli-units; ranking ties
+    break on token.
+
+    Scale: one (lang, token) aggregate with map-side combine, two
+    domain-bounded rollups (|langs|, 1) broadcast back, one
+    vocabulary-sized token rollup joined on the token key.  The
+    CHI2_MIN_COUNT support filter ({CHI2_MIN_COUNT}+ occurrences) is
+    part of the CONTRACT, stated not silent: it bounds the per-lang
+    ranking window's input to the frequent-vocabulary size (~sqrt
+    corpus under Zipf), the same pre-filter discipline as
+    stratified_reservoir_topk."""
+    tok = (
+        load_table(spark, "documents", sf_dir)
+        .select("lang", F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("token"))
+    )
+    lt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    tt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("t_tot"))
+    lg = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("l_tot"))
+    nn = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        lt.filter(F.col("a") >= CHI2_MIN_COUNT)
+        .join(tt, "token")
+        .join(F.broadcast(lg), "lang")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "token",
+            "a",
+            (F.col("t_tot") - F.col("a")).alias("b"),
+            (F.col("l_tot") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("t_tot") - F.col("l_tot") + F.col("a")).alias("dd"),
+            "n",
+        )
+    )
+    scored = cells.withColumn("chi2_milli", F.expr(_chi2_expr(tx.SPARK)))
+    w = W.partitionBy("lang").orderBy(F.desc("chi2_milli"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= CHI2_TOP_N)
+        .select("lang", "token", F.col("a").alias("n_in_lang"), "chi2_milli", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram divergence from the corpus distribution (mix drift)
+# ---------------------------------------------------------------------------
+# An OOV/hapax audit was considered and REJECTED for this corpus: the
+# synthetic vocabulary is 31 tokens with min df 25 at every SF, so any
+# rarity-based metric is structurally zero — an oracle that hash-matches
+# on all-zeros proves nothing.  L1 divergence between each source's
+# unigram distribution and the corpus distribution is non-degenerate on
+# the same data and is the audit a mixture-rebalancing pipeline actually
+# reads (which source's token mix drifts furthest from the corpus).
+
+
+@_register(
+    "source_divergence_audit",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, u.t AS token
+      FROM (SELECT source, {tx.tokens(tx.DUCK, 'text')} AS ts FROM documents),
+           unnest(ts) AS u(t)
+    ),
+    st AS (SELECT source, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c)::BIGINT AS n_s FROM st GROUP BY source),
+    gt AS (SELECT token, sum(c)::BIGINT AS g FROM st GROUP BY token),
+    gtot AS (SELECT sum(c)::BIGINT AS n FROM st),
+    cells AS (
+      SELECT s.source,
+             abs((coalesce(st.c, 0) * 1000000) // s.n_s
+                 - (gt.g * 1000000) // g2.n) AS d_ppm
+      FROM gt
+      CROSS JOIN stot s
+      CROSS JOIN gtot g2
+      LEFT JOIN st ON st.token = gt.token AND st.source = s.source
+    )
+    SELECT c.source,
+           min(s.n_s)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_vocab,
+           sum(c.d_ppm)::BIGINT AS l1_divergence_ppm
+    FROM cells c JOIN stot s ON s.source = c.source
+    GROUP BY c.source
+    """,
+)
+def q_source_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-mix drift: the L1 distance (total variation x2)
+    between each source's unigram distribution and the corpus
+    distribution, in exact ppm — the audit a data-mixture rebalancer
+    reads to find the source whose language drifted furthest from the
+    blend it was weighted for.  The full (source x vocab) grid is
+    evaluated, including tokens a source never uses (they contribute
+    the corpus probability to the distance) — skipping them would
+    understate drift for narrow sources.
+
+    Determinism: both distributions quantize to floor-divided integer
+    ppm BEFORE the |difference|, so every term is an exact BIGINT.
+
+    Scale: one (source, token) aggregate with map-side combine; the
+    grid is |sources| x |vocab| — sources are a catalog-bounded
+    dimension (the same bound stratified_source_mix leans on) and the
+    grid build is a broadcast of the |sources| rollup against the
+    vocab-keyed frame, never a corpus-sized join."""
+    tok = load_table(spark, "documents", sf_dir).select(
+        "source", F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    gt = st.groupBy("token").agg(F.sum("c").cast("bigint").alias("g"))
+    gtot = st.agg(F.sum("c").cast("bigint").alias("n"))
+    cells = (
+        gt.crossJoin(F.broadcast(stot))
+        .crossJoin(F.broadcast(gtot))
+        .join(st, ["token", "source"], "left")
+        .select(
+            "source",
+            F.expr(
+                "abs((coalesce(c, 0) * 1000000) div n_s"
+                " - (g * 1000000) div n)"
+            ).alias("d_ppm"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum("d_ppm").cast("bigint").alias("l1_divergence_ppm"),
+        )
+        .join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "n_vocab",
+            "l1_divergence_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard (hub-capped intermediaries)
+# ---------------------------------------------------------------------------
+
+LP_DEG_CAP = 64  # hub exclusion: intermediaries above this degree do not
+#                  generate candidates (stated, oracle-mirrored — the
+#                  minhash drop-cap discipline; hubs contribute
+#                  deg^2 candidate pairs and near-zero signal)
+LP_MIN_COMMON = 2  # support filter: a single shared neighbor is noise —
+#                    without it the top-k is flooded by degree-1 pairs
+#                    whose jaccard is trivially 1.0
+LP_TOP = 25
+
+
+def _lp_oracle() -> str:
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    return f"""
+    WITH {_copurchase_edges_sql().strip()},
+    adj AS MATERIALIZED (
+      SELECT pa AS v, pb AS nbr FROM e
+      UNION ALL SELECT pb AS v, pa AS nbr FROM e
+    ),
+    deg AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY v),
+    mid AS (SELECT v FROM deg WHERE deg <= {LP_DEG_CAP}),
+    cand AS (
+      SELECT x.nbr AS a, y.nbr AS b, count(*)::BIGINT AS common
+      FROM adj x
+      JOIN mid m ON m.v = x.v
+      JOIN adj y ON y.v = x.v AND x.nbr < y.nbr
+      GROUP BY 1, 2
+      HAVING count(*) >= {LP_MIN_COMMON}
+    ),
+    nonedge AS (
+      SELECT c.a, c.b, c.common FROM cand c
+      LEFT JOIN e ON e.pa = c.a AND e.pb = c.b
+      WHERE e.pa IS NULL
+    ),
+    scored AS (
+      SELECT n.a, n.b, n.common,
+             ((n.common * 1000000) // (da.deg + db.deg - n.common))
+               AS jaccard_ppm
+      FROM nonedge n
+      JOIN deg da ON da.v = n.a
+      JOIN deg db ON db.v = n.b
+    )
+    SELECT a, b, common, jaccard_ppm::BIGINT AS jaccard_ppm,
+           rn::BIGINT AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY jaccard_ppm DESC, a ASC, b ASC
+      ) AS rn FROM scored
+    ) WHERE rn <= {LP_TOP}
+    """
+
+
+@_register("link_prediction_jaccard", _lp_oracle())
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the {LP_TOP} strongest
+    ABSENT edges by common-neighbor Jaccard (|Γa∩Γb| / |Γa∪Γb|) — the
+    classic recommender/graph-completion primitive (Liben-Nowell &
+    Kleinberg 2003).
+
+    Scale: candidate pairs are generated ONLY through intermediaries of
+    degree <= {LP_DEG_CAP} (hub exclusion — stated and oracle-mirrored,
+    the minhash drop-cap discipline), so candidate volume is
+    sum(deg(c)^2) <= CAP * 2|E| — LINEAR in edges, never the hub
+    quadratic; pairs below {LP_MIN_COMMON} shared neighbors are dropped
+    (a lone shared neighbor makes degree-1 pairs trivially jaccard 1.0
+    and floods the top-k with noise).  Jaccard denominators use the
+    FULL degrees (the cap gates candidate generation, not the score).
+    Top-k is one
+    TakeOrderedAndProject over the candidate aggregate.  Determinism:
+    counts exact, jaccard floor-quantized to ppm, total order
+    (jaccard_ppm DESC, a, b)."""
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
+    adj = (
+        e.select(F.col("pa").alias("v"), F.col("pb").alias("nbr"))
+        .unionByName(e.select(F.col("pb").alias("v"), F.col("pa").alias("nbr")))
+        .persist()
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    mid = deg.filter(F.col("deg") <= LP_DEG_CAP).select("v")
+    x = adj.join(mid, "v").select("v", F.col("nbr").alias("a"))
+    y = adj.select("v", F.col("nbr").alias("b"))
+    cand = (
+        x.join(y, "v")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= LP_MIN_COMMON)
+    )
+    nonedge = cand.join(
+        e.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    scored = (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.expr("CAST((common * 1000000) div (da + db - common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("jaccard_ppm"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= LP_TOP)
+        .select("a", "b", "common", "jaccard_ppm", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) retrieval recall audit
+# ---------------------------------------------------------------------------
+
+MRL_NQ = 8  # query vectors (vec_id < MRL_NQ)
+MRL_K = 10  # top-k depth
+MRL_DIM = 16  # prefix dimensions retained
+
+
+def _mrl_oracle() -> str:
+    r6 = _r6_sql
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings WHERE vec_id < {MRL_NQ}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {r6('list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])')}
+               AS fx,
+             {r6(f'list_dot_product((e.embedding[1:{MRL_DIM}])::DOUBLE[], '
+                 f'(q.qvec[1:{MRL_DIM}])::DOUBLE[])')} AS px
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY fx DESC, vec_id) AS rnf,
+             row_number() OVER (PARTITION BY qid ORDER BY px DESC, vec_id) AS rnp
+      FROM scored
+    )
+    SELECT qid AS query_id,
+           count(*) FILTER (rnf <= {MRL_K} AND rnp <= {MRL_K})::BIGINT
+             AS n_overlap,
+           CAST(count(*) FILTER (rnf <= {MRL_K} AND rnp <= {MRL_K}) AS DOUBLE)
+             / {MRL_K} AS recall_at_k
+    FROM ranked GROUP BY qid
+    """
+
+
+@_register("matryoshka_recall_at_k", _mrl_oracle())
+def q_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension recall audit: per query, how
+    much of the exact full-dimension top-{MRL_K} survives when
+    retrieval scores only the first {MRL_DIM} of 64 dimensions — the
+    check a deployment runs before serving truncated MRL embeddings
+    (Kusupati et al. 2022) at 4x lower memory/compute.  Completes the
+    representation-audit family: sq_recall_at_k (precision axis),
+    pq_recall_at_k (codebook axis), this (dimension axis).
+
+    Scale and determinism: the sq_recall_at_k topology verbatim — the
+    {MRL_NQ}-query side broadcasts, one narrow scoring pass computes
+    both dots (Arrow kernel, round6 collapsing fold-order ulps exactly
+    as proven there), the two per-query rankings share one qid
+    shuffle, recall is count ratios."""
+    emb = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding", F.expr(f"slice(embedding, 1, {MRL_DIM})").alias("p16")
+    )
+    queries = emb.filter(F.col("vec_id") < MRL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("p16").alias("_qp16"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.round6(sim.dot_fast("embedding", "_qvec")).alias("fx"),
+            sim.round6(sim.dot_fast("p16", "_qp16")).alias("px"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("fx"), F.asc("vec_id"))
+    wp = W.partitionBy("qid").orderBy(F.desc("px"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(wf).alias("rnf"),
+        F.row_number().over(wp).alias("rnp"),
+    )
+    hit = (F.col("rnf") <= MRL_K) & (F.col("rnp") <= MRL_K)
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count_if(hit).cast("bigint").alias("n_overlap"),
+        (F.count_if(hit).cast("double") / MRL_K).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-pair hardness histogram (contrastive-training diagnostic)
+# ---------------------------------------------------------------------------
+
+NEG_BANDS = 256  # hash bands; adjacent-in-hash-order pairing within a band.
+#                 The band count is the documented corpus-growth lever
+#                 (like LSH k/L): bands ∝ corpus keeps per-band windows flat.
+
+
+@_register(
+    "negative_hardness_histogram",
+    f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             {tx.seeded_hash64(tx.DUCK, 'vec_id::VARCHAR', 'negpair')} AS hh
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, embedding, hh % {NEG_BANDS} AS band,
+             row_number() OVER (
+               PARTITION BY hh % {NEG_BANDS} ORDER BY hh, vec_id
+             ) AS rn
+      FROM h
+    ),
+    pairs AS (
+      SELECT {_dcos('a.embedding', 'b.embedding')} AS sim
+      FROM r a JOIN r b ON a.band = b.band AND b.rn = a.rn + 1
+    )
+    SELECT CAST(floor((sim + 1.0) * 10) AS BIGINT) AS sim_bin,
+           count(*)::BIGINT AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    """,
+)
+def q_negative_hardness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardness distribution of pseudo-random negative pairs: pair each
+    vector with its successor in seeded-hash order within {NEG_BANDS}
+    hash bands and histogram the cosine similarities in 0.1-wide bins —
+    the contrastive-training diagnostic (how hard are random negatives?
+    a right-shifted histogram means in-batch negatives are nearly
+    positives and the loss needs mined negatives instead).
+
+    Determinism: hash order is seeded and total ((hh, vec_id)); cosine
+    uses the proven round6 Arrow kernel; bins floor on a single IEEE
+    expression.
+
+    Scale: exactly N - {NEG_BANDS} pairs — LINEAR by construction, no
+    candidate blowup possible; the per-band rank window holds
+    corpus/{NEG_BANDS} rows, and the band count is the documented
+    corpus-growth lever (raise it like LSH k/L so per-band windows stay
+    flat)."""
+    h = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id",
+        "embedding",
+        F.expr(tx.seeded_hash64(tx.SPARK, "CAST(vec_id AS STRING)", "negpair")).alias(
+            "hh"
+        ),
+    )
+    r = h.select(
+        "vec_id",
+        "embedding",
+        (F.col("hh") % NEG_BANDS).alias("band"),
+        F.row_number()
+        .over(W.partitionBy(F.col("hh") % NEG_BANDS).orderBy("hh", "vec_id"))
+        .alias("rn"),
+    )
+    a = r.select("band", "rn", F.col("embedding").alias("va"))
+    b = r.select("band", (F.col("rn") - 1).alias("rn"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, ["band", "rn"]).select(
+        sim.round6(sim.cosine_fast("va", "vb")).alias("sim")
+    )
+    return (
+        pairs.select(
+            F.expr("CAST(floor((sim + 1.0) * 10) AS BIGINT)").alias("sim_bin")
+        )
+        .groupBy("sim_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent partition checksums (dataset integrity audit)
+# ---------------------------------------------------------------------------
+
+CKSUM_SHARDS = 32
+
+
+@_register(
+    "partition_checksums",
+    f"""
+    WITH rows_h AS (
+      SELECT {tx.seeded_hash64(tx.DUCK, 'doc_id::VARCHAR', 'cksum-shard')}
+               % {CKSUM_SHARDS} AS shard,
+             {tx.seeded_hash64(
+                 tx.DUCK,
+                 "(doc_id::VARCHAR || '|' || lang || '|' || source || '|' "
+                 "|| n_chars::VARCHAR || '|' || text)",
+                 'cksum-row',
+             )} AS rh,
+             doc_id
+      FROM documents
+    )
+    SELECT shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_rows,
+           bit_xor(rh)::BIGINT AS content_xor,
+           min(doc_id)::BIGINT AS min_doc_id,
+           max(doc_id)::BIGINT AS max_doc_id
+    FROM rows_h
+    GROUP BY shard
+    """,
+)
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums over {CKSUM_SHARDS} hash
+    shards of the documents table: per shard, row count, the XOR of a
+    seeded full-row content hash, and the id range — the
+    replication/migration integrity audit (two copies of a 100 TB
+    dataset compare {CKSUM_SHARDS} tiny rows instead of each other; a
+    single flipped byte flips its shard's XOR).
+
+    Determinism: XOR is commutative/associative and overflow-free, so
+    the aggregate is partitioning- and order-independent by
+    construction; the row hash covers every column through one
+    canonical string serialization shared by both engines.
+
+    Scale: one narrow map + one {CKSUM_SHARDS}-group aggregate with
+    map-side combine — the cheapest full-scan audit possible."""
+    row_key = (
+        "(CAST(doc_id AS STRING) || '|' || lang || '|' || source || '|' "
+        "|| CAST(n_chars AS STRING) || '|' || text)"
+    )
+    d = load_table(spark, "documents", sf_dir).select(
+        (
+            F.expr(tx.seeded_hash64(tx.SPARK, "CAST(doc_id AS STRING)", "cksum-shard"))
+            % CKSUM_SHARDS
+        ).alias("shard"),
+        F.expr(tx.seeded_hash64(tx.SPARK, row_key, "cksum-row")).alias("rh"),
+        "doc_id",
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("bigint").alias("content_xor"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -39,10 +39,10 @@ def test_draft_matches_oracle(spark, duck, name, qfn, sql):
 @pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
 def test_draft_plan_invariants(spark, name, qfn, sql):
     """The drafts must already satisfy the catalog plan rules
-    (tools/plan_lint.py): no CartesianProduct, no Python boundary, and
-    BNLJ only for the pre-allowlisted 1-row-count report frame
-    (kcore_decomposition)."""
-    from tools.plan_lint import _BNLJ_ALLOWED, lint_plan
+    (tools/plan_lint.py): no CartesianProduct, Python boundaries only
+    for pre-allowlisted justified Arrow kernels, and BNLJ only for
+    pre-allowlisted bounded build sides."""
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
 
     facts = lint_plan(
         qfn(spark, "/root/testdata/sf0.01")
@@ -51,7 +51,10 @@ def test_draft_plan_invariants(spark, name, qfn, sql):
         .toString()
     )
     assert not facts["cartesian"]
-    assert not facts["python"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, (
+            f"{name}: Python boundary without a pre-staged Arrow-kernel entry"
+        )
     if facts["bnlj"]:
         assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
 

@@ -94,6 +94,9 @@ _BNLJ_ALLOWED = {
     # r12 drafts (plans/draft_r12.py — unregistered in r11, facts pinned
     # by tests/test_draft_r12.py so registration is friction-free)
     "kcore_decomposition",  # per-round report crosses three 1-row counts
+    "chi2_token_selection",  # 1-row corpus-total frame (contingency n)
+    "source_divergence_audit",  # |sources| + 1-row total frames vs vocab
+    "matryoshka_recall_at_k",  # 8-row query frame (sq_recall precedent)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
@@ -117,6 +120,9 @@ _PYTHON_ALLOWED = {
     # measured superlinear on the 2x-step probe; justifications in the
     # two query docstrings.
     "embedding_near_dups",  # cosine_fast Arrow kernel (pair scoring)
+    # r12 drafts (plans/draft_r12.py — unregistered in r11)
+    "matryoshka_recall_at_k",  # dot_fast Arrow kernel (full + prefix dots)
+    "negative_hardness_histogram",  # cosine_fast Arrow kernel (pair sims)
     "semantic_dedup_prune",  # cosine_fast Arrow kernel (pair scoring)
     # NOTE: kmeans_embeddings also uses a justified Arrow kernel, but its
     # Python stage executes during frame construction (centroid fitting
