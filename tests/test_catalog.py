@@ -165,3 +165,90 @@ def test_run_bench_isolates_failures(spark):
     assert set(timings) == {"ok"}
     assert set(failures) == {"broken", "flaky"}
     assert timings["ok"] > 0
+
+
+def test_extract_fn_source_includes_decorators_and_rejects_ambiguity():
+    """The source-stamp hash must cover the @_register decorator (the
+    oracle SQL lives in its argument, so an oracle edit is a rewrite)
+    and refuse ambiguous or absent names rather than guessing."""
+    from pedri_analysis_spark.plans import registry
+
+    text = '''
+X = 1
+
+
+@_register(
+    "q_one",
+    "SELECT 1 AS x",
+)
+def q_one(spark, sf):
+    return spark.range(1)
+
+
+def q_two(spark, sf):
+    return spark.range(2)
+
+
+def dup():
+    pass
+
+
+def dup():
+    pass
+'''
+    src = registry.extract_fn_source(text, "q_one")
+    assert src is not None and src.startswith("@_register(")
+    assert '"SELECT 1 AS x"' in src and "return spark.range(1)" in src
+    # oracle edit changes the hash even when the body is untouched
+    h1 = registry.fn_source_hash(text, "q_one")
+    h2 = registry.fn_source_hash(text.replace("SELECT 1", "SELECT 2"), "q_one")
+    assert h1 != h2
+    # undecorated functions work too; absent and duplicate names refuse
+    assert "range(2)" in registry.extract_fn_source(text, "q_two")
+    assert registry.extract_fn_source(text, "nope") is None
+    assert registry.extract_fn_source(text, "dup") is None
+    assert registry.extract_fn_source("def broken(:", "broken") is None
+
+
+def test_stamp_latest_promotes_rewritten_query_back_to_green(tmp_path, monkeypatch):
+    """End-to-end tier transition: a green query whose source changed
+    sits in the rewritten tier until --stamp-latest records the newly
+    proven hash, after which it returns to the green rotation."""
+    import json
+
+    from pedri_analysis_spark.plans import registry
+    from tools import update_source_manifest as usm
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"q": green, "other": green})
+    )
+    manifest_path = tmp_path / "SOURCE_MANIFEST.json"
+    manifest_path.write_text(
+        json.dumps({
+            "q": {"hash": "stale-proof-hash", "round": 5},
+            "other": {"hash": "cur-other", "round": 5},
+        })
+    )
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.setattr(registry, "_MANIFEST_PATH", str(manifest_path))
+    monkeypatch.setattr(
+        registry, "_current_hashes",
+        lambda fns: {"q": "new-hash", "other": "cur-other"},
+    )
+    names = {"q": None, "other": None}
+    # q rewritten since its r05 stamp -> re-prove tier, ahead of 'other'
+    assert registry._ordered(names) == ["q", "other"]
+
+    # round-start protocol: stamp the newest round's greens
+    monkeypatch.setattr(usm, "_all_fns", lambda: names)
+    manifest = usm.stamp_latest()
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    assert manifest["q"] == {"hash": "new-hash", "round": 7}
+    # both green-on-proven-source now: stalest-stamp ordering is moot
+    # (same round), registration order breaks the tie
+    assert registry._ordered(names) == ["q", "other"]
+    key_q = registry._manifest()["q"]
+    assert key_q == "new-hash"
