@@ -1358,3 +1358,403 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (lag-7 daily revenue, exact MAPE)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_naive_backtest",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT t.d,
+             abs(t.cents - l.cents) AS abs_err_cents,
+             (abs(t.cents - l.cents) * 1000000) // t.cents AS ape_ppm
+      FROM daily t JOIN daily l ON l.d = t.d - INTERVAL 7 DAY
+      WHERE t.cents > 0
+    )
+    SELECT count(*)::BIGINT AS n_days,
+           sum(abs_err_cents)::BIGINT AS total_abs_err_cents,
+           (sum(ape_ppm) // count(*))::BIGINT AS mape_ppm,
+           max(ape_ppm)::BIGINT AS worst_ape_ppm
+    FROM scored
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (forecast(d) =
+    actual(d-7)) on daily revenue: exact integer MAPE in ppm plus the
+    worst day — the baseline every demand-forecasting pipeline must
+    beat, and the canonical time-series eval primitive.
+
+    Determinism: daily revenue in exact integer cents (DECIMAL idiom),
+    APE floor-divided to ppm per day, MAPE a floor-divided mean of
+    those integers.  The lag is an exact self-JOIN on d-7 (not a lag()
+    window): calendar gaps yield no forecast rather than silently
+    using the previous row.
+
+    Scale: the fact table collapses to the day domain first (one
+    map-side-combined aggregate); everything after is day-domain-
+    bounded (the cents/days discipline)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderdate").alias("d"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("cents"))
+    lagged = daily.select(
+        F.expr("d + INTERVAL 7 DAY").alias("d"), F.col("cents").alias("lag_cents")
+    )
+    scored = (
+        daily.join(lagged, "d")
+        .filter(F.col("cents") > 0)
+        .select(
+            F.expr("abs(cents - lag_cents)").alias("abs_err_cents"),
+            F.expr("(abs(cents - lag_cents) * 1000000) div cents").alias("ape_ppm"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("abs_err_cents").cast("bigint").alias("total_abs_err_cents"),
+        F.expr("CAST(sum(ape_ppm) div count(*) AS BIGINT)").alias("mape_ppm"),
+        F.max("ape_ppm").cast("bigint").alias("worst_ape_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval coverage (per market segment)
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_PCT = 10  # nominal 90% intervals
+
+
+@_register(
+    "split_conformal_coverage",
+    f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             {tx.seeded_hash64(tx.DUCK, 'o.o_orderkey::VARCHAR', 'conformal')} % 2
+               AS fold
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    model AS (
+      SELECT segment,
+             (sum(cents) * 10000) // count(*) AS mean_micros,
+             count(*)::BIGINT AS n_cal
+      FROM base WHERE fold = 0 GROUP BY segment
+    ),
+    cal_scores AS (
+      SELECT b.segment,
+             abs(b.cents * 10000 - m.mean_micros) // 1000000 AS score_dollars
+      FROM base b JOIN model m ON m.segment = b.segment
+      WHERE b.fold = 0
+    ),
+    score_counts AS (
+      SELECT segment, score_dollars, count(*)::BIGINT AS cnt
+      FROM cal_scores GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, score_dollars,
+             sum(cnt) OVER (
+               PARTITION BY segment ORDER BY score_dollars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_n
+      FROM score_counts
+    ),
+    thresh AS (
+      SELECT c.segment, min(c.score_dollars)::BIGINT AS q_dollars
+      FROM cum c JOIN model m ON m.segment = c.segment
+      WHERE c.cum_n * 100 >= (m.n_cal + 1) * (100 - {CONF_ALPHA_PCT})
+      GROUP BY c.segment
+    )
+    SELECT b.segment,
+           min(m.n_cal) AS n_cal,
+           count(*)::BIGINT AS n_eval,
+           min(t.q_dollars) AS q_dollars,
+           ((sum(CASE WHEN abs(b.cents * 10000 - m.mean_micros) // 1000000
+                           <= t.q_dollars
+                      THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+             AS coverage_ppm
+    FROM base b
+    JOIN model m ON m.segment = b.segment
+    JOIN thresh t ON t.segment = b.segment
+    WHERE b.fold = 1
+    GROUP BY b.segment
+    """,
+)
+def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free coverage guarantee every ML-deployment eval now
+    runs): hash-split orders into calibration/eval folds, fit the
+    trivial per-segment mean predictor on calibration, take the
+    ceil((1-alpha)(n+1))-quantile of calibration residuals as the
+    interval half-width, and report EMPIRICAL coverage on the held-out
+    fold — expected ~{100 - CONF_ALPHA_PCT}0000 ppm by the conformal
+    guarantee, which the oracle-checked numbers exhibit.
+
+    Determinism: the fold is a seeded hash parity; means and residuals
+    are exact integer micros; the conformity SCORE quantizes residuals
+    to whole dollars (any measurable score function preserves the
+    conformal guarantee — quantization is part of the score, stated
+    not hidden); the quantile is exact by cumulative counts over the
+    score domain (min score with cum >= ceil), cross-multiplied in
+    integers to avoid ceil-of-float.
+
+    Scale: two fact passes (model fit, eval) with map-side combine;
+    the quantile's ranking window runs over the (segment, dollar)
+    SCORE DOMAIN — price-range-bounded, never row-bounded (the
+    cents/days discipline); model and threshold frames are
+    |segments|-sized broadcasts."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (
+            F.expr(
+                tx.seeded_hash64(tx.SPARK, "CAST(o_orderkey AS STRING)", "conformal")
+            )
+            % 2
+        ).alias("fold"),
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    base = o.join(c, "o_custkey").select("segment", "cents", "fold")
+    model = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("segment")
+        .agg(
+            F.expr("(sum(cents) * 10000) div count(*)").alias("mean_micros"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+    )
+    cal = (
+        base.filter(F.col("fold") == 0)
+        .join(F.broadcast(model), "segment")
+        .select(
+            "segment",
+            F.expr("abs(cents * 10000 - mean_micros) div 1000000").alias(
+                "score_dollars"
+            ),
+        )
+    )
+    counts = cal.groupBy("segment", "score_dollars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = (
+        W.partitionBy("segment")
+        .orderBy("score_dollars")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum_n", F.sum("cnt").over(wc))
+    thresh = (
+        cum.join(F.broadcast(model), "segment")
+        .filter(
+            F.expr(f"cum_n * 100 >= (n_cal + 1) * {100 - CONF_ALPHA_PCT}")
+        )
+        .groupBy("segment")
+        .agg(F.min("score_dollars").cast("bigint").alias("q_dollars"))
+    )
+    return (
+        base.filter(F.col("fold") == 1)
+        .join(F.broadcast(model), "segment")
+        .join(F.broadcast(thresh), "segment")
+        .groupBy("segment")
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.min("q_dollars").alias("q_dollars"),
+            F.expr(
+                "CAST((sum(CASE WHEN abs(cents * 10000 - mean_micros) "
+                "div 1000000 <= q_dollars THEN 1 ELSE 0 END) * 1000000) "
+                "div count(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via distributed covariance + power iteration
+# ---------------------------------------------------------------------------
+
+PI_ITERS = 5
+PI_DIM = 64  # embeddings dimensionality (EMB_DIM)
+
+
+def _pi_round6(x: float) -> float:
+    import math
+
+    # the exact IEEE sequence of operators.similarity.round6 / _r6_sql
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def _pi_power_iteration(cov: list[list[float]]) -> tuple[list[float], float]:
+    """Driver-side power iteration on the collected dim x dim covariance
+    — PURE sequential Python floats (no numpy): every multiply-add runs
+    in exactly the left-fold order the oracle's list_reduce uses, so
+    the iterates are bit-identical across engines."""
+    dim = len(cov)
+    v = [1.0] * dim
+    lam = 0.0
+    for _ in range(PI_ITERS):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):  # sequential in j == the oracle fold order
+                acc += cov[i][j] * v[j]
+            w.append(acc)
+        k = 0
+        for i in range(1, dim):
+            if abs(w[i]) > abs(w[k]):  # strict >: lowest-index tie-break
+                k = i
+        lam = w[k]
+        if lam == 0.0:  # degenerate (all-zero covariance): stop normalizing
+            break
+        v = [x / lam for x in w]
+    return v, lam
+
+
+def _pi_oracle() -> str:
+    r6 = _r6_sql
+    d = PI_DIM
+    prod_dec = (
+        "CAST(floor(((e.embedding[i.i]::DOUBLE - mi.m) "
+        "* (e.embedding[j.j]::DOUBLE - mj.m)) * 1000000 + 0.5) / 1000000 "
+        "AS DECIMAL(18,6))"
+    )
+    ctes = [
+        "n AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        f"""means AS MATERIALIZED (
+      SELECT i.i,
+             CAST(sum(CAST(e.embedding[i.i]::DOUBLE AS DECIMAL(27,10)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {d})) AS i) i
+      GROUP BY i.i
+    )""",
+        f"""cells AS MATERIALIZED (
+      SELECT i.i, j.j,
+             CAST(sum({prod_dec}) AS DOUBLE) / min(n.n) AS c
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {d})) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(1, {d})) AS j) j
+      JOIN means mi ON mi.i = i.i
+      JOIN means mj ON mj.i = j.j
+      CROSS JOIN n
+      GROUP BY i.i, j.j
+    )""",
+        "crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS row "
+        "FROM cells GROUP BY i)",
+        f"v0 AS (SELECT list_transform(generate_series(1, {d}), x -> 1.0) AS l)",
+    ]
+    for k in range(1, PI_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT cr.i,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, {d}), j -> cr.row[j] * v.l[j])),
+               (a, b) -> a + b) AS w
+      FROM crow cr CROSS JOIN v{k - 1} v
+    )"""
+        )
+        ctes.append(
+            f"k{k} AS MATERIALIZED (SELECT w FROM w{k} "
+            f"ORDER BY abs(w) DESC, i ASC LIMIT 1)"
+        )
+        if k < PI_ITERS:
+            ctes.append(
+                f"""v{k} AS (
+      SELECT list(w.w / k.w ORDER BY w.i) AS l
+      FROM w{k} w CROSS JOIN k{k} k GROUP BY k.w
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w.i::BIGINT AS dim,
+           {r6('w.w / k.w')} AS component_r6,
+           {r6('k.w')} AS eigenvalue_r6
+    FROM w{PI_ITERS} w CROSS JOIN k{PI_ITERS} k
+    """
+    )
+
+
+@_register("power_iteration_top_pc", _pi_oracle())
+def q_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: exact
+    distributed covariance + {PI_ITERS} power-iteration steps — the
+    PCA primitive, built the way Spark MLlib's RowMatrix does it
+    (computePrincipalComponents: the Gramian is the DISTRIBUTED
+    reduce, the eigen-step runs driver-side on the dim x dim model)
+    but with a cross-engine bit-exact contract instead of LAPACK.
+
+    Determinism — float work partitioned into the two proven regimes:
+    (1) the corpus-sized reduction (means, covariance) quantizes every
+    per-row product to 6 dp and sums in DECIMAL — order-independent
+    and exact, so both engines derive bit-identical covariance doubles
+    under any partitioning (the kmeans/pagerank discipline); (2) the
+    iteration runs on the collected {PI_DIM}x{PI_DIM} model in pure
+    sequential Python floats whose multiply-add order equals the
+    oracle's list_reduce left fold exactly — bit-identical iterates,
+    no libm, no LAPACK.  Normalization divides by the (signed)
+    largest-magnitude component (lowest index on ties) instead of the
+    L2 norm: no sqrt, v[argmax] == 1.0 exactly, and the final scaling
+    factor IS the dominant-eigenvalue estimate.
+
+    Scale: the covariance is one explode-join-aggregate whose output is
+    dim^2 = {PI_DIM * PI_DIM} cells — the classic gram-matrix reduce
+    (map-side combined; at very large dim the mapInPandas per-partition
+    partial-sum kernel is the float-tolerant variant, noted as in
+    kmeans); the driver-side model is dim^2 doubles, domain-bounded
+    like kmeans centroids.  The oracle unrolls the same {PI_ITERS}
+    iterations as MATERIALIZED CTEs."""
+    emb = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    xi = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("x").alias("xi"))
+    means = xi.groupBy("i").agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(xi AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)"
+            " / count(*)"
+        ).alias("m")
+    )
+    xj = xi.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xj"))
+    mi = means.select("i", F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    prod = (
+        "CAST(floor(((CAST(xi AS DOUBLE) - mi) * (CAST(xj AS DOUBLE) - mj)) "
+        "* 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
+    )
+    cells = (
+        xi.join(xj, "vec_id")
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .groupBy("i", "j")
+        .agg(F.expr(f"CAST(sum({prod}) AS DOUBLE) / {n}").alias("c"))
+    )
+    rows = cells.collect()
+    cov = [[0.0] * PI_DIM for _ in range(PI_DIM)]
+    for r in rows:
+        cov[r["i"] - 1][r["j"] - 1] = r["c"]
+    v, lam = _pi_power_iteration(cov)
+    out = [
+        (d + 1, _pi_round6(v[d]), _pi_round6(lam)) for d in range(PI_DIM)
+    ]
+    return spark.createDataFrame(
+        out, "dim long, component_r6 double, eigenvalue_r6 double"
+    )
