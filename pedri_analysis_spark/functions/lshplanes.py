@@ -38,17 +38,6 @@ def _lit_array(dialect: str, values: tuple[float, ...]) -> str:
     return f"[{body}]"
 
 
-def planes_matrix(tables: int, bits: int, dim: int):
-    """All (tables*bits) planes as a float64 numpy matrix, row-major by
-    global plane index — the input to the vectorized Spark-side bucket
-    assignment (see plans.similarity_queries._bucket_keys_udf)."""
-    import numpy as np
-
-    return np.array(
-        [plane(p, dim) for p in range(tables * bits)], dtype=np.float64
-    )
-
-
 def dot_literal(dialect: str, vec_expr: str, values: tuple[float, ...]) -> str:
     """Sequential left-fold dot product of a vector column with a literal
     plane — the DuckDB-oracle formulation. (The Spark side does NOT use
@@ -69,16 +58,14 @@ def dot_literal(dialect: str, vec_expr: str, values: tuple[float, ...]) -> str:
     )
 
 
-def bucket_key(
-    dialect: str, vec_expr: str, table: int, bits: int, dim: int
-) -> str:
-    """LSH bucket for hash-table ``table``: ``bits`` sign bits packed into
-    one integer. Plane indices are globally unique per (table, bit)."""
-    terms = []
-    for b in range(bits):
-        d = dot_literal(dialect, vec_expr, plane(table * bits + b, dim))
-        terms.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << b} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+# NOTE: the r10-era fixed-k helpers (planes_matrix, bucket_key) were
+# REMOVED with the r11 adaptive-k/L switch: their (table * bits + b)
+# plane indexing contradicts the adaptive contract's fixed
+# (table * K_MAX + b) stride, so a stale caller would silently assign
+# buckets inconsistent with the shipped ann_lsh family.  The engine
+# builds its sliced plane array inline in
+# plans.similarity_queries._bucket_keys_udf; the oracle uses
+# bucket_key_adaptive below.
 
 
 def bucket_key_adaptive(

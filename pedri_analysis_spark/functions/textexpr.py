@@ -60,6 +60,29 @@ def chunk_of(dialect: str, id_expr: str, nch_expr: str, seed: str = "chunk") -> 
     return f"({seeded_hash64(dialect, f'CAST({id_expr} AS {cast})', seed)} % {nch_expr})"
 
 
+def floor_scaled_div(dialect: str, num: str, den: str, k: int) -> str:
+    """``floor(num * k / den)`` in pure BIGINT WITHOUT materializing
+    ``num * k`` — the overflow-safe quantization for corpus-scale sums
+    (r11 review fix): a segment revenue sum already near 2^63 would wrap
+    under ``sum * 10000`` in Spark while DuckDB promotes to HUGEINT, so
+    the engines silently diverge exactly at the scale the queries are
+    designed for.  Decomposition (exact for num >= 0, den > 0, PROVIDED
+    the RESULT floor(num*k/den) fits in BIGINT — a scaled MEAN is
+    row-magnitude; what the decomposition removes is the intermediate
+    ``sum * k``, which is corpus-magnitude):
+    ``(num div den) * k + ((num mod den) * k) div den`` — the residue is
+    < den, so the residue product is bounded by den * k.  Identical
+    truncated div/mod in both engines."""
+    d = "//" if dialect == DUCK else "div"
+    # k as an explicit BIGINT literal: DuckDB int literals are INT32 and
+    # Spark's are INT — either would overflow the residue product first
+    kb = f"{k}::BIGINT" if dialect == DUCK else f"CAST({k} AS BIGINT)"
+    return (
+        f"((({num}) {d} ({den})) * {kb} "
+        f"+ ((({num}) % ({den})) * {kb}) {d} ({den}))"
+    )
+
+
 DAY_US = 86_400_000_000
 
 

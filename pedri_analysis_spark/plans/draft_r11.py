@@ -76,7 +76,8 @@ def _boot_w(dialect: str) -> str:
     ),
     m AS (
       SELECT rep,
-             (sum(w * cents) * 10000) // sum(w) AS mean_micros
+             {tx.floor_scaled_div(tx.DUCK, 'sum(w * cents)', 'sum(w)', 10000)}
+               AS mean_micros
       FROM w GROUP BY rep
     ),
     ranked AS (
@@ -85,8 +86,12 @@ def _boot_w(dialect: str) -> str:
       FROM m
     ),
     pt AS (
-      SELECT (sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 10000) // count(*)
-               AS point_micros
+      SELECT {tx.floor_scaled_div(
+                  tx.DUCK,
+                  'sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))',
+                  'count(*)',
+                  10000,
+              )} AS point_micros
       FROM orders
     )
     SELECT pt.point_micros::BIGINT AS point_micros,
@@ -122,13 +127,17 @@ def q_bootstrap_ci_avg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = o.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))))
     w = reps.withColumn("w", F.expr(_boot_w(tx.SPARK)))
     m = w.groupBy("rep").agg(
-        F.expr("(sum(w * cents) * 10000) div sum(w)").alias("mean_micros")
+        F.expr(
+            tx.floor_scaled_div(tx.SPARK, "sum(w * cents)", "sum(w)", 10000)
+        ).alias("mean_micros")
     )
     ranked = m.withColumn(
         "rn", F.row_number().over(W.orderBy(F.asc("mean_micros")))
     )
     pt = o.agg(
-        F.expr("(sum(cents) * 10000) div count(*)").cast("bigint").alias("point_micros")
+        F.expr(tx.floor_scaled_div(tx.SPARK, "sum(cents)", "count(*)", 10000))
+        .cast("bigint")
+        .alias("point_micros")
     )
     lo = ranked.filter(F.col("rn") == BOOT_LO_RANK).select(
         F.col("mean_micros").cast("bigint").alias("ci_lo_micros")
@@ -188,8 +197,12 @@ def _vocab_ntile(n_expr: str, rank_expr: str, k: int) -> str:
     )
     SELECT vocab_decile, n_terms, occ,
            sum(occ) OVER (ORDER BY vocab_decile)::BIGINT AS cum_occ,
-           ((sum(occ) OVER (ORDER BY vocab_decile)) * 1000000
-              // (SELECT sum(occ) FROM per))::BIGINT AS cum_share_ppm
+           ({tx.floor_scaled_div(
+                tx.DUCK,
+                'sum(occ) OVER (ORDER BY vocab_decile)',
+                '(SELECT sum(occ) FROM per)',
+                1000000,
+            )})::BIGINT AS cum_share_ppm
     FROM per
     ORDER BY vocab_decile
     """,
@@ -256,7 +269,9 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_occ", F.sum("occ").over(wc).cast("bigint"))
         .withColumn(
             "cum_share_ppm",
-            F.expr("(cum_occ * 1000000) div occ_total").cast("bigint"),
+            F.expr(
+                tx.floor_scaled_div(tx.SPARK, "cum_occ", "occ_total", 1000000)
+            ).cast("bigint"),
         )
         .select("vocab_decile", "n_terms", "occ", "cum_occ", "cum_share_ppm")
         .orderBy("vocab_decile")
@@ -362,12 +377,16 @@ def q_stratified_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "theil_sen_monthly_trend",
-    """
+    f"""
     WITH pts AS (
       SELECT c.c_mktsegment AS segment,
              (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT AS mon,
-             (sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 10000) // count(*)
-               AS y_micros
+             {tx.floor_scaled_div(
+                 tx.DUCK,
+                 'sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))',
+                 'count(*)',
+                 10000,
+             )} AS y_micros
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ),
@@ -425,7 +444,11 @@ def q_theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         o.join(c, "o_custkey")
         .groupBy("segment", "mon")
-        .agg(F.expr("(sum(cents) * 10000) div count(*)").alias("y_micros"))
+        .agg(
+            F.expr(
+                tx.floor_scaled_div(tx.SPARK, "sum(cents)", "count(*)", 10000)
+            ).alias("y_micros")
+        )
     )
     p1 = pts.select("segment", F.col("mon").alias("m1"), F.col("y_micros").alias("y1"))
     p2 = pts.select("segment", F.col("mon").alias("m2"), F.col("y_micros").alias("y2"))
@@ -467,11 +490,15 @@ _MK_Z2_DEN = 10_000
 
 
 def _mk_pts_sql() -> str:
-    return """
+    return f"""
       SELECT c.c_mktsegment AS segment,
              (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT AS mon,
-             (sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-                * 10000) // count(*) AS y_micros
+             {tx.floor_scaled_div(
+                 tx.DUCK,
+                 'sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))',
+                 'count(*)',
+                 10000,
+             )} AS y_micros
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     """
@@ -537,7 +564,11 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         o.join(c, "o_custkey")
         .groupBy("segment", "mon")
-        .agg(F.expr("(sum(cents) * 10000) div count(*)").alias("y_micros"))
+        .agg(
+            F.expr(
+                tx.floor_scaled_div(tx.SPARK, "sum(cents)", "count(*)", 10000)
+            ).alias("y_micros")
+        )
     )
     p1 = pts.select("segment", F.col("mon").alias("m1"), F.col("y_micros").alias("y1"))
     p2 = pts.select("segment", F.col("mon").alias("m2"), F.col("y_micros").alias("y2"))

@@ -58,7 +58,7 @@ from pedri_analysis_spark.operators import chunking as chk
 from pedri_analysis_spark.operators import similarity as sim
 from pedri_analysis_spark.operators.clustering import _dist2
 from pedri_analysis_spark.plans.relational import QueryFn
-from pedri_analysis_spark.plans.similarity_queries import _dcos, spread
+from pedri_analysis_spark.plans.similarity_queries import EMB_DIM, _dcos, spread
 from pedri_analysis_spark.sources.tables import load_table
 
 QUERIES: dict[str, QueryFn] = {}
@@ -87,6 +87,11 @@ def _r6_sql(e: str) -> str:
 DSIR_BUCKETS = 256  # hashed feature space (DSIR §2.2 uses hashed n-grams)
 DSIR_TARGET_LANG = "en"  # the target distribution: English documents
 DSIR_SELECT_K = 200  # docs selected by importance rank
+# weight clipping (standard importance-sampling variance control, and
+# here also the overflow bound): a rest-count of 0 makes the raw ratio
+# corpus-magnitude, and 10^9 micro (= ratio 1000x) already dominates any
+# realistic per-doc sum while keeping score <= n_bigrams * 10^9 in BIGINT
+DSIR_RATIO_CAP_MICRO = 1_000_000_000
 
 
 def _ngrams_pos(dialect: str, toks: str, n: int) -> str:
@@ -134,8 +139,12 @@ def _ngrams_pos(dialect: str, toks: str, n: int) -> str:
     ),
     ratio AS (
       SELECT bk.b,
-             ((coalesce(t.ct, 0) + 1) * 1000000)
-               // (coalesce(o.co, 0) + 1) AS r_micro
+             least({tx.floor_scaled_div(
+                 tx.DUCK,
+                 'coalesce(t.ct, 0) + 1',
+                 'coalesce(o.co, 0) + 1',
+                 1000000,
+             )}, {DSIR_RATIO_CAP_MICRO}::BIGINT) AS r_micro
       FROM (SELECT unnest(range({DSIR_BUCKETS})) AS b) bk
       LEFT JOIN tcnt t ON t.b = bk.b
       LEFT JOIN ocnt o ON o.b = bk.b
@@ -178,11 +187,15 @@ def q_importance_resampling_select(spark: SparkSession, sf_dir: str) -> DataFram
     likelihood-ratio needs log(), whose last-ulp behaviour differs
     across libm implementations, so the cross-engine contract scores
     with the integer-quantized likelihood RATIO instead —
-    r_micro(b) = ((cnt_target(b)+1) * 10^6) // (cnt_rest(b)+1), pure
-    BIGINT cross-multiplication (Laplace-smoothed), summed over the
-    document's bigram occurrences.  Monotone in each feature's
-    likelihood ratio; heavier-tailed than the log form (stated, not
-    hidden).  Ranks break ties on doc_id.
+    r_micro(b) = floor((cnt_target(b)+1) * 10^6 / (cnt_rest(b)+1)) via
+    the overflow-safe tx.floor_scaled_div decomposition
+    (Laplace-smoothed), CLIPPED at {DSIR_RATIO_CAP_MICRO} micro — the
+    standard importance-weight clipping (variance control in any
+    self-normalized importance sampler), which here also bounds the
+    per-doc score sum in BIGINT at any corpus size — and summed over
+    the document's bigram occurrences.  Monotone in each feature's
+    likelihood ratio below the clip; heavier-tailed than the log form
+    (stated, not hidden).  Ranks break ties on doc_id.
 
     Scale: one explode to (doc, bucket) rows; two bucket-domain
     aggregations (map-side combined, {DSIR_BUCKETS} rows out); the
@@ -220,7 +233,8 @@ def q_importance_resampling_select(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "b",
             F.expr(
-                "((coalesce(ct, 0) + 1) * 1000000) div (coalesce(co, 0) + 1)"
+                f"least({tx.floor_scaled_div(tx.SPARK, 'coalesce(ct, 0) + 1', 'coalesce(co, 0) + 1', 1000000)}, "
+                f"CAST({DSIR_RATIO_CAP_MICRO} AS BIGINT))"
             ).alias("r_micro"),
         )
     )
@@ -263,11 +277,14 @@ def q_importance_resampling_select(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 KCENTER_K = 6
+# tied to the shared EMB_DIM so a dimensionality change cannot silently
+# diverge the engines: past-the-end DuckDB list indexing yields NULL
+# (folding the whole distance to NULL) while Spark's zip_with truncates
 _D2_DUCK = (
-    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+    f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
     "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
     ")), (acc, v) -> acc + v)"
-)
+)  # {a}/{b} are .format placeholders (only the first segment is an f-string)
 
 
 def _kcenter_oracle() -> str:
@@ -336,30 +353,27 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-bounded).  The oracle unrolls the same {KCENTER_K}
     iterations as chained CTEs."""
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").persist()
-    first = emb.orderBy(F.asc("vec_id")).limit(1)
-    c0 = first.collect()[0]
-    centers = [list(c0["embedding"])]
-    out = first.select(
-        F.lit(0).cast("bigint").alias("sel_round"),
-        "vec_id",
-        F.lit(0.0).alias("min_d2_r6"),
-    )
-    md = _dist2("embedding", centers[0])
+    c0 = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    # every round's argmax row is collected anyway (the next center's
+    # vector is needed driver-side), so the result is assembled from
+    # those rows directly — the power_iteration pattern; re-deriving it
+    # from a union of limit-1 frames would re-run every TakeOrdered
+    # scan a second time when the returned frame evaluates
+    rows = [(0, c0["vec_id"], 0.0)]
+    md = _dist2("embedding", list(c0["embedding"]))
     for i in range(1, KCENTER_K):
-        scored = emb.select("vec_id", "embedding", md.alias("md"))
-        pick_frame = scored.orderBy(F.desc("md"), F.asc("vec_id")).limit(1)
-        out = out.unionByName(
-            pick_frame.select(
-                F.lit(i).cast("bigint").alias("sel_round"),
-                "vec_id",
-                sim.round6(F.col("md")).alias("min_d2_r6"),
-            )
+        pick = (
+            emb.select("vec_id", "embedding", md.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
         )
+        rows.append((i, pick["vec_id"], _pi_round6(pick["md"])))
         if i < KCENTER_K - 1:
-            pick = pick_frame.collect()[0]
-            centers.append(list(pick["embedding"]))
-            md = F.least(md, _dist2("embedding", centers[-1]))
-    return out
+            md = F.least(md, _dist2("embedding", list(pick["embedding"])))
+    return spark.createDataFrame(
+        rows, "sel_round long, vec_id long, min_d2_r6 double"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -937,8 +951,8 @@ def q_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     gtot AS (SELECT sum(c)::BIGINT AS n FROM st),
     cells AS (
       SELECT s.source,
-             abs((coalesce(st.c, 0) * 1000000) // s.n_s
-                 - (gt.g * 1000000) // g2.n) AS d_ppm
+             abs({tx.floor_scaled_div(tx.DUCK, 'coalesce(st.c, 0)', 's.n_s', 1000000)}
+                 - {tx.floor_scaled_div(tx.DUCK, 'gt.g', 'g2.n', 1000000)}) AS d_ppm
       FROM gt
       CROSS JOIN stot s
       CROSS JOIN gtot g2
@@ -986,8 +1000,8 @@ def q_source_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.expr(
-                "abs((coalesce(c, 0) * 1000000) div n_s"
-                " - (g * 1000000) div n)"
+                f"abs({tx.floor_scaled_div(tx.SPARK, 'coalesce(c, 0)', 'n_s', 1000000)}"
+                f" - {tx.floor_scaled_div(tx.SPARK, 'g', 'n', 1000000)})"
             ).alias("d_ppm"),
         )
     )
@@ -1272,6 +1286,9 @@ def q_negative_hardness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             "hh"
         ),
     )
+    # persist: r feeds BOTH sides of the successor self-join — without it
+    # the full-corpus md5 hash scan and the per-band rank shuffle run
+    # twice per evaluation (the ann_lsh recompute hazard)
     r = h.select(
         "vec_id",
         "embedding",
@@ -1279,7 +1296,7 @@ def q_negative_hardness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.row_number()
         .over(W.partitionBy(F.col("hh") % NEG_BANDS).orderBy("hh", "vec_id"))
         .alias("rn"),
-    )
+    ).persist()
     a = r.select("band", "rn", F.col("embedding").alias("va"))
     b = r.select("band", (F.col("rn") - 1).alias("rn"), F.col("embedding").alias("vb"))
     pairs = a.join(b, ["band", "rn"]).select(
@@ -1367,7 +1384,7 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "seasonal_naive_backtest",
-    """
+    f"""
     WITH daily AS (
       SELECT o_orderdate AS d,
              sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
@@ -1377,7 +1394,8 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.d,
              abs(t.cents - l.cents) AS abs_err_cents,
-             (abs(t.cents - l.cents) * 1000000) // t.cents AS ape_ppm
+             {tx.floor_scaled_div(tx.DUCK, 'abs(t.cents - l.cents)', 't.cents', 1000000)}
+               AS ape_ppm
       FROM daily t JOIN daily l ON l.d = t.d - INTERVAL 7 DAY
       WHERE t.cents > 0
     )
@@ -1418,7 +1436,11 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cents") > 0)
         .select(
             F.expr("abs(cents - lag_cents)").alias("abs_err_cents"),
-            F.expr("(abs(cents - lag_cents) * 1000000) div cents").alias("ape_ppm"),
+            F.expr(
+                tx.floor_scaled_div(
+                    tx.SPARK, "abs(cents - lag_cents)", "cents", 1000000
+                )
+            ).alias("ape_ppm"),
         )
     )
     return scored.agg(
@@ -1436,9 +1458,8 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONF_ALPHA_PCT = 10  # nominal 90% intervals
 
 
-@_register(
-    "split_conformal_coverage",
-    f"""
+def _conformal_oracle() -> str:
+    return f"""
     WITH base AS (
       SELECT c.c_mktsegment AS segment,
              CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -1449,7 +1470,8 @@ CONF_ALPHA_PCT = 10  # nominal 90% intervals
     ),
     model AS (
       SELECT segment,
-             (sum(cents) * 10000) // count(*) AS mean_micros,
+             {tx.floor_scaled_div(tx.DUCK, 'sum(cents)', 'count(*)', 10000)}
+               AS mean_micros,
              count(*)::BIGINT AS n_cal
       FROM base WHERE fold = 0 GROUP BY segment
     ),
@@ -1480,18 +1502,21 @@ CONF_ALPHA_PCT = 10  # nominal 90% intervals
     SELECT b.segment,
            min(m.n_cal) AS n_cal,
            count(*)::BIGINT AS n_eval,
-           min(t.q_dollars) AS q_dollars,
-           ((sum(CASE WHEN abs(b.cents * 10000 - m.mean_micros) // 1000000
+           coalesce(min(t.q_dollars), -1)::BIGINT AS q_dollars,
+           ((sum(CASE WHEN t.segment IS NULL
+                        OR abs(b.cents * 10000 - m.mean_micros) // 1000000
                            <= t.q_dollars
                       THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
              AS coverage_ppm
     FROM base b
     JOIN model m ON m.segment = b.segment
-    JOIN thresh t ON t.segment = b.segment
+    LEFT JOIN thresh t ON t.segment = b.segment
     WHERE b.fold = 1
     GROUP BY b.segment
-    """,
-)
+    """
+
+
+@_register("split_conformal_coverage", _conformal_oracle())
 def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (Vovk et al.; the
     distribution-free coverage guarantee every ML-deployment eval now
@@ -1508,7 +1533,13 @@ def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     conformal guarantee — quantization is part of the score, stated
     not hidden); the quantile is exact by cumulative counts over the
     score domain (min score with cum >= ceil), cross-multiplied in
-    integers to avoid ceil-of-float.
+    integers to avoid ceil-of-float; means use the overflow-safe
+    tx.floor_scaled_div decomposition (corpus-magnitude sums are never
+    multiplied).  A calibration fold too small for a finite quantile
+    (n_cal < 9 at alpha = 0.1) gets the conformal convention
+    q = +infinity — the interval covers everything (q_dollars = -1
+    sentinel, coverage 10^6 ppm) — rather than silently vanishing from
+    the report; the forced-alpha test pins this branch cross-engine.
 
     Scale: two fact passes (model fit, eval) with map-side combine;
     the quantile's ranking window runs over the (segment, dollar)
@@ -1535,7 +1566,9 @@ def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("fold") == 0)
         .groupBy("segment")
         .agg(
-            F.expr("(sum(cents) * 10000) div count(*)").alias("mean_micros"),
+            F.expr(
+                tx.floor_scaled_div(tx.SPARK, "sum(cents)", "count(*)", 10000)
+            ).alias("mean_micros"),
             F.count(F.lit(1)).cast("bigint").alias("n_cal"),
         )
     )
@@ -1569,14 +1602,21 @@ def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.filter(F.col("fold") == 1)
         .join(F.broadcast(model), "segment")
-        .join(F.broadcast(thresh), "segment")
+        # LEFT: a calibration fold below ceil((1-a)(n+1)) rows (n_cal < 9
+        # at alpha=0.1) has NO finite threshold — the conformal
+        # convention is q = +inf, i.e. the interval covers everything;
+        # an inner join would silently drop the segment from the report
+        .join(F.broadcast(thresh), "segment", "left")
         .groupBy("segment")
         .agg(
             F.min("n_cal").alias("n_cal"),
             F.count(F.lit(1)).cast("bigint").alias("n_eval"),
-            F.min("q_dollars").alias("q_dollars"),
+            F.coalesce(F.min("q_dollars"), F.lit(-1)).cast("bigint").alias(
+                "q_dollars"
+            ),
             F.expr(
-                "CAST((sum(CASE WHEN abs(cents * 10000 - mean_micros) "
+                "CAST((sum(CASE WHEN q_dollars IS NULL "
+                "OR abs(cents * 10000 - mean_micros) "
                 "div 1000000 <= q_dollars THEN 1 ELSE 0 END) * 1000000) "
                 "div count(*) AS BIGINT)"
             ).alias("coverage_ppm"),
@@ -1589,7 +1629,7 @@ def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PI_ITERS = 5
-PI_DIM = 64  # embeddings dimensionality (EMB_DIM)
+PI_DIM = EMB_DIM  # embeddings dimensionality, single definition
 
 
 def _pi_round6(x: float) -> float:
@@ -1619,9 +1659,11 @@ def _pi_power_iteration(cov: list[list[float]]) -> tuple[list[float], float]:
             if abs(w[i]) > abs(w[k]):  # strict >: lowest-index tie-break
                 k = i
         lam = w[k]
-        if lam == 0.0:  # degenerate (all-zero covariance): stop normalizing
-            break
-        v = [x / lam for x in w]
+        # degenerate all-zero matvec: skip normalization (w unchanged) —
+        # the SAME rule the oracle's CASE applies, so a zero dominant
+        # component cannot diverge the engines (Python would raise on
+        # /0.0 while SQL yields NaN)
+        v = w if lam == 0.0 else [x / lam for x in w]
     return v, lam
 
 
@@ -1675,7 +1717,8 @@ def _pi_oracle() -> str:
         if k < PI_ITERS:
             ctes.append(
                 f"""v{k} AS (
-      SELECT list(w.w / k.w ORDER BY w.i) AS l
+      SELECT list(CASE WHEN k.w = 0.0 THEN w.w ELSE w.w / k.w END
+                  ORDER BY w.i) AS l
       FROM w{k} w CROSS JOIN k{k} k GROUP BY k.w
     )"""
             )
@@ -1684,7 +1727,8 @@ def _pi_oracle() -> str:
         + ",\n    ".join(ctes)
         + f"""
     SELECT w.i::BIGINT AS dim,
-           {r6('w.w / k.w')} AS component_r6,
+           {r6('CASE WHEN k.w = 0.0 THEN w.w ELSE w.w / k.w END')}
+             AS component_r6,
            {r6('k.w')} AS eigenvalue_r6
     FROM w{PI_ITERS} w CROSS JOIN k{PI_ITERS} k
     """

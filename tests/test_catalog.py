@@ -242,7 +242,7 @@ def test_stamp_latest_promotes_rewritten_query_back_to_green(tmp_path, monkeypat
     assert registry._ordered(names) == ["q", "other"]
 
     # round-start protocol: stamp the newest round's greens
-    monkeypatch.setattr(usm, "_all_fns", lambda: names)
+    monkeypatch.setattr(usm, "_all_fns", lambda: (names, True))
     manifest = usm.stamp_latest()
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)

@@ -107,3 +107,27 @@ def test_kcenter_rounds_cover_radius_monotone(spark):
     assert len(set(ids)) == len(ids)
     radii = [r["min_d2_r6"] for r in rows[1:]]  # round 0 is the seed (0.0)
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_conformal_infinite_threshold_branch(spark, duck, monkeypatch):
+    """A calibration fold too small for a finite quantile must yield the
+    conformal q=+infinity convention (cover everything), not a silently
+    dropped segment.  Forcing alpha=0 makes ceil((n+1)*100%) > n for
+    EVERY segment, so the branch runs for all of them — and must still
+    hash-match the oracle."""
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    monkeypatch.setattr(d, "CONF_ALPHA_PCT", 0)
+    assert_query_matches_oracle(
+        spark,
+        duck,
+        d.QUERIES["split_conformal_coverage"],
+        d._conformal_oracle(),
+    )
+    rows = d.QUERIES["split_conformal_coverage"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "every segment must survive the LEFT join"
+    for r in rows:
+        assert r["q_dollars"] == -1  # the +infinity sentinel
+        assert r["coverage_ppm"] == 1_000_000

@@ -42,11 +42,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pedri_analysis_spark.plans import registry  # noqa: E402
 
 
-def _all_fns() -> dict[str, object]:
+def _all_fns() -> tuple[dict[str, object], bool]:
+    """(name -> fn, complete) — ``complete`` is False when any query
+    module failed to import (registry._modules warns and drops it).
+    Pruning decisions must never run on an incomplete registry: deleting
+    a dropped family's stamps would force every one of its queries back
+    through the re-prove tier."""
+    import warnings as _warnings
+
     out: dict[str, object] = {}
-    for mod in registry._modules():
-        out.update(mod.QUERIES)
-    return out
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        for mod in registry._modules():
+            out.update(mod.QUERIES)
+    dropped = any(issubclass(w.category, RuntimeWarning) for w in caught)
+    return out, not dropped
 
 
 def _round_commits() -> dict[int, str]:
@@ -78,7 +88,7 @@ def _git_show(commit: str, relpath: str) -> str | None:
 
 
 def bootstrap() -> dict[str, dict]:
-    fns = _all_fns()
+    fns, _complete = _all_fns()
     last_green, _ = registry._verification_history()
     commits = _round_commits()
     texts: dict[tuple[str, str], str | None] = {}
@@ -114,11 +124,17 @@ def stamp_latest() -> dict[str, dict]:
     manifest_path = registry._MANIFEST_PATH
     try:
         with open(manifest_path, encoding="utf-8") as f:
-            manifest = json.load(f)
-        assert isinstance(manifest, dict)
+            raw = json.load(f)
+        assert isinstance(raw, dict)
     except (OSError, ValueError, AssertionError):
-        manifest = {}
-    fns = _all_fns()
+        raw = {}
+    # tolerate malformed entries the same way registry._manifest() does
+    manifest = {
+        n: e
+        for n, e in raw.items()
+        if isinstance(e, dict) and isinstance(e.get("hash"), str)
+    }
+    fns, complete = _all_fns()
     # newest CORRECTNESS file only: its green rows were proven against
     # the code currently on disk (run this BEFORE editing query source)
     import glob as _glob
@@ -148,8 +164,18 @@ def stamp_latest() -> dict[str, dict]:
             continue
         manifest[name] = {"hash": h, "round": rnd}
         n += 1
-    # prune entries for queries that no longer exist
-    manifest = {k: v for k, v in manifest.items() if k in fns}
+    # prune entries for queries that no longer exist — but ONLY when the
+    # registry imported completely: with a module dropped, its queries
+    # are merely invisible, and deleting their proven stamps would burn
+    # a re-prove window slot each, next round
+    if complete:
+        manifest = {k: v for k, v in manifest.items() if k in fns}
+    else:
+        print(
+            "registry incomplete (module import warning) — stamp-only, "
+            "no pruning",
+            file=sys.stderr,
+        )
     print(f"stamped {n} green queries from round {rnd}", file=sys.stderr)
     return manifest
 
@@ -166,7 +192,11 @@ def main() -> int:
     with open(registry._MANIFEST_PATH, "w", encoding="utf-8") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1, sort_keys=True)
         f.write("\n")
-    unknown = [n for n, e in manifest.items() if e["hash"].startswith("UNKNOWN")]
+    unknown = [
+        n
+        for n, e in manifest.items()
+        if str(e.get("hash", "")).startswith("UNKNOWN")
+    ]
     print(f"wrote {len(manifest)} stamps -> {registry._MANIFEST_PATH}")
     if unknown:
         print(f"unresolvable at their green tree (will re-prove): {unknown}")
