@@ -36,7 +36,23 @@ def main() -> int:
     from pedri_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="ab-bench")
-    queries = all_queries()
+    queries = dict(all_queries())
+    # staged draft modules are probed on staging day (SCALE.md protocol)
+    # but are not registered yet — make them addressable here too
+    import glob as _glob
+
+    for path in _glob.glob(
+        os.path.join(root, "pedri_analysis_spark", "plans", "draft_*.py")
+    ):
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            mod = __import__(
+                f"pedri_analysis_spark.plans.{name}", fromlist=[name]
+            )
+        except Exception:
+            continue
+        for qn, fn in getattr(mod, "QUERIES", {}).items():
+            queries.setdefault(qn, fn)
     spark.range(1000).selectExpr("sum(id)").collect()
 
     import pandas as pd
