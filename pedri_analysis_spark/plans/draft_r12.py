@@ -90,8 +90,22 @@ DSIR_SELECT_K = 200  # docs selected by importance rank
 # weight clipping (standard importance-sampling variance control, and
 # here also the overflow bound): a rest-count of 0 makes the raw ratio
 # corpus-magnitude, and 10^9 micro (= ratio 1000x) already dominates any
-# realistic per-doc sum while keeping score <= n_bigrams * 10^9 in BIGINT
+# realistic per-doc sum while keeping score <= n_bigrams * 10^9 in BIGINT.
+# The clip guards the INPUT (num >= 1000 * den, cross-multiplied in
+# integers) so the division is never evaluated in the over-cap regime —
+# a least() on the OUTPUT would overflow first: with den = 1 the
+# quotient * 10^6 term wraps in Spark / errors in DuckDB before least()
+# ever runs (r11 review, verified).
+DSIR_RATIO_CAP = 1000  # = CAP_MICRO / 10^6
 DSIR_RATIO_CAP_MICRO = 1_000_000_000
+
+
+def _dsir_ratio(dialect: str, num: str, den: str) -> str:
+    return (
+        f"(CASE WHEN ({num}) >= {DSIR_RATIO_CAP} * ({den}) "
+        f"THEN {DSIR_RATIO_CAP_MICRO} "
+        f"ELSE {tx.floor_scaled_div(dialect, num, den, 1000000)} END)"
+    )
 
 
 def _ngrams_pos(dialect: str, toks: str, n: int) -> str:
@@ -139,12 +153,8 @@ def _ngrams_pos(dialect: str, toks: str, n: int) -> str:
     ),
     ratio AS (
       SELECT bk.b,
-             least({tx.floor_scaled_div(
-                 tx.DUCK,
-                 'coalesce(t.ct, 0) + 1',
-                 'coalesce(o.co, 0) + 1',
-                 1000000,
-             )}, {DSIR_RATIO_CAP_MICRO}::BIGINT) AS r_micro
+             {_dsir_ratio(tx.DUCK, 'coalesce(t.ct, 0) + 1', 'coalesce(o.co, 0) + 1')}
+               AS r_micro
       FROM (SELECT unnest(range({DSIR_BUCKETS})) AS b) bk
       LEFT JOIN tcnt t ON t.b = bk.b
       LEFT JOIN ocnt o ON o.b = bk.b
@@ -233,8 +243,7 @@ def q_importance_resampling_select(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "b",
             F.expr(
-                f"least({tx.floor_scaled_div(tx.SPARK, 'coalesce(ct, 0) + 1', 'coalesce(co, 0) + 1', 1000000)}, "
-                f"CAST({DSIR_RATIO_CAP_MICRO} AS BIGINT))"
+                _dsir_ratio(tx.SPARK, "coalesce(ct, 0) + 1", "coalesce(co, 0) + 1")
             ).alias("r_micro"),
         )
     )
@@ -330,6 +339,18 @@ def _kcenter_oracle() -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
 
 
+def _kcenter_pick_frame(emb: DataFrame, md) -> DataFrame:
+    """One traversal round's EAGER-phase plan (distance map + argmax) —
+    factored out so tests can lint the frames that do the distributed
+    work: the query's returned frame is a driver-assembled local
+    relation the generic plan sweep sees as a trivial LocalTableScan."""
+    return (
+        emb.select("vec_id", "embedding", md.alias("md"))
+        .orderBy(F.desc("md"), F.asc("vec_id"))
+        .limit(1)
+    )
+
+
 @_register("kcenter_coreset", _kcenter_oracle())
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
@@ -362,12 +383,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(0, c0["vec_id"], 0.0)]
     md = _dist2("embedding", list(c0["embedding"]))
     for i in range(1, KCENTER_K):
-        pick = (
-            emb.select("vec_id", "embedding", md.alias("md"))
-            .orderBy(F.desc("md"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
+        pick = _kcenter_pick_frame(emb, md).collect()[0]
         rows.append((i, pick["vec_id"], _pi_round6(pick["md"])))
         if i < KCENTER_K - 1:
             md = F.least(md, _dist2("embedding", list(pick["embedding"])))
@@ -1735,6 +1751,36 @@ def _pi_oracle() -> str:
     )
 
 
+def _pi_cells(emb: DataFrame, n: int) -> DataFrame:
+    """The EAGER-phase covariance plan (explode-join-aggregate to dim^2
+    cells) — factored out so tests can lint the frame that does the
+    distributed work: the query's returned frame is a driver-assembled
+    local relation the generic plan sweep sees as a LocalTableScan."""
+    xi = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("x").alias("xi"))
+    means = xi.groupBy("i").agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(xi AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)"
+            " / count(*)"
+        ).alias("m")
+    )
+    xj = xi.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xj"))
+    mi = means.select("i", F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    prod = (
+        "CAST(floor(((CAST(xi AS DOUBLE) - mi) * (CAST(xj AS DOUBLE) - mj)) "
+        "* 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
+    )
+    return (
+        xi.join(xj, "vec_id")
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .groupBy("i", "j")
+        .agg(F.expr(f"CAST(sum({prod}) AS DOUBLE) / {n}").alias("c"))
+    )
+
+
 @_register("power_iteration_top_pc", _pi_oracle())
 def q_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus: exact
@@ -1767,31 +1813,7 @@ def q_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "embedding"
     )
-    n = emb.count()
-    xi = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("x").alias("xi"))
-    means = xi.groupBy("i").agg(
-        F.expr(
-            "CAST(sum(CAST(CAST(xi AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)"
-            " / count(*)"
-        ).alias("m")
-    )
-    xj = xi.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xj"))
-    mi = means.select("i", F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
-    prod = (
-        "CAST(floor(((CAST(xi AS DOUBLE) - mi) * (CAST(xj AS DOUBLE) - mj)) "
-        "* 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
-    )
-    cells = (
-        xi.join(xj, "vec_id")
-        .join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .groupBy("i", "j")
-        .agg(F.expr(f"CAST(sum({prod}) AS DOUBLE) / {n}").alias("c"))
-    )
-    rows = cells.collect()
+    rows = _pi_cells(emb, emb.count()).collect()
     cov = [[0.0] * PI_DIM for _ in range(PI_DIM)]
     for r in rows:
         cov[r["i"] - 1][r["j"] - 1] = r["c"]

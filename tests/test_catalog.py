@@ -252,3 +252,29 @@ def test_stamp_latest_promotes_rewritten_query_back_to_green(tmp_path, monkeypat
     assert registry._ordered(names) == ["q", "other"]
     key_q = registry._manifest()["q"]
     assert key_q == "new-hash"
+
+
+def test_manifest_tool_refuses_incomplete_registry(monkeypatch):
+    """bootstrap REWRITES the manifest, so it must refuse when a query
+    module failed to import (its family's stamps would silently vanish);
+    stamp_latest proceeds but must skip pruning."""
+    import warnings
+
+    import pytest as _pytest
+
+    from pedri_analysis_spark.plans import registry
+    from tools import update_source_manifest as usm
+
+    def broken_modules():
+        warnings.warn(
+            "query module 'text_queries' dropped from registry: boom",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return []
+
+    monkeypatch.setattr(registry, "_modules", broken_modules)
+    fns, complete = usm._all_fns()
+    assert fns == {} and complete is False
+    with _pytest.raises(SystemExit):
+        usm.bootstrap()

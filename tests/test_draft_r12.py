@@ -131,3 +131,35 @@ def test_conformal_infinite_threshold_branch(spark, duck, monkeypatch):
     for r in rows:
         assert r["q_dollars"] == -1  # the +infinity sentinel
         assert r["coverage_ppm"] == 1_000_000
+
+
+def test_eager_phase_plans_pass_lint(spark):
+    """kcenter_coreset and power_iteration_top_pc return driver-assembled
+    local relations (their per-round argmax / covariance work runs
+    eagerly inside the query), so the generic plan-invariant sweep lints
+    only a LocalTableScan — this lints the EAGER frames that do the
+    distributed work, via the same factored builders the queries call."""
+    from pyspark.sql import functions as F
+
+    from pedri_analysis_spark.operators.clustering import _dist2
+    from pedri_analysis_spark.plans import draft_r12 as d
+    from pedri_analysis_spark.sources.tables import load_table
+    from tools.plan_lint import lint_plan
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01").select(
+        "vec_id", "embedding"
+    )
+    c0 = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    frames = {
+        "kcenter_pick": d._kcenter_pick_frame(
+            emb, _dist2("embedding", list(c0["embedding"]))
+        ),
+        "pi_cells": d._pi_cells(emb, emb.count()),
+    }
+    for name, frame in frames.items():
+        facts = lint_plan(
+            frame._jdf.queryExecution().executedPlan().toString()
+        )
+        assert not facts["cartesian"], name
+        assert not facts["python"], name
+        assert not facts["bnlj"], name

@@ -49,7 +49,10 @@ def main() -> int:
             mod = __import__(
                 f"pedri_analysis_spark.plans.{name}", fromlist=[name]
             )
-        except Exception:
+        except Exception as exc:
+            # loud, not silent: a draft that fails to import would
+            # otherwise surface as a phantom KeyError on the query name
+            print(f"draft module {name} failed to import: {exc!r}", file=sys.stderr)
             continue
         for qn, fn in getattr(mod, "QUERIES", {}).items():
             queries.setdefault(qn, fn)

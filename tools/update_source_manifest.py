@@ -55,7 +55,17 @@ def _all_fns() -> tuple[dict[str, object], bool]:
         _warnings.simplefilter("always")
         for mod in registry._modules():
             out.update(mod.QUERIES)
-    dropped = any(issubclass(w.category, RuntimeWarning) for w in caught)
+    dropped = False
+    for w in caught:
+        # re-emit everything recording suppressed (catch_warnings eats
+        # the stderr display) and flag ONLY the registry's own
+        # module-drop warning — an unrelated library RuntimeWarning must
+        # not disable pruning forever
+        print(f"  warning: {w.message}", file=sys.stderr)
+        if issubclass(w.category, RuntimeWarning) and (
+            "dropped from registry" in str(w.message)
+        ):
+            dropped = True
     return out, not dropped
 
 
@@ -88,7 +98,15 @@ def _git_show(commit: str, relpath: str) -> str | None:
 
 
 def bootstrap() -> dict[str, dict]:
-    fns, _complete = _all_fns()
+    fns, complete = _all_fns()
+    if not complete:
+        # bootstrap REWRITES the whole manifest: proceeding with a
+        # dropped module would silently erase that family's stamps and
+        # force every one of its queries through the re-prove tier
+        raise SystemExit(
+            "refusing to bootstrap: a query module failed to import "
+            "(see warning above) — fix the import and re-run"
+        )
     last_green, _ = registry._verification_history()
     commits = _round_commits()
     texts: dict[tuple[str, str], str | None] = {}
