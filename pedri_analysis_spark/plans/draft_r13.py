@@ -1,0 +1,1055 @@
+"""Draft queries staged for r13 registration (NOT in the registry).
+
+Staged-draft protocol (r10→r12): fully implemented, oracle-paired,
+plan-invariant-pinned and proven green by tests/test_draft_r13.py under
+the driver-identical comparison THIS round; registering later is one
+line in ``registry._modules``.  The r12 verification window is already
+spoken for (15 r12 drafts + the r07 stale drain), so this wave targets
+r13.
+
+Determinism discipline (unchanged): integer / DECIMAL arithmetic only,
+hash-seeded pseudo-randomness, total orders on every rank, ratio
+quantization via ``tx.floor_scaled_div`` (overflow-safe integer
+cross-multiplication) — never libm.  Scale discipline: pair stages are
+calendar- or domain-bounded, graph iterations are fixed and unrolled in
+the oracle, global scalars ride 1-row broadcast frames.
+
+Wave D families and the public designs they implement:
+- sessionization_gap_stats — gap-based batch sessionization (the
+  classic 30-minute-inactivity web-analytics session cut), per-user
+  session stats.  Complements the STREAMING session_windows query with
+  the batch/backfill formulation.
+- max_concurrent_orders — interval sweep-line peak concurrency (+1/-1
+  event deltas, running sum), per nation.  The standard "max in-flight"
+  operator interval self-joins cannot express at scale.
+- spearman_corr_suppliers — Spearman rank correlation (1904) between
+  supplier account balance and realized supply revenue, per nation;
+  exact via integer rank differences (rho = 1 - 6*sum(d^2)/(n(n^2-1))).
+- kendall_tau_daily — Kendall tau-a (1938) between daily order count
+  and daily revenue within each month; concordant/discordant pair
+  counts over calendar-bounded day pairs (<=465/month at ANY corpus
+  size).  Distinct from mann_kendall_trend (draft_r11): that tests one
+  series against TIME; this correlates two series with each other.
+- hits_hubs_authorities — Kleinberg's HITS (JACM 1999) on the directed
+  supplier→customer shipment graph, two full hub/authority rounds with
+  integer max-normalization, unrolled in the oracle like PageRank/LPA.
+- ndcg_eval_topk — NDCG@10 of the IVF index against the exact cosine
+  ranking (Järvelin & Kekäläinen 2002), with the 1/log2(i+1) discounts
+  as precomputed integer micro-weight literals (both engines see the
+  same constants; no runtime libm).  Completes the retrieval-eval
+  family: recall@k audits (ivf/sq/pq/matryoshka) are rank-blind, NDCG
+  is rank-sensitive.
+- ks_drift_doclen — exact two-sample Kolmogorov–Smirnov distance
+  between per-source document-length distributions on a binned domain
+  (KS = max |F1-F2| via integer cross-multiplied CDF counts).
+  Complements distribution_drift_chisq (density) with the sup-CDF
+  drift statistic.
+- bloom_filter_fpr_audit — measured Bloom-filter false-positive rate
+  (Bloom 1970): k seeded hash positions per key, membership by
+  all-positions-set join, FPR measured against known-disjoint probe
+  keys.  The audit a runtime-filter (bloom join) deployment runs to
+  size m/k.
+
+Reference parity: none of these exist in the reference engine
+(/root/reference/core/pedri_analysis.py has no correlation, graph,
+ranking-eval, drift or sketch operators) — they extend the
+training-data-pipeline surface the way SURVEY.md §2's "beyond the
+reference" mandate prescribes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import similarity as sim
+from pedri_analysis_spark.operators import spread
+from pedri_analysis_spark.plans.relational import (
+    QueryFn,
+    events_us,
+    factor,
+    money,
+)
+from pedri_analysis_spark.plans.similarity_queries import (
+    N_CENTROIDS,
+    NPROBE,
+    _dcos,
+)
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Gap-based batch sessionization (events)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # the classic 30-minute inactivity cut
+
+
+@_register(
+    "sessionization_gap_stats",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    per AS (
+      SELECT user_id, sid,
+             count(*)::BIGINT AS n_ev,
+             (max(ts_us) - min(ts_us))::BIGINT AS span_us
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           sum(n_ev)::BIGINT AS n_events,
+           max(n_ev)::BIGINT AS max_session_events,
+           max(span_us)::BIGINT AS max_session_span_us
+    FROM per GROUP BY user_id
+    """,
+)
+def q_sessionization_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a user's events split into sessions wherever
+    the inactivity gap exceeds 30 minutes; per-user session stats.
+
+    Determinism: the event order within a user is totalized by
+    (ts_us, event_id), so the lag/cumsum session ids are unambiguous
+    even under timestamp ties.
+
+    Scale: both windows and both aggregations share ONE partitioning —
+    user_id — so the whole query is a single shuffle however large the
+    event log; per-user state is bounded by that user's history (the
+    same contract the streaming session_windows query keeps with
+    watermarks).  No global window, no driver state."""
+    ev = events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_s = (
+        F.when(
+            F.lag("ts_us").over(wo).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s")
+    )
+    sid = F.sum("new_s").over(
+        wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per = (
+        ev.select("user_id", "event_id", "ts_us", new_s)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+            (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("span_us"),
+        )
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.max("n_ev").cast("bigint").alias("max_session_events"),
+        F.max("span_us").cast("bigint").alias("max_session_span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (orders open per nation)
+# ---------------------------------------------------------------------------
+
+
+def _order_span(dialect: str) -> str:
+    """Shared CTE text: per-order [start_day, end_day] from o_orderdate to
+    the order's last lineitem shipdate (orders with no lineitems are out
+    of scope on both engines — the interval is undefined without an
+    end)."""
+    return f"""
+    span AS (
+      SELECT o.o_orderkey, c.c_nationkey,
+             {tx.epoch_day(dialect, "o.o_orderdate")} AS start_day,
+             max({tx.epoch_day(dialect, "l.l_shipdate")}) + 1 AS end_day
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_orderkey, c.c_nationkey, {tx.epoch_day(dialect, "o.o_orderdate")}
+    )"""
+
+
+@_register(
+    "max_concurrent_orders",
+    f"""
+    WITH {_order_span(tx.DUCK)},
+    delta AS (
+      SELECT c_nationkey, start_day AS day, 1 AS d FROM span
+      UNION ALL
+      SELECT c_nationkey, end_day AS day, -1 AS d FROM span
+    ),
+    net AS (
+      SELECT c_nationkey, day, sum(d)::BIGINT AS net FROM delta GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT c_nationkey, day,
+             sum(net) OVER (PARTITION BY c_nationkey ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS open_orders
+      FROM net
+    ),
+    pk AS (
+      SELECT c_nationkey, day, open_orders,
+             max(open_orders) OVER (PARTITION BY c_nationkey) AS peak
+      FROM run
+    )
+    SELECT n.n_name AS nation,
+           max(p.peak)::BIGINT AS peak_open_orders,
+           min(p.day)::BIGINT AS first_peak_day
+    FROM pk p JOIN nation n ON n.n_nationkey = p.c_nationkey
+    WHERE p.open_orders = p.peak
+    GROUP BY n.n_name
+    """,
+)
+def q_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open orders per customer nation —
+    the interval sweep-line: each order contributes +1 at its start day
+    and -1 the day after its last shipment, and the running sum of the
+    per-day net deltas is exactly the count of open intervals.
+
+    The naive formulation is an interval self-join (O(n^2) per nation);
+    the sweep line is two linear passes.  Determinism: per-day deltas
+    are pre-summed (group by day), so the running sum never depends on
+    intra-day ordering; the reported day is the FIRST day the peak is
+    attained.
+
+    Scale: the heavy stage (per-order span) aggregates lineitem by its
+    natural l_orderkey partitioning; the sweep itself runs over
+    nation-partitioned day-level nets — 25 x ~2500 rows regardless of
+    corpus size (day domain is calendar-bounded), so the windows cost
+    nothing at any SF."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    start_day = F.expr(tx.epoch_day(tx.SPARK, "o_orderdate"))
+    end_day = F.expr(f"max({tx.epoch_day(tx.SPARK, 'l_shipdate')}) + 1")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_nationkey", start_day.alias("start_day"))
+        .agg(end_day.alias("end_day"))
+    )
+    delta = span.select(
+        "c_nationkey", F.col("start_day").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        span.select(
+            "c_nationkey", F.col("end_day").alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    net = delta.groupBy("c_nationkey", "day").agg(
+        F.sum("d").cast("bigint").alias("net")
+    )
+    wn = W.partitionBy("c_nationkey").orderBy("day")
+    run = net.withColumn(
+        "open_orders",
+        F.sum("net").over(wn.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    pk = run.withColumn(
+        "peak", F.max("open_orders").over(W.partitionBy("c_nationkey"))
+    )
+    return (
+        pk.filter(F.col("open_orders") == F.col("peak"))
+        .join(F.broadcast(n), pk.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_open_orders"),
+            F.min("day").cast("bigint").alias("first_peak_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (supplier balance vs realized revenue)
+# ---------------------------------------------------------------------------
+
+_REV_X1E4 = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)"
+)
+_BAL_CENTS = "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+@_register(
+    "spearman_corr_suppliers",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_REV_X1E4})::BIGINT AS rev_x1e4
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    j AS (
+      SELECT s.s_nationkey, s.s_suppkey,
+             {_BAL_CENTS} AS bal_cents, r.rev_x1e4
+      FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    ),
+    rk AS (
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY bal_cents DESC, s_suppkey) AS rb,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY rev_x1e4 DESC, s_suppkey) AS rr
+      FROM j
+    ),
+    agg AS (
+      SELECT s_nationkey,
+             count(*)::BIGINT AS n_suppliers,
+             sum((rb - rr) * (rb - rr))::BIGINT AS sum_d2
+      FROM rk GROUP BY s_nationkey
+      HAVING count(*) >= 2
+    )
+    SELECT n.n_name AS nation, a.n_suppliers, a.sum_d2,
+           (1000000 - {tx.floor_scaled_div(
+               tx.DUCK,
+               "6 * a.sum_d2",
+               "a.n_suppliers * (a.n_suppliers * a.n_suppliers - 1)",
+               1_000_000,
+           )})::BIGINT AS rho_micro
+    FROM agg a JOIN nation n ON n.n_nationkey = a.s_nationkey
+    """,
+)
+def q_spearman_corr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation, per nation, between a supplier's
+    account balance and its realized supply revenue — "does the ledger
+    reflect the business?".  rho = 1 - 6*sum(d^2) / (n(n^2-1)) with
+    d = rank(balance) - rank(revenue); ranks are row_number with the
+    supplier key as tiebreak, so the statistic is exact and the quoted
+    rho_micro (in [-10^6, 10^6]) is the floor-quantized value both
+    engines compute from the same integers (``floor_scaled_div`` keeps
+    6*sum_d2*10^6 from ever materializing — sum_d2 is O(n^3) per
+    nation).
+
+    Suppliers with zero lineitems have no revenue rank and are out of
+    scope (inner join); nations with <2 ranked suppliers are excluded
+    (rho undefined, denominator zero).
+
+    Scale: ranks are nation-partitioned windows over a supplier-sized
+    frame (dimension-sized, not fact-sized: the fact table collapses in
+    the rev pre-aggregation, which shuffles once on l_suppkey)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(money("l_extendedprice") * factor(1 - F.col("l_discount")) * 10000)
+        .cast("bigint")
+        .alias("rev_x1e4")
+    )
+    j = s.join(rev, s.s_suppkey == rev.l_suppkey).select(
+        "s_nationkey",
+        "s_suppkey",
+        F.expr(_BAL_CENTS).alias("bal_cents"),
+        "rev_x1e4",
+    )
+    rk = j.select(
+        "s_nationkey",
+        F.row_number()
+        .over(
+            W.partitionBy("s_nationkey").orderBy(
+                F.desc("bal_cents"), F.asc("s_suppkey")
+            )
+        )
+        .alias("rb"),
+        F.row_number()
+        .over(
+            W.partitionBy("s_nationkey").orderBy(
+                F.desc("rev_x1e4"), F.asc("s_suppkey")
+            )
+        )
+        .alias("rr"),
+    )
+    agg = (
+        rk.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum((F.col("rb") - F.col("rr")) * (F.col("rb") - F.col("rr")))
+            .cast("bigint")
+            .alias("sum_d2"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    rho = F.expr(
+        f"CAST(1000000 - {tx.floor_scaled_div(tx.SPARK, '6 * sum_d2', 'n_suppliers * (n_suppliers * n_suppliers - 1)', 1_000_000)} AS BIGINT)"
+    )
+    return agg.join(
+        F.broadcast(n), agg.s_nationkey == n.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "sum_d2",
+        rho.alias("rho_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-a between two daily series, per month
+# ---------------------------------------------------------------------------
+
+_OCENTS = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+def _kt_daily(dialect: str) -> str:
+    return f"""
+    daily AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS month_key,
+             {tx.epoch_day(dialect, "o_orderdate")} AS day,
+             count(*)::BIGINT AS n_orders,
+             sum({_OCENTS})::BIGINT AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )"""
+
+
+@_register(
+    "kendall_tau_daily",
+    f"""
+    WITH {_kt_daily(tx.DUCK)},
+    pr AS (
+      SELECT a.month_key,
+             CASE WHEN b.n_orders > a.n_orders THEN 1
+                  WHEN b.n_orders < a.n_orders THEN -1 ELSE 0 END
+           * CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                  WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END AS cd,
+             CASE WHEN b.n_orders = a.n_orders
+                       OR b.rev_cents = a.rev_cents THEN 1 ELSE 0 END AS tie
+      FROM daily a JOIN daily b
+        ON b.month_key = a.month_key AND b.day > a.day
+    ),
+    agg AS (
+      SELECT month_key,
+             count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+             sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+             sum(tie)::BIGINT AS tie_pairs
+      FROM pr GROUP BY month_key
+    ),
+    nd AS (
+      SELECT month_key, count(*)::BIGINT AS n_days FROM daily GROUP BY month_key
+    )
+    SELECT a.month_key, n.n_days, a.n_pairs, a.concordant, a.discordant,
+           a.tie_pairs,
+           {tx.floor_scaled_div(
+               tx.DUCK,
+               "a.concordant - a.discordant + a.n_pairs",
+               "2 * a.n_pairs",
+               1_000_000,
+           )}::BIGINT AS tau_shift_micro
+    FROM agg a JOIN nd n ON n.month_key = a.month_key
+    """,
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a, per calendar month, between the daily order COUNT
+    series and the daily REVENUE series — "do busy days pay?".  All
+    day pairs (d1 < d2) within the month are classified concordant /
+    discordant / tied by the sign product of the two deltas; tau_a =
+    (C - D) / n_pairs is reported shifted to [0, 10^6]
+    (tau_shift_micro = (C - D + P) / 2P scaled; 500000 = tau 0) so the
+    quantization stays a floor of a NON-NEGATIVE integer ratio — both
+    engines floor identically with no truncation-vs-floor trap on
+    negatives (the r11-ADVICE Mann-Kendall lesson, applied at design
+    time).
+
+    Scale: the pair stage is calendar-bounded — at most 31 days a month
+    ⇒ ≤465 pairs per month regardless of corpus size; the only
+    fact-sized work is the daily pre-aggregation (one shuffle on
+    (month, day)).  Pairs join equi on month_key, so no cross join
+    appears at any SF."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("month_key"),
+        F.expr(tx.epoch_day(tx.SPARK, "o_orderdate")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.expr(_OCENTS)).cast("bigint").alias("rev_cents"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn_n = (
+        F.when(F.col("b.n_orders") > F.col("a.n_orders"), 1)
+        .when(F.col("b.n_orders") < F.col("a.n_orders"), -1)
+        .otherwise(0)
+    )
+    sgn_r = (
+        F.when(F.col("b.rev_cents") > F.col("a.rev_cents"), 1)
+        .when(F.col("b.rev_cents") < F.col("a.rev_cents"), -1)
+        .otherwise(0)
+    )
+    tie = F.when(
+        (F.col("b.n_orders") == F.col("a.n_orders"))
+        | (F.col("b.rev_cents") == F.col("a.rev_cents")),
+        1,
+    ).otherwise(0)
+    pr = a.join(
+        b,
+        (F.col("b.month_key") == F.col("a.month_key"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.month_key").alias("month_key"),
+        (sgn_n * sgn_r).alias("cd"),
+        tie.alias("tie"),
+    )
+    agg = pr.groupBy("month_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("cd") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("cd") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum("tie").cast("bigint").alias("tie_pairs"),
+    )
+    nd = daily.groupBy("month_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    tau = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, 'concordant - discordant + n_pairs', '2 * n_pairs', 1_000_000)} AS BIGINT)"
+    )
+    return agg.join(nd, "month_key").select(
+        "month_key",
+        "n_days",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "tie_pairs",
+        tau.alias("tau_shift_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (directed supplier -> customer shipment graph)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000  # scores live in micro-units, max-normalized to 10^6
+HITS_TOP = 20
+
+
+def _hits_oracle() -> str:
+    fsd = tx.floor_scaled_div
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1raw AS (
+      SELECT c, count(*)::BIGINT * {HITS_SCALE} AS v FROM edges GROUP BY c
+    ),
+    ma1 AS (SELECT max(v) AS m FROM a1raw),
+    auth1 AS (
+      SELECT c, {fsd(tx.DUCK, "a.v", "ma1.m", HITS_SCALE)} AS v
+      FROM a1raw a CROSS JOIN ma1
+    ),
+    h1raw AS (
+      SELECT e.s, sum(a.v)::BIGINT AS v
+      FROM edges e JOIN auth1 a ON a.c = e.c GROUP BY e.s
+    ),
+    mh1 AS (SELECT max(v) AS m FROM h1raw),
+    hub1 AS (
+      SELECT s, {fsd(tx.DUCK, "h.v", "mh1.m", HITS_SCALE)} AS v
+      FROM h1raw h CROSS JOIN mh1
+    ),
+    a2raw AS (
+      SELECT e.c, sum(h.v)::BIGINT AS v
+      FROM edges e JOIN hub1 h ON h.s = e.s GROUP BY e.c
+    ),
+    ma2 AS (SELECT max(v) AS m FROM a2raw),
+    auth2 AS (
+      SELECT c, {fsd(tx.DUCK, "a.v", "ma2.m", HITS_SCALE)} AS v
+      FROM a2raw a CROSS JOIN ma2
+    )
+    SELECT c AS custkey, v::BIGINT AS auth_micro
+    FROM auth2
+    ORDER BY v DESC, c ASC LIMIT {HITS_TOP}
+    """
+
+
+@_register("hits_hubs_authorities", _hits_oracle())
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed supplier→customer shipment graph: suppliers
+    are hubs, customers authorities; two full mutual-reinforcement
+    rounds (auth ← Σ hub of in-neighbors, hub ← Σ auth of
+    out-neighbors), each max-normalized to integer micro-units so every
+    iteration is pure BIGINT — no L2 norm, no libm, and the oracle
+    unrolls the same CTE chain (the PageRank discipline, minus even the
+    6-dp float rounding: HITS under max-normalization needs no floats
+    at all).  ``floor_scaled_div`` keeps v*10^6 from materializing.
+
+    Scale: each half-iteration is one edge-sized equi-join plus one
+    partial-agg shuffle — O(edges), the textbook distributed HITS; the
+    normalizing max is a 1-row broadcast (the allowlisted 1-row-BNLJ
+    pattern).  The edge list is persisted once and reused by all four
+    joins (same cache-before-fanout discipline as PageRank; without it
+    each round re-derives the lineitem⋈orders distinct)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = edges.persist()
+    edges.count()
+
+    def norm(df: DataFrame, key: str) -> DataFrame:
+        m = df.agg(F.max("v").alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            key,
+            F.expr(tx.floor_scaled_div(tx.SPARK, "v", "m", HITS_SCALE)).alias("v"),
+        )
+
+    a1raw = edges.groupBy("c").agg(
+        (F.count(F.lit(1)).cast("bigint") * HITS_SCALE).alias("v")
+    )
+    auth1 = norm(a1raw, "c")
+    h1raw = edges.join(auth1, "c").groupBy("s").agg(
+        F.sum("v").cast("bigint").alias("v")
+    )
+    hub1 = norm(h1raw, "s")
+    a2raw = edges.join(hub1, "s").groupBy("c").agg(
+        F.sum("v").cast("bigint").alias("v")
+    )
+    auth2 = norm(a2raw, "c")
+    return (
+        auth2.select(
+            F.col("c").alias("custkey"), F.col("v").cast("bigint").alias("auth_micro")
+        )
+        .orderBy(F.desc("auth_micro"), F.asc("custkey"))
+        .limit(HITS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the IVF index vs the exact cosine ranking
+# ---------------------------------------------------------------------------
+
+NDCG_Q0 = N_CENTROIDS + 8  # query ids 16..19 — disjoint from ivf_recall's 8..15
+NDCG_Q1 = N_CENTROIDS + 12
+NDCG_K = 10
+# 1/log2(i+1) position discounts in micro-units, i = 1..10 — PRECOMPUTED
+# literals (module import time, deterministic), so neither engine ever
+# evaluates a logarithm; graded relevance of a doc is (11 - exact_rank)
+# for the exact top-10, 0 otherwise.
+NDCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+NDCG_IDCG = sum((NDCG_K + 1 - i) * NDCG_W[i - 1] for i in range(1, NDCG_K + 1))
+
+
+def _ndcg_wcase(rank_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(NDCG_W)
+    )
+    return f"(CASE {rank_expr} {whens} ELSE 0 END)"
+
+
+def _ndcg_oracle() -> str:
+    rel = f"(CASE WHEN r.rne <= {NDCG_K} THEN {NDCG_K + 1} - r.rne ELSE 0 END)"
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    qs AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id >= {NDCG_Q0} AND vec_id < {NDCG_Q1}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cent c
+              ORDER BY {_dcos('e.embedding', 'c.embedding')} DESC, c.cid ASC
+              LIMIT 1) AS cluster
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT qid, cid AS cluster FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_dcos('c.embedding', 'q.qvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM cent c CROSS JOIN qs q
+      ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, a.vec_id, a.cluster,
+             {_dcos('a.embedding', 'q.qvec')} AS sim
+      FROM assigned a CROSS JOIN qs q
+      WHERE a.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+             ) AS rne
+      FROM scored
+    ),
+    ivf AS (
+      SELECT s.qid, s.vec_id,
+             row_number() OVER (
+               PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id ASC
+             ) AS rni
+      FROM scored s JOIN probe p
+        ON p.qid = s.qid AND p.cluster = s.cluster
+    )
+    SELECT i.qid AS query_id,
+           sum({rel} * {_ndcg_wcase('i.rni')})::BIGINT AS dcg_microsum,
+           {tx.floor_scaled_div(
+               tx.DUCK,
+               f"sum({rel} * {_ndcg_wcase('i.rni')})::BIGINT",
+               str(NDCG_IDCG),
+               1_000_000,
+           )}::BIGINT AS ndcg_micro
+    FROM ivf i JOIN ranked r ON r.qid = i.qid AND r.vec_id = i.vec_id
+    WHERE i.rni <= {NDCG_K}
+    GROUP BY i.qid
+    ORDER BY query_id
+    """
+
+
+@_register("ndcg_eval_topk", _ndcg_oracle())
+def q_ndcg_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the IVF (nprobe=2) retrieval against the exact cosine
+    ranking — the rank-SENSITIVE index-quality audit the recall@k family
+    (ivf/sq/pq/matryoshka) cannot express: recall treats a hit at rank 1
+    and rank 10 the same, NDCG discounts by position.  Graded relevance
+    of a doc is its exact-top-10 grade (11 - exact_rank, else 0); the
+    1/log2(i+1) discounts are integer micro-weight LITERALS baked at
+    plan-build (no runtime log in either engine), so DCG is a pure
+    BIGINT sum and ndcg_micro an exact floor ratio against the
+    precomputed ideal-DCG constant.
+
+    Scale: same audit topology as ivf_recall_at_k (docstring there) —
+    a fixed 4-query sample, one qid shuffle shared by both rankings,
+    cost independent of index growth.  cosine_fast is the allowlisted
+    Arrow kernel (per-pair vector dot; the Catalyst HOF fold measured
+    5x slower — see embedding_near_dups)."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    qs = emb.filter(
+        (F.col("vec_id") >= NDCG_Q0) & (F.col("vec_id") < NDCG_Q1)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qvec"))
+    assigned = sim.ivf_assign(spread(emb), cent)
+    scored = (
+        assigned.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "cluster",
+            sim.round6(sim.cosine_fast("embedding", "_qvec")).alias("sim"),
+        )
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            F.col("cid").alias("cluster"),
+            sim.round6(sim.cosine_fast("embedding", "_qvec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cluster")
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rne", F.row_number().over(wq)).select(
+        "qid", "vec_id", "rne"
+    )
+    ivf = (
+        scored.join(F.broadcast(probe), ["qid", "cluster"])
+        .withColumn("rni", F.row_number().over(wq))
+        .filter(F.col("rni") <= NDCG_K)
+        .select("qid", "vec_id", "rni")
+    )
+    rel = f"(CASE WHEN rne <= {NDCG_K} THEN {NDCG_K + 1} - rne ELSE 0 END)"
+    dcg_sql = f"CAST(sum({rel} * {_ndcg_wcase('rni')}) AS BIGINT)"
+    ndcg_sql = tx.floor_scaled_div(tx.SPARK, dcg_sql, str(NDCG_IDCG), 1_000_000)
+    return (
+        ivf.join(ranked, ["qid", "vec_id"])
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.expr(dcg_sql).alias("dcg_microsum"),
+            F.expr(f"CAST({ndcg_sql} AS BIGINT)").alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift on binned document lengths
+# ---------------------------------------------------------------------------
+
+KS_BIN = 64  # n_chars bin width: the CDF domain is value-bounded, not corpus-
+
+
+@_register(
+    "ks_drift_doclen",
+    f"""
+    WITH c AS (
+      SELECT source, (n_chars // {KS_BIN}) AS bin, count(*)::BIGINT AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, sum(cnt)::BIGINT AS n FROM c GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    sides AS (
+      SELECT p.src_a, p.src_b, c.bin, c.cnt AS c1, 0::BIGINT AS c2
+      FROM pairs p JOIN c ON c.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, c.bin, 0::BIGINT, c.cnt
+      FROM pairs p JOIN c ON c.source = p.src_b
+    ),
+    g AS (
+      SELECT src_a, src_b, bin,
+             sum(c1)::BIGINT AS c1, sum(c2)::BIGINT AS c2
+      FROM sides GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT src_a, src_b,
+             sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+      FROM g
+      WINDOW w AS (PARTITION BY src_a, src_b ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    ks AS (
+      SELECT c.src_a, c.src_b,
+             max(abs(c.cum1 * tb.n - c.cum2 * ta.n))::BIGINT AS ks_num,
+             max(ta.n)::BIGINT AS n_a, max(tb.n)::BIGINT AS n_b
+      FROM cum c
+      JOIN tot ta ON ta.source = c.src_a
+      JOIN tot tb ON tb.source = c.src_b
+      GROUP BY c.src_a, c.src_b
+    )
+    SELECT src_a, src_b, n_a, n_b, ks_num,
+           {tx.floor_scaled_div(tx.DUCK, "ks_num", "n_a * n_b", 1_000_000)}::BIGINT
+             AS ks_micro
+    FROM ks
+    """,
+)
+def q_ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every pair of
+    sources' document-length distributions (binned to {KS_BIN}-char
+    buckets): KS = max over the bin domain of |F_a - F_b|, computed as
+    integer cross-multiplied CDF counts (|cum_a*n_b - cum_b*n_a|, later
+    floor-scaled by n_a*n_b) — no floats anywhere, so the statistic is
+    bit-identical cross-engine.  The sup-CDF complement to
+    distribution_drift_chisq's density test: KS catches location/shape
+    drift chi-square dilutes across bins.
+
+    Scale: lengths pre-aggregate to (source, bin) — the pair stage then
+    operates on a DOMAIN-bounded frame (sources^2/2 pairs x value-range
+    /{KS_BIN} bins, independent of corpus size); the only fact-sized
+    work is the first groupBy's single shuffle.  Binning is what keeps
+    the per-pair CDF walk domain-bounded at 100 TB — the tradeoff is
+    explicit: this is KS of the BINNED distribution (exactly computed),
+    the standard practice for streaming/distributed KS.  BIGINT
+    cross-products bound: |cum*n| <= n_a*n_b, safe through ~3e9 docs
+    per source; past that the cross-multiply moves to DECIMAL(38,0)."""
+    d = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    c = d.groupBy(
+        "source", F.expr(f"n_chars div {KS_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    pairs = ta.join(
+        tb, F.col("ta.source") < F.col("tb.source")
+    ).select(
+        F.col("ta.source").alias("src_a"), F.col("tb.source").alias("src_b")
+    )
+    sides = pairs.join(c, c.source == pairs.src_a).select(
+        "src_a", "src_b", "bin", F.col("cnt").alias("c1"), F.lit(0).cast("bigint").alias("c2")
+    ).unionAll(
+        pairs.join(c, c.source == pairs.src_b).select(
+            "src_a", "src_b", "bin", F.lit(0).cast("bigint").alias("c1"), F.col("cnt").alias("c2")
+        )
+    )
+    g = sides.groupBy("src_a", "src_b", "bin").agg(
+        F.sum("c1").cast("bigint").alias("c1"),
+        F.sum("c2").cast("bigint").alias("c2"),
+    )
+    wp = (
+        W.partitionBy("src_a", "src_b")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = g.select(
+        "src_a",
+        "src_b",
+        F.sum("c1").over(wp).alias("cum1"),
+        F.sum("c2").over(wp).alias("cum2"),
+    )
+    ks = (
+        cum.join(tot.select(F.col("source").alias("src_a"), F.col("n").alias("na")), "src_a")
+        .join(tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max(F.abs(F.col("cum1") * F.col("nb") - F.col("cum2") * F.col("na")))
+            .cast("bigint")
+            .alias("ks_num"),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+    )
+    return ks.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.expr(
+            f"CAST({tx.floor_scaled_div(tx.SPARK, 'ks_num', 'n_a * n_b', 1_000_000)} AS BIGINT)"
+        ).alias("ks_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bit-array size — sized to make the FPR measurably nonzero
+BLOOM_K = 3  # hash functions (seeds 'bloom0'..'bloom2')
+BLOOM_BUILD_SEG = "BUILDING"  # membership set: customers of this segment
+BLOOM_PROBE_SEG = "MACHINERY"  # known-disjoint probes (custkey is unique)
+
+
+def _bloom_pos(dialect: str, key: str, i: int) -> str:
+    cast = "STRING" if dialect == tx.SPARK else "VARCHAR"
+    return (
+        f"({tx.seeded_hash64(dialect, f'CAST({key} AS {cast})', f'bloom{i}')}"
+        f" % {BLOOM_M})"
+    )
+
+
+def _bloom_oracle() -> str:
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos(tx.DUCK, 'c_custkey', i)} AS pos FROM build"
+        for i in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT c_custkey, {_bloom_pos(tx.DUCK, 'c_custkey', i)} AS pos FROM probe"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_BUILD_SEG}'
+    ),
+    probe AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_PROBE_SEG}'
+    ),
+    bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+    pp AS ({probe_pos}),
+    hits AS (
+      SELECT p.c_custkey, count(b.pos)::BIGINT AS n_set
+      FROM pp p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.c_custkey
+    ),
+    fp AS (
+      SELECT count(*)::BIGINT AS n_probe,
+             sum(CASE WHEN n_set = {BLOOM_K} THEN 1 ELSE 0 END)::BIGINT
+               AS false_positives
+      FROM hits
+    ),
+    bs AS (
+      SELECT (SELECT count(*)::BIGINT FROM build) AS n_build,
+             count(*)::BIGINT AS bits_set
+      FROM bits
+    )
+    SELECT bs.n_build, bs.bits_set, fp.n_probe, fp.false_positives,
+           {tx.floor_scaled_div(tx.DUCK, "fp.false_positives", "fp.n_probe", 1_000_000)}::BIGINT
+             AS fpr_micro
+    FROM fp CROSS JOIN bs
+    """
+
+
+@_register("bloom_filter_fpr_audit", _bloom_oracle())
+def q_bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom-filter false-positive rate: build an m={BLOOM_M},
+    k={BLOOM_K} filter over one customer segment's keys, probe it with a
+    DISJOINT segment's keys (custkey is unique, segments partition the
+    customers — every probe is a true negative), and count probes whose
+    k positions are all set.  The audit a runtime-filter deployment
+    (bloom-pushdown joins) runs to validate its m/k sizing against the
+    measured fill factor; positions are ``seeded_hash64 % m`` so both
+    engines build bit-identical filters.
+
+    Scale: the filter is represented as a DISTINCT-position table
+    (≤ m = {BLOOM_M} rows — domain-bounded, broadcast to the probe
+    join); build and probe sides are each one linear pass with a k-way
+    position expansion.  m is a LITERAL here: at growing corpus size a
+    fixed filter saturates (fill→1, FPR→1) — that saturation curve is
+    exactly what the audit measures; a deployment re-sizes m ∝ n and
+    re-runs it (the named scale lever, same honesty contract as
+    APPROX_PAST_CAP)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    build = cust.filter(F.col("c_mktsegment") == BLOOM_BUILD_SEG).select("c_custkey")
+    probe = cust.filter(F.col("c_mktsegment") == BLOOM_PROBE_SEG).select("c_custkey")
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos(tx.SPARK, "c_custkey", i)) for i in range(BLOOM_K)]
+    )
+    bits = (
+        build.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    pp = probe.select("c_custkey", F.explode(pos_arr).alias("pos"))
+    hits = (
+        pp.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                F.col("pos") == F.col("bpos"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("bpos").cast("bigint").alias("n_set"))
+    )
+    fp = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("n_set") == BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+    bs = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set")).crossJoin(
+        F.broadcast(build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build")))
+    )
+    return fp.crossJoin(F.broadcast(bs)).select(
+        "n_build",
+        "bits_set",
+        "n_probe",
+        "false_positives",
+        F.expr(
+            f"CAST({tx.floor_scaled_div(tx.SPARK, 'false_positives', 'n_probe', 1_000_000)} AS BIGINT)"
+        ).alias("fpr_micro"),
+    )

@@ -1,0 +1,165 @@
+"""The r13-staged draft queries (plans/draft_r13.py) must already pass
+the driver-identical oracle comparison — registration in r13 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules``: the r12 verification window is already spent on
+the 15 r12 drafts plus the stale drain."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r13 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered), (
+        "r13 draft queries leaked into the registry early — they must not "
+        "displace the r12-draft first-contact / stale-drain window slots"
+    )
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    """The drafts must already satisfy the catalog plan rules
+    (tools/plan_lint.py): no CartesianProduct, Python boundaries only
+    for pre-allowlisted justified Arrow kernels, BNLJ only for
+    pre-allowlisted bounded build sides."""
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, (
+            f"{name}: Python boundary without a pre-staged Arrow-kernel entry"
+        )
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
+def test_sessionization_conserves_events(spark):
+    """Session stats must partition the event log: per-user n_events sums
+    to the user's raw event count, and session counts are at least 1."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    out = {r["user_id"]: r for r in d.QUERIES["sessionization_gap_stats"](spark, SF_DIR).collect()}
+    raw = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(out) == set(raw)
+    for uid, row in out.items():
+        assert row["n_events"] == raw[uid]
+        assert 1 <= row["n_sessions"] <= row["n_events"]
+        assert row["max_session_events"] <= row["n_events"]
+
+
+def test_kendall_pairs_partition(spark):
+    """Concordant/discordant/tied classify every day pair exactly once:
+    cd == 0 iff one series is tied on the pair, so C + D + ties == P."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    for r in d.QUERIES["kendall_tau_daily"](spark, SF_DIR).collect():
+        assert r["concordant"] + r["discordant"] + r["tie_pairs"] == r["n_pairs"]
+        nd = r["n_days"]
+        assert r["n_pairs"] == nd * (nd - 1) // 2
+        assert 0 <= r["tau_shift_micro"] <= 1_000_000
+
+
+def test_hits_max_normalization(spark):
+    """Max-normalization makes the top authority score exactly 10^6 —
+    floor(m * 10^6 / m); every score is in (0, 10^6]."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["hits_hubs_authorities"](spark, SF_DIR).collect()
+    assert rows, "authority list must be non-empty"
+    assert rows[0]["auth_micro"] == 1_000_000
+    assert all(0 < r["auth_micro"] <= 1_000_000 for r in rows)
+
+
+def test_ndcg_bounded_by_ideal(spark):
+    """DCG can never exceed the ideal ordering's DCG, so ndcg_micro is a
+    proper [0, 10^6] score."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["ndcg_eval_topk"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dcg_microsum"] <= d.NDCG_IDCG
+        assert 0 <= r["ndcg_micro"] <= 1_000_000
+
+
+def test_ks_is_a_distance(spark):
+    """KS numerator is bounded by n_a*n_b (ks_micro in [0, 10^6]) and the
+    pair list covers every unordered source pair exactly once."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["ks_drift_doclen"](spark, SF_DIR).collect()
+    srcs = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 <= r["ks_num"] <= r["n_a"] * r["n_b"]
+        assert 0 <= r["ks_micro"] <= 1_000_000
+        srcs.update((r["src_a"], r["src_b"]))
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_bloom_filter_bounds(spark):
+    """Structural Bloom bounds: bits_set <= min(m, k*n_build) and the
+    false-positive count never exceeds the probe count."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    (r,) = d.QUERIES["bloom_filter_fpr_audit"](spark, SF_DIR).collect()
+    assert 0 < r["bits_set"] <= min(d.BLOOM_M, d.BLOOM_K * r["n_build"])
+    assert 0 <= r["false_positives"] <= r["n_probe"]
+    assert 0 <= r["fpr_micro"] <= 1_000_000
+
+
+def test_spearman_bounds_and_scope(spark):
+    """rho_micro in [-10^6, 10^6]; sum_d2 bounded by the exact
+    reversed-ranking maximum n(n^2-1)/3."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["spearman_corr_suppliers"](spark, SF_DIR).collect()
+    # scope: nations with >= 2 suppliers that shipped at least one lineitem
+    # (rho is undefined below n=2 — at sf0.001 every nation is under it)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_suppkey").distinct()
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    expected = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .groupBy("s_nationkey")
+        .count()
+        .filter("count >= 2")
+        .count()
+    )
+    assert len(rows) == expected
+    for r in rows:
+        n = r["n_suppliers"]
+        assert n >= 2
+        assert 0 <= r["sum_d2"] <= n * (n * n - 1) // 3
+        assert -1_000_000 <= r["rho_micro"] <= 1_000_000

@@ -97,6 +97,12 @@ _BNLJ_ALLOWED = {
     "chi2_token_selection",  # 1-row corpus-total frame (contingency n)
     "source_divergence_audit",  # |sources| + 1-row total frames vs vocab
     "matryoshka_recall_at_k",  # 8-row query frame (sq_recall precedent)
+    # r13 drafts (plans/draft_r13.py — unregistered in r11, facts pinned
+    # by tests/test_draft_r13.py)
+    "hits_hubs_authorities",  # 1-row max frame per normalization (3x)
+    "ndcg_eval_topk",  # 4-row query frame (ivf_recall precedent)
+    "ks_drift_doclen",  # source-pair build: |sources|^2 non-equi (domain-bounded)
+    "bloom_filter_fpr_audit",  # 1-row filter-stats frames crossed together
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
@@ -123,6 +129,8 @@ _PYTHON_ALLOWED = {
     # r12 drafts (plans/draft_r12.py — unregistered in r11)
     "matryoshka_recall_at_k",  # dot_fast Arrow kernel (full + prefix dots)
     "negative_hardness_histogram",  # cosine_fast Arrow kernel (pair sims)
+    # r13 drafts (plans/draft_r13.py — unregistered in r11)
+    "ndcg_eval_topk",  # cosine_fast Arrow kernel (same audit topology as ivf_recall_at_k)
     "semantic_dedup_prune",  # cosine_fast Arrow kernel (pair scoring)
     # NOTE: kmeans_embeddings also uses a justified Arrow kernel, but its
     # Python stage executes during frame construction (centroid fitting
