@@ -45,34 +45,53 @@ def _register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 BOOT_REPS = 32  # fixed replicate count — the per-rep frame is 32 rows forever
+# (and exactly the md5 hex-digit budget: one digest weights ALL replicates)
 # ~95% band by rank over 32 ascending replicate means (2nd / 31st)
 BOOT_LO_RANK = 2
 BOOT_HI_RANK = 31
 
 
-def _boot_w(dialect: str) -> str:
-    """Deterministic resample weight in {0,1,2} (mean 1) for (orderkey,
-    rep) — a hash-weighted bootstrap: irreproducible RNG and
-    engine-specific Poisson draws are both banned by the oracle
-    discipline, and a three-point mean-1 weight gives the replicate
-    variance a CI needs while staying a pure integer expression both
-    engines evaluate identically."""
+def _boot_h(dialect: str) -> str:
+    """ONE seeded md5 digest per order — its 32 hex chars are the 32
+    replicate weights (r11 perf rework: the first cut hashed every
+    (orderkey, rep) pair, 32 md5+CONV evaluations per order; slicing a
+    single digest cuts the dominant hash cost 32x while keeping the
+    weights deterministic and engine-identical)."""
     if dialect == tx.DUCK:
-        key = "(o_orderkey::VARCHAR || ':' || rep::VARCHAR)"
-    else:
-        key = "concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING))"
-    return f"({tx.seeded_hash64(dialect, key, 'boot')} % 3)"
+        return "md5('boot:' || o_orderkey::VARCHAR)"
+    return "md5(concat('boot:', CAST(o_orderkey AS STRING)))"
+
+
+def _boot_w(dialect: str, h: str = "h", rep: str = "rep") -> str:
+    """Deterministic resample weight in {0,1,2} with MEAN EXACTLY 1 for
+    (orderkey, rep) — a hash-weighted bootstrap: irreproducible RNG and
+    engine-specific Poisson draws are both banned by the oracle
+    discipline.  Weight = hex char ``rep`` of the per-order digest
+    through the (5,6,5) map (positions 1-5 → 0, 6-11 → 1, 12-16 → 2):
+    sum over the 16 equiprobable hex values is 6*1 + 5*2 = 16, so the
+    mean is exactly 1 and the replicate variance (0.625) is within 7%
+    of the old mod-3 draw's 2/3 — same CI machinery, 1/32 the hashing."""
+    ch = f"substr({h}, {rep} + 1, 1)"
+    pos = (
+        f"strpos('0123456789abcdef', {ch})"
+        if dialect == tx.DUCK
+        else f"instr('0123456789abcdef', {ch})"
+    )
+    return f"(CASE WHEN {pos} <= 5 THEN 0 WHEN {pos} <= 11 THEN 1 ELSE 2 END)"
 
 
 @_register(
     "bootstrap_ci_avg_order",
     f"""
     WITH reps AS (SELECT unnest(range({BOOT_REPS})) AS rep),
-    w AS (
-      SELECT r.rep,
-             {_boot_w(tx.DUCK)} AS w,
+    oh AS (
+      SELECT {_boot_h(tx.DUCK)} AS h,
              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-      FROM orders o CROSS JOIN reps r
+      FROM orders o
+    ),
+    w AS (
+      SELECT r.rep, {_boot_w(tx.DUCK, "o.h", "r.rep")} AS w, o.cents
+      FROM oh o CROSS JOIN reps r
     ),
     m AS (
       SELECT rep,
@@ -121,7 +140,7 @@ def q_bootstrap_ci_avg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic; ranks break ties on mean value only (equal
     means are interchangeable for a quantile)."""
     o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
+        F.expr(_boot_h(tx.SPARK)).alias("h"),
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("cents"),
     )
     reps = o.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))))
