@@ -50,9 +50,35 @@ Wave D families and the public designs they implement:
   keys.  The audit a runtime-filter (bloom join) deployment runs to
   size m/k.
 
+Wave E (same staging round):
+- t_closeness_audit — t-closeness (Li, Li & Venkatasubramanian, ICDE
+  2007) over the QI ladder's (nation × segment) groups: ordered-EMD
+  between each group's account-balance distribution and the global
+  one, in integer cross-multiplied cumulative counts.  Completes the
+  k-anonymity / l-diversity / t-closeness privacy trio.
+- zone_map_skipping_audit — data-skipping effectiveness audit: block
+  min/max zone maps under the natural (insertion-keyed) layout vs a
+  date-partitioned layout, against literal date-range predicates —
+  the measured "why you partition/z-order" number.
+- calibration_bins_value — reliability-diagram calibration audit
+  (predicted vs observed urgent-order rate per price band, trained on
+  a hash-split half) — the eval-family companion to AUC/conformal:
+  those rank or cover, this checks probability CALIBRATION.
+- watermark_late_dups — duplicate-leakage audit for watermark-bounded
+  streaming dedup: repeats of a (user, event_type) key that arrive
+  past the first occurrence's watermark horizon are exactly what
+  dropDuplicatesWithinWatermark cannot drop; batch-counts that upper
+  bound per event type.
+- embedding_dim_health — per-dimension mean/variance/dead-dimension
+  audit of the embedding corpus (the representation-collapse check a
+  training pipeline runs before trusting cosine geometry).
+- mutual_top1_linkage — reciprocal best-match pairs (each side is the
+  other's top trade partner), the classic high-precision entity/link
+  resolution rule (mutual nearest neighbors).
+
 Reference parity: none of these exist in the reference engine
 (/root/reference/core/pedri_analysis.py has no correlation, graph,
-ranking-eval, drift or sketch operators) — they extend the
+ranking-eval, drift, privacy or sketch operators) — they extend the
 training-data-pipeline surface the way SURVEY.md §2's "beyond the
 reference" mandate prescribes.
 """
@@ -1060,4 +1086,617 @@ def q_bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST({tx.floor_scaled_div(tx.SPARK, 'false_positives', 'n_probe', 1_000_000)} AS BIGINT)"
         ).alias("fpr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (privacy trio: k-anonymity / l-diversity / t-closeness)
+# ---------------------------------------------------------------------------
+
+# fixed literal bands over the account-balance domain (cents in
+# [-99999, 999999] by TPC-H spec): (cents + 100000) div 110100 -> 0..9.
+# A LITERAL binning keeps the band domain corpus-independent (the same
+# reason ks_drift bins): the EMD walk below is over exactly 10 cells.
+TC_BANDS = 10
+_TC_BAND = (
+    "((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)"
+    " {div} 110100)"
+)
+
+
+def _tc_band(dialect: str) -> str:
+    return _TC_BAND.format(div="//" if dialect == tx.DUCK else "div")
+
+
+@_register(
+    "t_closeness_audit",
+    f"""
+    WITH cb AS (
+      SELECT c_nationkey, c_mktsegment, {_tc_band(tx.DUCK)} AS band
+      FROM customer
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS cnt
+      FROM cb GROUP BY 1, 2, 3
+    ),
+    gtot AS (
+      SELECT c_nationkey, c_mktsegment, sum(cnt)::BIGINT AS n_g
+      FROM grp GROUP BY 1, 2
+    ),
+    gall AS (
+      SELECT band, sum(cnt)::BIGINT AS cnt FROM grp GROUP BY band
+    ),
+    nn AS (SELECT sum(cnt)::BIGINT AS n FROM gall),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, b.band
+      FROM gtot g CROSS JOIN (SELECT unnest(range({TC_BANDS})) AS band) b
+    ),
+    dense AS (
+      SELECT gr.c_nationkey, gr.c_mktsegment, gr.band,
+             coalesce(p.cnt, 0)::BIGINT AS cnt_g,
+             coalesce(q.cnt, 0)::BIGINT AS cnt
+      FROM grid gr
+      LEFT JOIN grp p ON p.c_nationkey = gr.c_nationkey
+       AND p.c_mktsegment = gr.c_mktsegment AND p.band = gr.band
+      LEFT JOIN gall q ON q.band = gr.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             sum(cnt_g) OVER w AS cum_g, sum(cnt) OVER w AS cum
+      FROM dense
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    emd AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             sum(abs(c.cum_g * nn.n - c.cum * g.n_g))::BIGINT AS emd_num,
+             max(g.n_g)::BIGINT AS n_rows, max(nn.n)::BIGINT AS n
+      FROM cum c
+      JOIN gtot g ON g.c_nationkey = c.c_nationkey
+       AND g.c_mktsegment = c.c_mktsegment
+      CROSS JOIN nn
+      WHERE c.band < {TC_BANDS - 1}
+      GROUP BY c.c_nationkey, c.c_mktsegment
+    )
+    SELECT n.n_name AS nation, e.c_mktsegment AS segment, e.n_rows,
+           {tx.floor_scaled_div(
+               tx.DUCK,
+               "e.emd_num",
+               f"{TC_BANDS - 1} * e.n_rows * e.n",
+               1_000_000,
+           )}::BIGINT AS t_micro
+    FROM emd e JOIN nation n ON n.n_nationkey = e.c_nationkey
+    """,
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the (nation x segment) quasi-identifier groups:
+    ordered-EMD between each group's account-balance band distribution
+    and the GLOBAL one — EMD for an ordered attribute with equal band
+    spacing is (1/(m-1)) * sum over band prefixes of |P_g - P| (Li et
+    al. 2007 §4), computed here as integer cross-multiplied cumulative
+    counts (|cum_g*N - cum*n_g|, floor-scaled by (m-1)*n_g*N) — no
+    floats, bit-identical cross-engine.  A group with t_micro near 10^6
+    leaks the sensitive attribute's distribution; the audit is the
+    release gate k_anonymity_report and l_diversity_audit (r12 draft)
+    feed into — this completes the standard privacy trio.
+
+    Scale: customers pre-aggregate to (group, band) counts in one
+    shuffle; everything after runs on the DENSE domain grid (|QI
+    groups| x {TC_BANDS} rows — the 125-row frame never grows with the
+    corpus).  BIGINT cross-products are bounded by n_g*N — same ~3e9
+    honesty note as ks_drift_doclen, DECIMAL(38,0) past it."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey", "c_mktsegment", F.expr(_tc_band(tx.SPARK)).alias("band")
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    grp = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gtot = grp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    glob = grp.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    nn = glob.agg(F.sum("cnt").cast("bigint").alias("n"))
+    bands = spark.range(TC_BANDS).select(F.col("id").cast("bigint").alias("band"))
+    grid = gtot.select("c_nationkey", "c_mktsegment").crossJoin(
+        F.broadcast(bands)
+    )
+    dense = (
+        grid.join(grp, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumnRenamed("cnt", "cnt_g")
+        .join(F.broadcast(glob), ["band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            F.coalesce("cnt_g", F.lit(0)).cast("bigint").alias("cnt_g"),
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        )
+    )
+    wq = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "band",
+        F.sum("cnt_g").over(wq).alias("cum_g"),
+        F.sum("cnt").over(wq).alias("cum"),
+    )
+    emd = (
+        cum.filter(F.col("band") < TC_BANDS - 1)
+        .join(gtot, ["c_nationkey", "c_mktsegment"])
+        .crossJoin(F.broadcast(nn))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum(F.abs(F.col("cum_g") * F.col("n") - F.col("cum") * F.col("n_g")))
+            .cast("bigint")
+            .alias("emd_num"),
+            F.max("n_g").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    t_micro = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, 'emd_num', f'{TC_BANDS - 1} * n_rows * n', 1_000_000)} AS BIGINT)"
+    )
+    return emd.join(F.broadcast(nat), emd.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        "n_rows",
+        t_micro.alias("t_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data-skipping audit (natural vs date-partitioned layout)
+# ---------------------------------------------------------------------------
+
+ZM_BLOCK_KEYS = 512  # natural layout: one block per 512 consecutive orderkeys
+ZM_BLOCK_DAYS = 7  # date layout: one block per calendar week
+# literal date-range predicates (epoch days, precomputed): a tight month,
+# two quarters, a full year — the selectivity ladder a BI workload scans
+ZM_PREDICATES = [
+    (1, 9282, 9311),  # 1995-06 (month)
+    (2, 9496, 9586),  # 1996-Q1
+    (3, 10043, 10134),  # 1997-Q3
+    (4, 10227, 10591),  # 1998 (year)
+]
+
+
+def _zm_oracle() -> str:
+    preds = " UNION ALL ".join(
+        f"SELECT {p} AS pid, {lo} AS lo, {hi} AS hi" for p, lo, hi in ZM_PREDICATES
+    )
+    day = tx.epoch_day(tx.DUCK, "o_orderdate")
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, {day} AS day FROM orders
+    ),
+    blocks AS (
+      SELECT 'natural' AS layout, (o_orderkey // {ZM_BLOCK_KEYS}) AS block,
+             min(day) AS min_day, max(day) AS max_day,
+             count(*)::BIGINT AS n_rows
+      FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'bydate' AS layout, (day // {ZM_BLOCK_DAYS}) AS block,
+             min(day) AS min_day, max(day) AS max_day,
+             count(*)::BIGINT AS n_rows
+      FROM base GROUP BY 1, 2
+    ),
+    preds AS ({preds}),
+    hit AS (
+      SELECT b.layout, p.pid,
+             count(*)::BIGINT AS n_blocks,
+             sum(CASE WHEN b.max_day >= p.lo AND b.min_day <= p.hi
+                      THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+             sum(CASE WHEN b.max_day >= p.lo AND b.min_day <= p.hi
+                      THEN b.n_rows ELSE 0 END)::BIGINT AS rows_read
+      FROM blocks b CROSS JOIN preds p
+      GROUP BY b.layout, p.pid
+    )
+    SELECT layout, pid, n_blocks, blocks_read, rows_read,
+           {tx.floor_scaled_div(tx.DUCK, "blocks_read", "n_blocks", 1_000_000)}::BIGINT
+             AS read_micro
+    FROM hit
+    """
+
+
+@_register("zone_map_skipping_audit", _zm_oracle())
+def q_zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit: per-block (min, max) zone maps
+    of the order date under two layouts — 'natural' (blocks of
+    {ZM_BLOCK_KEYS} consecutive orderkeys, the insertion-order file
+    layout) and 'bydate' (weekly partitions) — against a literal ladder
+    of date-range predicates.  blocks_read counts blocks whose zone map
+    OVERLAPS the predicate (what a reader must scan); the bydate layout
+    reads ~the predicate's calendar share while the natural layout
+    reads ~everything (order dates are uniform within any orderkey
+    block) — the measured justification for zorder_layout_orders /
+    compaction_plan_orders, turned into a repeatable audit.
+
+    Scale: one linear pass builds both layouts' block rollups (blocks =
+    corpus/{ZM_BLOCK_KEYS} + days/{ZM_BLOCK_DAYS} rows); the predicate
+    probe is a broadcast of {len(ZM_PREDICATES)} literal rows (the
+    allowlisted tiny-dim non-equi BNLJ).  The audit never reads data
+    pages — exactly like a real reader's footer-only planning pass."""
+    day = F.expr(tx.epoch_day(tx.SPARK, "o_orderdate"))
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", day.alias("day")
+    )
+    nat_blocks = base.groupBy(
+        F.expr(f"o_orderkey div {ZM_BLOCK_KEYS}").alias("block")
+    ).agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).select(F.lit("natural").alias("layout"), "*")
+    date_blocks = base.groupBy(
+        F.expr(f"day div {ZM_BLOCK_DAYS}").alias("block")
+    ).agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).select(F.lit("bydate").alias("layout"), "*")
+    blocks = nat_blocks.unionAll(date_blocks)
+    preds = spark.createDataFrame(
+        ZM_PREDICATES, schema="pid int, lo bigint, hi bigint"
+    )
+    read = (F.col("max_day") >= F.col("lo")) & (F.col("min_day") <= F.col("hi"))
+    hit = (
+        blocks.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.when(read, 1).otherwise(0)).cast("bigint").alias("blocks_read"),
+            F.sum(F.when(read, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_read"),
+        )
+    )
+    return hit.select(
+        "layout",
+        "pid",
+        "n_blocks",
+        "blocks_read",
+        "rows_read",
+        F.expr(
+            f"CAST({tx.floor_scaled_div(tx.SPARK, 'blocks_read', 'n_blocks', 1_000_000)} AS BIGINT)"
+        ).alias("read_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability diagram) audit
+# ---------------------------------------------------------------------------
+
+CAL_BAND_CENTS = 5_000_000  # $50k price bands, clamped to 10 bands
+CAL_NBANDS = 10
+
+
+def _cal_base(dialect: str) -> str:
+    div = "//" if dialect == tx.DUCK else "div"
+    cast = "VARCHAR" if dialect == tx.DUCK else "STRING"
+    half = tx.seeded_hash64(dialect, f"CAST(o_orderkey AS {cast})", "cal")
+    return f"""
+    base AS (
+      SELECT CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        {div} {CAL_BAND_CENTS}) < {CAL_NBANDS - 1}
+                  THEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        {div} {CAL_BAND_CENTS})
+                  ELSE {CAL_NBANDS - 1} END AS band,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             ({half} % 2) AS fold
+      FROM orders
+    )"""
+
+
+@_register(
+    "calibration_bins_value",
+    f"""
+    WITH {_cal_base(tx.DUCK)},
+    tr AS (
+      SELECT band, count(*)::BIGINT AS n_train,
+             {tx.floor_scaled_div(tx.DUCK, "sum(y)", "count(*)", 1_000_000)} AS pred_ppm
+      FROM base WHERE fold = 0 GROUP BY band
+    ),
+    te AS (
+      SELECT band, count(*)::BIGINT AS n_test,
+             {tx.floor_scaled_div(tx.DUCK, "sum(y)", "count(*)", 1_000_000)} AS obs_ppm
+      FROM base WHERE fold = 1 GROUP BY band
+    )
+    SELECT tr.band, tr.n_train, te.n_test,
+           tr.pred_ppm::BIGINT AS pred_ppm, te.obs_ppm::BIGINT AS obs_ppm,
+           abs(tr.pred_ppm - te.obs_ppm)::BIGINT AS gap_ppm
+    FROM tr JOIN te ON te.band = tr.band
+    """,
+)
+def q_calibration_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration audit: a binned-frequency model
+    (urgent-order rate per $50k price band) is FIT on the hash-split
+    train half and SCORED on the test half; per band the audit reports
+    predicted vs observed rate and their gap — the probability-
+    calibration check the rank-based AUC and the coverage-based
+    conformal audit (r12 draft) cannot express.  Rates are exact
+    floor-ppm integer ratios; the split is the established
+    seeded_hash64 %2 fold (deterministic, engine-identical).
+
+    Scale: two filtered single-shuffle aggregations over literal bands
+    (domain-bounded {CAL_NBANDS} rows each side) joined band-to-band —
+    fact-sized work is one pass, everything after is 10 rows."""
+    from pyspark.sql import functions as F2
+
+    cast = "STRING"
+    div = "div"
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    band = (
+        f"CASE WHEN ({cents} {div} {CAL_BAND_CENTS}) < {CAL_NBANDS - 1} "
+        f"THEN ({cents} {div} {CAL_BAND_CENTS}) ELSE {CAL_NBANDS - 1} END"
+    )
+    half = tx.seeded_hash64(tx.SPARK, f"CAST(o_orderkey AS {cast})", "cal")
+    base = load_table(spark, "orders", sf_dir).select(
+        F2.expr(band).alias("band"),
+        F2.expr(
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+        ).alias("y"),
+        F2.expr(f"({half} % 2)").alias("fold"),
+    )
+    rate = tx.floor_scaled_div(tx.SPARK, "sum(y)", "count(*)", 1_000_000)
+    tr = (
+        base.filter("fold = 0")
+        .groupBy("band")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_train"),
+            F2.expr(rate).alias("pred_ppm"),
+        )
+    )
+    te = (
+        base.filter("fold = 1")
+        .groupBy("band")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_test"),
+            F2.expr(rate).alias("obs_ppm"),
+        )
+    )
+    return tr.join(te, "band").select(
+        "band",
+        "n_train",
+        "n_test",
+        F2.col("pred_ppm").cast("bigint").alias("pred_ppm"),
+        F2.col("obs_ppm").cast("bigint").alias("obs_ppm"),
+        F2.abs(F2.col("pred_ppm") - F2.col("obs_ppm"))
+        .cast("bigint")
+        .alias("gap_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark duplicate-leakage audit
+# ---------------------------------------------------------------------------
+
+WM_LATE_US = 10 * 60 * 1_000_000  # the streaming family's 10-minute watermark
+
+
+@_register(
+    "watermark_late_dups",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    f AS (
+      SELECT event_type, ts_us,
+             min(ts_us) OVER (PARTITION BY user_id, event_type) AS first_us
+      FROM e
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN ts_us > first_us THEN 1 ELSE 0 END)::BIGINT
+             AS n_repeats,
+           sum(CASE WHEN ts_us - first_us > {WM_LATE_US} THEN 1 ELSE 0 END)::BIGINT
+             AS n_past_watermark,
+           CASE WHEN sum(CASE WHEN ts_us > first_us THEN 1 ELSE 0 END) > 0
+                THEN {tx.floor_scaled_div(
+                    tx.DUCK,
+                    f"sum(CASE WHEN ts_us - first_us > {WM_LATE_US} THEN 1 ELSE 0 END)",
+                    "sum(CASE WHEN ts_us > first_us THEN 1 ELSE 0 END)",
+                    1_000_000,
+                )}
+                ELSE 0 END::BIGINT AS leak_ppm
+    FROM f GROUP BY event_type
+    """,
+)
+def q_watermark_late_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-leakage audit for watermark-bounded streaming dedup:
+    repeats of a (user, event_type) key arriving more than the
+    {WM_LATE_US // 60_000_000}-minute watermark after the key's FIRST
+    occurrence are precisely the duplicates
+    ``dropDuplicatesWithinWatermark`` (streaming/windows.py) can no
+    longer hold state for — the batch side quantifies, per event type,
+    the upper bound on what the streaming path leaks (upper bound
+    because re-armed state after a leaked dup re-suppresses its own
+    followers).  The operational question this answers: is the
+    watermark long enough for THIS data's repeat-gap distribution?
+
+    Scale: one (user_id, event_type)-keyed shuffle shared by the
+    window min and the final aggregation; per-key state is one
+    timestamp — the same bound the streaming operator itself keeps."""
+    ev = events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    f = ev.select(
+        "event_type",
+        "ts_us",
+        F.min("ts_us")
+        .over(W.partitionBy("user_id", "event_type"))
+        .alias("first_us"),
+    )
+    rep = F.when(F.col("ts_us") > F.col("first_us"), 1).otherwise(0)
+    late = F.when(F.col("ts_us") - F.col("first_us") > WM_LATE_US, 1).otherwise(0)
+    agg = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(rep).cast("bigint").alias("n_repeats"),
+        F.sum(late).cast("bigint").alias("n_past_watermark"),
+    )
+    leak = F.when(
+        F.col("n_repeats") > 0,
+        F.expr(
+            tx.floor_scaled_div(tx.SPARK, "n_past_watermark", "n_repeats", 1_000_000)
+        ),
+    ).otherwise(0)
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_repeats",
+        "n_past_watermark",
+        leak.cast("bigint").alias("leak_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension health audit
+# ---------------------------------------------------------------------------
+
+
+def _edh_r6(e: str) -> str:
+    return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+
+@_register(
+    "embedding_dim_health",
+    f"""
+    WITH x AS (
+      SELECT i.i AS dim, e.embedding[i.i]::DOUBLE AS v
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {64})) AS i) i
+    ),
+    agg AS (
+      SELECT dim,
+             count(*)::BIGINT AS n,
+             CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS s,
+             CAST(sum(CAST({_edh_r6('v * v')} AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM x GROUP BY dim
+    )
+    SELECT dim::BIGINT AS dim,
+           {_edh_r6('s / n')} AS mean_r6,
+           {_edh_r6('s2 / n - (s / n) * (s / n)')} AS var_r6,
+           (CASE WHEN {_edh_r6('s2 / n - (s / n) * (s / n)')} = 0.0
+                 THEN 1 ELSE 0 END)::BIGINT AS is_dead
+    FROM agg
+    """,
+)
+def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health audit: mean, (biased) variance and
+    a dead-dimension flag for each of the 64 components — the
+    representation-collapse check (dead or near-constant dimensions
+    waste index capacity and distort cosine geometry) a pipeline runs
+    before trusting ANN results.
+
+    Determinism: component sums in DECIMAL(27,10) (order-independent);
+    squares 6-dp floor-rounded BEFORE the DECIMAL sum (the PageRank
+    contribution discipline); the final mean/variance arithmetic is a
+    fixed chain of single IEEE ops, then 6-dp rounded — bit-identical
+    cross-engine, zero tolerance.
+
+    Scale: one narrow 64-way explode (corpus x 64 rows, no pre-shuffle)
+    into a 64-group aggregation — map-side partials collapse each
+    partition to 64 rows before the only shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir).select("embedding")
+    x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(27,10)")).cast("double").alias("s"),
+        F.sum(
+            F.expr(f"CAST({_edh_r6('v * v')} AS DECIMAL(18,6))")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    var = F.expr(_edh_r6("s2 / n - (s / n) * (s / n)"))
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr(_edh_r6("s / n")).alias("mean_r6"),
+        var.alias("var_r6"),
+        F.when(var == 0.0, 1).otherwise(0).cast("bigint").alias("is_dead"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual top-1 linkage (reciprocal best match)
+# ---------------------------------------------------------------------------
+
+_PAIR_CENTS = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)"
+)
+
+
+@_register(
+    "mutual_top1_linkage",
+    f"""
+    WITH pair AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             sum({_PAIR_CENTS})::BIGINT AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    topc AS (
+      SELECT c, s, v FROM (
+        SELECT c, s, v, row_number() OVER (
+          PARTITION BY c ORDER BY v DESC, s ASC) AS rn
+        FROM pair) WHERE rn = 1
+    ),
+    tops AS (
+      SELECT c, s FROM (
+        SELECT c, s, row_number() OVER (
+          PARTITION BY s ORDER BY v DESC, c ASC) AS rn
+        FROM pair) WHERE rn = 1
+    )
+    SELECT t.c AS custkey, t.s AS suppkey, t.v AS trade_x1e4
+    FROM topc t JOIN tops u ON u.c = t.c AND u.s = t.s
+    """,
+)
+def q_mutual_top1_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match linkage: (customer, supplier) pairs where
+    each is the OTHER's top trade partner by realized revenue — the
+    mutual-nearest-neighbor rule, the classic high-precision low-recall
+    link-resolution heuristic (a one-sided top-1 match is often a hub
+    artifact; mutuality kills hub links).  Ties break on the partner
+    key, so both row_numbers are total orders.
+
+    Scale: the fact table collapses to the distinct trade-pair rollup
+    in one shuffle; each top-1 side is a HASH aggregation (max of a
+    (v, -partner) struct — total order, so the argmax is the oracle's
+    row_number(v DESC, partner ASC) = 1 row exactly) re-keying the
+    PAIR-sized frame — no sort anywhere, unlike the naive rank-window
+    formulation the oracle uses (pair-frame A/B at sf1.0synth: window
+    8.2 s → struct-argmax agg, see SCALE.md); the mutuality join is
+    pair-key equi."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", F.expr(_PAIR_CENTS).alias("x")
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum("x").cast("bigint").alias("v"))
+    )
+    # argmax by (v DESC, partner ASC) as a struct max: (v, -partner)
+    # compares lexicographically, so ties on v resolve to the SMALLEST
+    # partner key — exactly the oracle's row_number order.
+    topc = (
+        pair.groupBy("c")
+        .agg(F.max(F.struct("v", (-F.col("s")).alias("ns"))).alias("m"))
+        .select("c", (-F.col("m.ns")).alias("s"), F.col("m.v").alias("v"))
+    )
+    tops = (
+        pair.groupBy("s")
+        .agg(F.max(F.struct("v", (-F.col("c")).alias("nc"))).alias("m"))
+        .select("s", (-F.col("m.nc")).alias("c"))
+    )
+    return topc.join(tops, ["c", "s"]).select(
+        F.col("c").alias("custkey"),
+        F.col("s").alias("suppkey"),
+        F.col("v").alias("trade_x1e4"),
     )

@@ -163,3 +163,86 @@ def test_spearman_bounds_and_scope(spark):
         assert n >= 2
         assert 0 <= r["sum_d2"] <= n * (n * n - 1) // 3
         assert -1_000_000 <= r["rho_micro"] <= 1_000_000
+
+
+def test_t_closeness_is_a_distance(spark):
+    """t in [0, 10^6]; every (nation, segment) group present in the data
+    appears exactly once."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["t_closeness_audit"](spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0 <= r["t_micro"] <= 1_000_000
+        assert (r["nation"], r["segment"]) not in seen
+        seen.add((r["nation"], r["segment"]))
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == expected
+
+
+def test_zone_map_bydate_skips_more(spark):
+    """The date-partitioned layout must never read MORE blocks-fraction
+    than the natural layout (date zone maps are tight by construction),
+    and every read fraction is a valid [0, 10^6] ratio."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = {(r["layout"], r["pid"]): r for r in d.QUERIES[
+        "zone_map_skipping_audit"](spark, SF_DIR).collect()}
+    assert len(rows) == 2 * len(d.ZM_PREDICATES)
+    for pid, _, _ in d.ZM_PREDICATES:
+        nat, byd = rows[("natural", pid)], rows[("bydate", pid)]
+        assert 0 <= byd["read_micro"] <= 1_000_000
+        assert 0 <= nat["read_micro"] <= 1_000_000
+        assert byd["read_micro"] <= nat["read_micro"]
+
+
+def test_calibration_rates_are_probabilities(spark):
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["calibration_bins_value"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["pred_ppm"] <= 1_000_000
+        assert 0 <= r["obs_ppm"] <= 1_000_000
+        assert r["gap_ppm"] == abs(r["pred_ppm"] - r["obs_ppm"])
+
+
+def test_watermark_leak_bounds(spark):
+    """Past-watermark repeats are a subset of all repeats, which are a
+    subset of all events minus one first occurrence per key."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["watermark_late_dups"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_past_watermark"] <= r["n_repeats"] < r["n_events"]
+        assert 0 <= r["leak_ppm"] <= 1_000_000
+
+
+def test_embedding_dim_health_covers_all_dims(spark):
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["embedding_dim_health"](spark, SF_DIR).collect()
+    assert sorted(r["dim"] for r in rows) == list(range(1, 65))
+    for r in rows:
+        assert r["var_r6"] >= -1e-6  # 6-dp rounding can graze zero
+        assert r["is_dead"] in (0, 1)
+
+
+def test_mutual_top1_is_functional_both_ways(spark):
+    """Mutuality makes the match a partial bijection: no customer and no
+    supplier appears twice."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["mutual_top1_linkage"](spark, SF_DIR).collect()
+    assert rows
+    cks = [r["custkey"] for r in rows]
+    sks = [r["suppkey"] for r in rows]
+    assert len(cks) == len(set(cks))
+    assert len(sks) == len(set(sks))

@@ -103,6 +103,8 @@ _BNLJ_ALLOWED = {
     "ndcg_eval_topk",  # 4-row query frame (ivf_recall precedent)
     "ks_drift_doclen",  # source-pair build: |sources|^2 non-equi (domain-bounded)
     "bloom_filter_fpr_audit",  # 1-row filter-stats frames crossed together
+    "t_closeness_audit",  # 10-row band grid + 1-row corpus-total frame
+    "zone_map_skipping_audit",  # 4-row literal predicate frame (non-equi overlap)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
