@@ -1700,3 +1700,381 @@ def q_mutual_top1_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("suppkey"),
         F.col("v").alias("trade_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged Spearman cross-correlation (daily orders vs daily revenue)
+# ---------------------------------------------------------------------------
+
+CCF_LAGS = list(range(-3, 4))  # leads and lags, in days
+
+
+def _ccf_daily(dialect: str) -> str:
+    return f"""
+    daily AS (
+      SELECT {tx.epoch_day(dialect, "o_orderdate")} AS day,
+             count(*)::BIGINT AS x,
+             sum({_OCENTS})::BIGINT AS y
+      FROM orders GROUP BY 1
+    )"""
+
+
+@_register(
+    "lagged_spearman_ccf",
+    f"""
+    WITH {_ccf_daily(tx.DUCK)},
+    lags AS (SELECT unnest([{", ".join(str(lag) for lag in CCF_LAGS)}]) AS lag),
+    pairs AS (
+      SELECT g.lag, a.day, a.x, b.y
+      FROM lags g
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + g.lag
+    ),
+    rk AS (
+      SELECT lag,
+             row_number() OVER (PARTITION BY lag ORDER BY x ASC, day ASC) AS rx,
+             row_number() OVER (PARTITION BY lag ORDER BY y ASC, day ASC) AS ry
+      FROM pairs
+    ),
+    agg AS (
+      SELECT lag, count(*)::BIGINT AS n_days,
+             sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+      FROM rk GROUP BY lag
+      HAVING count(*) >= 2
+    )
+    SELECT lag::BIGINT AS lag, n_days, sum_d2,
+           (1000000 - {tx.floor_scaled_div(
+               tx.DUCK, "6 * sum_d2", "n_days * (n_days * n_days - 1)", 1_000_000
+           )})::BIGINT AS rho_micro
+    FROM agg
+    """,
+)
+def q_lagged_spearman_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily order-count series and
+    the daily revenue series — Spearman rho at each lead/lag in
+    {CCF_LAGS} ("do busy days predict rich days k days later?"), the
+    cross-series companion to the within-series trend family
+    (Mann-Kendall, Theil-Sen, seasonal-naive).  Ranks are row_number
+    with the day as tiebreak; rho is the exact integer Spearman formula
+    (spearman_corr_suppliers' discipline).
+
+    Scale: the fact table collapses to the calendar-bounded daily
+    rollup in one shuffle; the lag fan-out is 7 literal rows against
+    that day-domain frame, and rank windows partition by lag — every
+    post-rollup frame is bounded by 7 x days regardless of corpus."""
+    daily = load_table(spark, "orders", sf_dir).groupBy(
+        F.expr(tx.epoch_day(tx.SPARK, "o_orderdate")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.expr(_OCENTS)).cast("bigint").alias("y"),
+    )
+    lags = spark.createDataFrame([(lag,) for lag in CCF_LAGS], schema="lag int")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.col("a.day") + F.col("lag"))
+        .select("lag", F.col("a.day").alias("day"), F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    rk = pairs.select(
+        "lag",
+        F.row_number()
+        .over(W.partitionBy("lag").orderBy(F.asc("x"), F.asc("day")))
+        .alias("rx"),
+        F.row_number()
+        .over(W.partitionBy("lag").orderBy(F.asc("y"), F.asc("day")))
+        .alias("ry"),
+    )
+    agg = (
+        rk.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+            .cast("bigint")
+            .alias("sum_d2"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    rho = F.expr(
+        f"CAST(1000000 - {tx.floor_scaled_div(tx.SPARK, '6 * sum_d2', 'n_days * (n_days * n_days - 1)', 1_000_000)} AS BIGINT)"
+    )
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"), "n_days", "sum_d2", rho.alias("rho_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of the event stream
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fano_burstiness_events",
+    f"""
+    WITH e AS (
+      SELECT event_type, {tx.epoch_day(tx.DUCK, "ts")} AS day FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, count(*)::BIGINT AS c FROM e GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_days,
+             sum(c)::BIGINT AS n_events,
+             sum(c * c)::BIGINT AS sum_c2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_events,
+           {tx.floor_scaled_div(
+               tx.DUCK,
+               "n_days * sum_c2 - n_events * n_events",
+               "n_days * n_events",
+               1_000_000,
+           )}::BIGINT AS fano_micro
+    FROM agg
+    """,
+)
+def q_fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of the daily arrival counts)
+    per event type — the burstiness diagnostic: ~10^6 (Fano 1) is
+    Poisson-like arrival, far above is bursty/clumped traffic, far
+    below is pacing.  Entirely integer: with S = Σc, Q = Σc² over the
+    n observed days, var/mean = (nQ - S²)/(nS) — non-negative by
+    Cauchy-Schwarz — floor-scaled to micro-units (population variance
+    over OBSERVED days; zero-event days are out of the day domain, as
+    in anomaly_zscore_daily).
+
+    Scale: one (type, day) rollup shuffle (map-side combine collapses
+    each partition to its observed day-domain first), then a 5-row
+    aggregate.  The ts encoding rides the same dual-dtype contract as
+    every event-time query (events_us)."""
+    ev = events_us(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {tx.DAY_US}").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    fano = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, 'n_days * sum_c2 - n_events * n_events', 'n_days * n_events', 1_000_000)} AS BIGINT)"
+    )
+    return agg.select("event_type", "n_days", "n_events", fano.alias("fano_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Degree mixing matrix (bipartite trade-graph assortativity audit)
+# ---------------------------------------------------------------------------
+
+MIX_MAX_BUCKET = 20  # log2 degree buckets 0..20 cover deg < 2^21
+
+
+def _mix_bucket(col: str) -> str:
+    """floor(log2(deg)) as a LITERAL threshold ladder — libm-free (the
+    engines' log2 need not agree at representable-boundary inputs) and
+    identical text in both dialects."""
+    arms = " ".join(
+        f"WHEN {col} < {1 << (k + 1)} THEN {k}" for k in range(MIX_MAX_BUCKET)
+    )
+    return f"(CASE {arms} ELSE {MIX_MAX_BUCKET} END)"
+
+
+@_register(
+    "degree_mixing_matrix",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    dc AS (SELECT c, count(*)::BIGINT AS deg FROM edges GROUP BY c),
+    ds AS (SELECT s, count(*)::BIGINT AS deg FROM edges GROUP BY s)
+    SELECT {_mix_bucket("dc.deg")}::BIGINT AS cust_deg_bucket,
+           {_mix_bucket("ds.deg")}::BIGINT AS supp_deg_bucket,
+           count(*)::BIGINT AS n_edges
+    FROM edges e
+    JOIN dc ON dc.c = e.c
+    JOIN ds ON ds.s = e.s
+    GROUP BY 1, 2
+    """,
+)
+def q_degree_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree mixing matrix of the bipartite customer–supplier trade
+    graph: the joint histogram of (log2-bucketed customer degree,
+    log2-bucketed supplier degree) over edges — the network-science
+    assortativity audit (Newman 2003) without the float correlation
+    coefficient: the MATRIX is the artifact (a diagonal-heavy matrix is
+    assortative — big buyers trade with big sellers; an anti-diagonal
+    one is hub-and-spoke).  Buckets are a literal power-of-two CASE
+    ladder, not log2() — libm floor-at-boundary behavior is
+    engine-specific, the ladder is not.
+
+    Scale: degrees are two node-keyed rollups of the persisted edge list;
+    the final join fans each edge to its two degree lookups (node
+    tables broadcast while they fit, AQE shuffle-join fallback past
+    that) and collapses straight to the ≤21×21 bucket grid — output is
+    domain-bounded at any corpus size."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc_deg"))
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("ds_deg"))
+    return (
+        edges.join(dc, "c")
+        .join(ds, "s")
+        .groupBy(
+            F.expr(_mix_bucket("dc_deg")).cast("bigint").alias("cust_deg_bucket"),
+            F.expr(_mix_bucket("ds_deg")).cast("bigint").alias("supp_deg_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Permutation (randomization) test: segment mean order values
+# ---------------------------------------------------------------------------
+
+PERM_REPS = 32  # one md5 digest's hex chars, as in bootstrap_ci
+PERM_SEG_A = "AUTOMOBILE"
+PERM_SEG_B = "BUILDING"
+
+
+def _perm_base(dialect: str) -> str:
+    cast = "VARCHAR" if dialect == tx.DUCK else "STRING"
+    h = (
+        "md5('perm:' || o_orderkey::VARCHAR)"
+        if dialect == tx.DUCK
+        else "md5(concat('perm:', CAST(o_orderkey AS STRING)))"
+    )
+    return f"""
+    base AS (
+      SELECT {h} AS h,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN c.c_mktsegment = '{PERM_SEG_A}' THEN 1 ELSE 0 END AS grp
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{PERM_SEG_A}', '{PERM_SEG_B}')
+    )"""
+
+
+def _perm_bit(dialect: str, h: str, rep: str) -> str:
+    """Replicate ``rep``'s fair relabeling bit: hex char ``rep`` of the
+    per-order digest, mod 2 (8 of 16 hex values are odd — exactly 1/2)."""
+    ch = f"substr({h}, {rep} + 1, 1)"
+    pos = (
+        f"strpos('0123456789abcdef', {ch})"
+        if dialect == tx.DUCK
+        else f"instr('0123456789abcdef', {ch})"
+    )
+    return f"(({pos} - 1) % 2)"
+
+
+def _perm_diff(dialect: str) -> str:
+    """|mean(grp A) - mean(grp B)| in floor-micro-dollars, as a SQL
+    aggregate-expression template over (flag, cents) rows."""
+    fsd = tx.floor_scaled_div
+    ma = fsd(
+        dialect,
+        "sum(CASE WHEN flag = 1 THEN cents ELSE 0 END)",
+        "sum(flag)",
+        10_000,
+    )
+    mb = fsd(
+        dialect,
+        "sum(CASE WHEN flag = 0 THEN cents ELSE 0 END)",
+        "sum(1 - flag)",
+        10_000,
+    )
+    return f"abs(({ma}) - ({mb}))"
+
+
+@_register(
+    "permutation_test_segments",
+    f"""
+    WITH {_perm_base(tx.DUCK)},
+    obs AS (
+      SELECT {_perm_diff(tx.DUCK)} AS d
+      FROM (SELECT grp AS flag, cents FROM base)
+    ),
+    reps AS (SELECT unnest(range({PERM_REPS})) AS rep),
+    null_d AS (
+      SELECT r.rep, {_perm_diff(tx.DUCK)} AS d
+      FROM (SELECT rep, {_perm_bit(tx.DUCK, "b.h", "r0.rep")} AS flag, b.cents
+            FROM base b CROSS JOIN reps r0) r
+      GROUP BY r.rep
+    )
+    SELECT o.d::BIGINT AS observed_diff_micros,
+           sum(CASE WHEN n.d >= o.d THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+           {tx.floor_scaled_div(
+               tx.DUCK,
+               "sum(CASE WHEN n.d >= o.d THEN 1 ELSE 0 END) + 1",
+               str(PERM_REPS + 1),
+               1_000_000,
+           )}::BIGINT AS p_micro
+    FROM null_d n CROSS JOIN obs o
+    GROUP BY o.d
+    """,
+)
+def q_permutation_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the difference in mean order value between
+    the {PERM_SEG_A} and {PERM_SEG_B} segments: {PERM_REPS} null
+    replicates relabel every pooled order by a fair digest bit (hex
+    char ``rep`` of ONE md5 per order, mod 2 — the bootstrap_ci
+    digest-slicing trick, so the whole null ensemble costs one hash per
+    row), and the reported p is the add-one-smoothed rank
+    (n_ge + 1)/({PERM_REPS} + 1) of the observed |Δmean| among the null
+    |Δmean|s — Monte-Carlo permutation testing (Dwass 1957) with a
+    Bernoulli(1/2) relabeling null.  Means are floor-micro integer
+    ratios, so every replicate statistic is bit-identical cross-engine.
+
+    Scale: the replicate fan-out is a flat-map (no shuffle) into ONE
+    {PERM_REPS}-group aggregation with map-side combine; the observed
+    statistic is a 1-row frame crossed in (allowlisted BNLJ).  Nothing
+    after the two aggregations exceeds {PERM_REPS} rows."""
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .join(
+            load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin(PERM_SEG_A, PERM_SEG_B))
+        .select(
+            F.expr("md5(concat('perm:', CAST(o_orderkey AS STRING)))").alias("h"),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr(
+                f"CASE WHEN c_mktsegment = '{PERM_SEG_A}' THEN 1 ELSE 0 END"
+            ).alias("grp"),
+        )
+    )
+    obs = base.select(F.col("grp").alias("flag"), "cents").agg(
+        F.expr(_perm_diff(tx.SPARK)).alias("d")
+    )
+    reps = base.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(PERM_REPS - 1)))
+    ).select("rep", F.expr(_perm_bit(tx.SPARK, "h", "rep")).alias("flag"), "cents")
+    null_d = reps.groupBy("rep").agg(F.expr(_perm_diff(tx.SPARK)).alias("d"))
+    p = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, 'n_ge + 1', str(PERM_REPS + 1), 1_000_000)} AS BIGINT)"
+    )
+    return (
+        null_d.crossJoin(F.broadcast(obs.withColumnRenamed("d", "od")))
+        .groupBy("od")
+        .agg(
+            F.sum(F.when(F.col("d") >= F.col("od"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ge")
+        )
+        .select(
+            F.col("od").cast("bigint").alias("observed_diff_micros"),
+            "n_ge",
+            p.alias("p_micro"),
+        )
+    )

@@ -246,3 +246,64 @@ def test_mutual_top1_is_functional_both_ways(spark):
     sks = [r["suppkey"] for r in rows]
     assert len(cks) == len(set(cks))
     assert len(sks) == len(set(sks))
+
+
+def test_ccf_lag_zero_matches_direct_spearman(spark):
+    """At lag 0 the CCF pairs are exactly the daily series zipped with
+    itself, so n_days equals the calendar day count and rho is a valid
+    [-10^6, 10^6] coefficient at every lag."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = {r["lag"]: r for r in d.QUERIES["lagged_spearman_ccf"](spark, SF_DIR).collect()}
+    assert set(rows) == set(d.CCF_LAGS)
+    n_days = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_days"] == n_days
+    for r in rows.values():
+        assert -1_000_000 <= r["rho_micro"] <= 1_000_000
+        assert r["n_days"] <= n_days  # lagged overlaps can only shrink
+
+
+def test_fano_is_nonnegative_and_conserves_events(spark):
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["fano_burstiness_events"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == raw
+    for r in rows:
+        assert r["fano_micro"] >= 0  # Cauchy-Schwarz
+
+
+def test_mixing_matrix_conserves_edges(spark):
+    """Every distinct trade edge lands in exactly one bucket cell."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["degree_mixing_matrix"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey")
+    n_edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_edges"] for r in rows) == n_edges
+    for r in rows:
+        assert 0 <= r["cust_deg_bucket"] <= d.MIX_MAX_BUCKET
+        assert 0 <= r["supp_deg_bucket"] <= d.MIX_MAX_BUCKET
+
+
+def test_permutation_p_is_add_one_smoothed_rank(spark):
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    (r,) = d.QUERIES["permutation_test_segments"](spark, SF_DIR).collect()
+    assert 0 <= r["n_ge"] <= d.PERM_REPS
+    lo = 1_000_000 // (d.PERM_REPS + 1)
+    assert lo - 1 <= r["p_micro"] <= 1_000_000
+    assert r["observed_diff_micros"] >= 0

@@ -105,6 +105,8 @@ _BNLJ_ALLOWED = {
     "bloom_filter_fpr_audit",  # 1-row filter-stats frames crossed together
     "t_closeness_audit",  # 10-row band grid + 1-row corpus-total frame
     "zone_map_skipping_audit",  # 4-row literal predicate frame (non-equi overlap)
+    "lagged_spearman_ccf",  # 7-row literal lag frame against the daily rollup
+    "permutation_test_segments",  # 1-row observed-statistic frame
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
