@@ -1426,8 +1426,6 @@ def q_calibration_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two filtered single-shuffle aggregations over literal bands
     (domain-bounded {CAL_NBANDS} rows each side) joined band-to-band —
     fact-sized work is one pass, everything after is 10 rows."""
-    from pyspark.sql import functions as F2
-
     cast = "STRING"
     div = "div"
     cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
@@ -1437,36 +1435,36 @@ def q_calibration_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     half = tx.seeded_hash64(tx.SPARK, f"CAST(o_orderkey AS {cast})", "cal")
     base = load_table(spark, "orders", sf_dir).select(
-        F2.expr(band).alias("band"),
-        F2.expr(
+        F.expr(band).alias("band"),
+        F.expr(
             "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
         ).alias("y"),
-        F2.expr(f"({half} % 2)").alias("fold"),
+        F.expr(f"({half} % 2)").alias("fold"),
     )
     rate = tx.floor_scaled_div(tx.SPARK, "sum(y)", "count(*)", 1_000_000)
     tr = (
         base.filter("fold = 0")
         .groupBy("band")
         .agg(
-            F2.count(F2.lit(1)).cast("bigint").alias("n_train"),
-            F2.expr(rate).alias("pred_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.expr(rate).alias("pred_ppm"),
         )
     )
     te = (
         base.filter("fold = 1")
         .groupBy("band")
         .agg(
-            F2.count(F2.lit(1)).cast("bigint").alias("n_test"),
-            F2.expr(rate).alias("obs_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr(rate).alias("obs_ppm"),
         )
     )
     return tr.join(te, "band").select(
         "band",
         "n_train",
         "n_test",
-        F2.col("pred_ppm").cast("bigint").alias("pred_ppm"),
-        F2.col("obs_ppm").cast("bigint").alias("obs_ppm"),
-        F2.abs(F2.col("pred_ppm") - F2.col("obs_ppm"))
+        F.col("pred_ppm").cast("bigint").alias("pred_ppm"),
+        F.col("obs_ppm").cast("bigint").alias("obs_ppm"),
+        F.abs(F.col("pred_ppm") - F.col("obs_ppm"))
         .cast("bigint")
         .alias("gap_ppm"),
     )
