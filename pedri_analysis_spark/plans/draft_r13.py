@@ -76,6 +76,30 @@ Wave E (same staging round):
   other's top trade partner), the classic high-precision entity/link
   resolution rule (mutual nearest neighbors).
 
+Wave F (same staging round):
+- lagged_spearman_ccf — Spearman cross-correlation of the daily order
+  and revenue series at leads/lags ±3 (the cross-series companion to
+  the within-series trend tests).
+- fano_burstiness_events — variance-to-mean Fano factor of daily event
+  arrivals per type (Poisson ≈ 1; burstiness diagnostic), pure integer.
+- degree_mixing_matrix — joint log2-degree histogram over trade-graph
+  edges (Newman's assortativity audit as a matrix, libm-free bucket
+  ladder).
+- permutation_test_segments — Monte-Carlo randomization test (Dwass
+  1957) for a segment mean difference, null replicates from one sliced
+  digest per row.
+
+Wave G (same staging round):
+- containment_near_dups — asymmetric Broder containment verification
+  on the shared MinHash-LSH candidate chain: catches short-inside-long
+  duplication that Jaccard structurally misses.
+- mrr_bm25_phrases — reciprocal-rank audit of bag-of-words BM25
+  against exact-phrase gold sets; rank-of-best-gold computed by
+  argmax + count-before, never a corpus sort.
+- rake_keyword_topk — RAKE degree/frequency keyword extraction (Rose
+  et al. 2010) at corpus level, stopword-segmented phrases, integer
+  milli scores.
+
 Reference parity: none of these exist in the reference engine
 (/root/reference/core/pedri_analysis.py has no correlation, graph,
 ranking-eval, drift, privacy or sketch operators) — they extend the
@@ -2075,4 +2099,379 @@ def q_permutation_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ge",
             p.alias("p_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dups (the "A is inside B" detector)
+# ---------------------------------------------------------------------------
+
+CONT_T_MILLI = 800  # containment threshold: 80% of the smaller side's set
+
+
+def _containment_oracle() -> str:
+    from pedri_analysis_spark.plans.dedup_queries import minhash_pair_ctes
+
+    return f"""
+    WITH {minhash_pair_ctes('documents')},
+    cv AS (
+      SELECT p.a, p.b,
+             len(sa.sh)::BIGINT AS n_sh_a,
+             len(sb.sh)::BIGINT AS n_sh_b,
+             len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_common
+      FROM pairs p
+      JOIN shng sa ON sa.doc_id = p.a
+      JOIN shng sb ON sb.doc_id = p.b
+      WHERE len(sa.sh) > 0 AND len(sb.sh) > 0
+    )
+    SELECT a, b, n_sh_a, n_sh_b, n_common,
+           (n_common * 1000 // n_sh_a)::BIGINT AS cont_ab_milli,
+           (n_common * 1000 // n_sh_b)::BIGINT AS cont_ba_milli
+    FROM cv
+    WHERE greatest(n_common * 1000 // n_sh_a, n_common * 1000 // n_sh_b)
+            >= {CONT_T_MILLI}
+    """
+
+
+@_register("containment_near_dups", _containment_oracle())
+def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dups: candidate pairs from the exact
+    MinHash-LSH banding chain the symmetric family uses (same
+    signatures, bands and bucket cap as minhash_near_dups — oracle
+    lockstep via the shared ``minhash_pair_ctes``), verified on exact
+    shingle-set CONTAINMENT |A∩B|/|A| instead of Jaccard.  This is the
+    detector Jaccard structurally misses: a short document pasted into
+    a much longer one has containment ~1 but Jaccard ~|A|/|B| — far
+    under any near-dup threshold (Broder's containment, the
+    quotation/inclusion case).  Scores are exact integer milli ratios
+    (no float verify at all — tighter than the symmetric query's 6-dp
+    doubles); both directions are reported, gated on the larger.
+
+    Scale: identical topology to minhash_near_dups — banded bucket
+    join with the committed MAX_BUCKET cap (APPROX_PAST_CAP contract
+    lives there), then a pair-keyed verify join; the verify is narrow
+    (set intersect of two cached shingle arrays).  One caveat is
+    inherited deliberately: LSH bands target JACCARD similarity, so a
+    high-containment/low-Jaccard pair is only candidate-visible while
+    the size skew is moderate (recall falls as |B|/|A| grows — the
+    standard containment-LSH tradeoff; the exact fix at 100 TB is a
+    suffix/prefix-anchored band family, named here for the design
+    audit, not silently assumed)."""
+    from pedri_analysis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pedri_analysis_spark.plans.dedup_queries import (
+        BANDS,
+        MAX_BUCKET,
+        N_HASHES,
+        SHINGLE_K,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sigs = (
+        minhash_signatures(spread(docs), "text", N_HASHES, SHINGLE_K)
+        .select("doc_id", "sh", *[f"mh{i}" for i in range(N_HASHES)])
+        .persist()
+    )
+    sigs.count()  # materialize before fan-out (cache-race discipline)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS, MAX_BUCKET)
+    left = sigs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    right = sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    cv = (
+        pairs.join(left, "a")
+        .join(right, "b")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .select(
+            "a",
+            "b",
+            F.size("sh_a").cast("bigint").alias("n_sh_a"),
+            F.size("sh_b").cast("bigint").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_common"),
+        )
+    )
+    c_ab = F.expr("n_common * 1000 div n_sh_a")
+    c_ba = F.expr("n_common * 1000 div n_sh_b")
+    return (
+        cv.withColumn("cont_ab_milli", c_ab.cast("bigint"))
+        .withColumn("cont_ba_milli", c_ba.cast("bigint"))
+        .filter(
+            F.greatest(F.col("cont_ab_milli"), F.col("cont_ba_milli"))
+            >= CONT_T_MILLI
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR of BM25 bag-of-words retrieval against exact-phrase gold
+# ---------------------------------------------------------------------------
+
+MRR_PHRASES = ("part filter", "window join", "table merge", "order scan")
+
+
+def _mrr_oracle() -> str:
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+
+    phrase_score = {}
+    df_cols = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, t2 = ph.split(" ")
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t1}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}a"
+        )
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t2}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}b"
+        )
+        phrase_score[ph] = (
+            f"({_term_micros(_tf(tx.DUCK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.DUCK, t2), f'df_{i}b')})"
+        )
+    scored_legs = "\n      UNION ALL\n".join(
+        f"""      SELECT '{ph}' AS phrase, doc_id, {phrase_score[ph]} AS score,
+             list_contains({tx.word_shingles(tx.DUCK, "toks", 2)}, '{ph}') AS gold
+      FROM t2, stats"""
+        for ph in MRR_PHRASES
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM toks),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+             {", ".join(df_cols)}
+      FROM t2
+    ),
+    scored AS (
+{scored_legs}
+    ),
+    ng AS (
+      SELECT phrase, count(*)::BIGINT AS n_gold FROM scored WHERE gold
+      GROUP BY phrase
+    ),
+    best AS (
+      SELECT phrase, score AS gs, doc_id AS gid FROM (
+        SELECT phrase, score, doc_id,
+               row_number() OVER (PARTITION BY phrase
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored WHERE gold
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT b.phrase, ng.n_gold,
+             (1 + sum(CASE WHEN s.score > b.gs
+                             OR (s.score = b.gs AND s.doc_id < b.gid)
+                           THEN 1 ELSE 0 END))::BIGINT AS first_hit_rank
+      FROM best b
+      JOIN ng ON ng.phrase = b.phrase
+      JOIN scored s ON s.phrase = b.phrase
+      GROUP BY b.phrase, ng.n_gold
+    )
+    SELECT phrase, n_gold, first_hit_rank,
+           {tx.floor_scaled_div(tx.DUCK, "1", "first_hit_rank", 1_000_000)}::BIGINT
+             AS rr_micro
+    FROM ranked
+    """
+
+
+@_register("mrr_bm25_phrases", _mrr_oracle())
+def q_mrr_bm25_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank audit of bag-of-words BM25 against exact-phrase
+    relevance: for each two-word query phrase, docs are ranked by the
+    sum of the two unigram BM25 scores (the retrieval_queries scoring,
+    same k1/b and integer-micro quantization) and the gold set is the
+    docs containing the phrase AS ADJACENT TOKENS — rr = 1/rank of the
+    first gold doc.  This measures how well the unigram index surfaces
+    phrase intent, the gap a positional/phrase index (phrase_match
+    _counts) exists to close.
+
+    The rank of the best gold doc is computed WITHOUT a global sort:
+    argmax the gold side by the (score DESC, doc_id ASC) total order
+    (struct max — the mutual_top1 trick), then count documents that
+    order strictly before it.  Two corpus aggregations, zero
+    corpus-sized windows — rank-of-one-element never needs ranking
+    everything.
+
+    Scale: one tokenize pass feeds a 1-row broadcast stats frame and a
+    per-phrase narrow scoring map (phrase fan-out = 4 literals); the
+    rank count is one more broadcast-join pass.  Phrases with zero
+    gold docs at a given SF simply emit no row (both engines)."""
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = spread(docs).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    t2 = toks.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
+    ).persist()
+    t2.count()  # one tokenize pass feeds stats + 4 scoring legs
+    df_aggs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{t1}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}a")
+        )
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{tb}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}b")
+        )
+    stats = t2.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"), *df_aggs
+    )
+    legs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        score = (
+            f"({_term_micros(_tf(tx.SPARK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.SPARK, tb), f'df_{i}b')})"
+        )
+        legs.append(
+            t2.crossJoin(F.broadcast(stats)).select(
+                F.lit(ph).alias("phrase"),
+                "doc_id",
+                F.expr(score).alias("score"),
+                F.expr(
+                    f"array_contains({tx.word_shingles(tx.SPARK, 'toks', 2)}, '{ph}')"
+                ).alias("gold"),
+            )
+        )
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionAll(leg)
+    scored = scored.persist()
+    scored.count()  # feeds both the argmax and the rank-count pass
+    best = (
+        scored.filter("gold")
+        .groupBy("phrase")
+        .agg(
+            F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))).alias("g"),
+            F.count(F.lit(1)).cast("bigint").alias("n_gold"),
+        )
+        .select("phrase", "n_gold", F.col("g.score").alias("gs"), (-F.col("g.nid")).alias("gid"))
+    )
+    before = (F.col("score") > F.col("gs")) | (
+        (F.col("score") == F.col("gs")) & (F.col("doc_id") < F.col("gid"))
+    )
+    ranked = (
+        scored.join(F.broadcast(best), "phrase")
+        .groupBy("phrase", "n_gold")
+        .agg(
+            (1 + F.sum(F.when(before, 1).otherwise(0)))
+            .cast("bigint")
+            .alias("first_hit_rank")
+        )
+    )
+    rr = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, '1', 'first_hit_rank', 1_000_000)} AS BIGINT)"
+    )
+    return ranked.select("phrase", "n_gold", "first_hit_rank", rr.alias("rr_micro"))
+
+
+# ---------------------------------------------------------------------------
+# RAKE-lite corpus keywords (degree/frequency co-occurrence scoring)
+# ---------------------------------------------------------------------------
+
+RAKE_TOPK = 20
+RAKE_MIN_FREQ = 5  # drop hapax-ish words: degree/freq of a rare word is noise
+
+
+def _rake_oracle() -> str:
+    from pedri_analysis_spark.plans.text_queries import _QUALITY_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.i AS pos, toks[u.i] AS t,
+             CASE WHEN toks[u.i] IN ({stops}) THEN 1 ELSE 0 END AS is_stop
+      FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, t, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM pos
+    ),
+    ph AS (
+      SELECT doc_id, sid, t,
+             count(*) OVER (PARTITION BY doc_id, sid) AS phrase_len
+      FROM seg WHERE is_stop = 0
+    ),
+    w AS (
+      SELECT t AS word,
+             count(*)::BIGINT AS freq,
+             sum(phrase_len)::BIGINT AS degree
+      FROM ph GROUP BY t
+      HAVING count(*) >= {RAKE_MIN_FREQ}
+    )
+    SELECT word, freq, degree,
+           {tx.floor_scaled_div(tx.DUCK, "degree", "freq", 1000)}::BIGINT
+             AS score_milli
+    FROM w
+    ORDER BY score_milli DESC, freq DESC, word ASC
+    LIMIT {RAKE_TOPK}
+    """
+
+
+@_register("rake_keyword_topk", _rake_oracle())
+def q_rake_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style corpus keywords (Rose et al. 2010, degree/frequency):
+    candidate phrases are maximal stopword-free token runs (the
+    text-quality stopword list, shared for lockstep); a word's degree
+    sums the lengths of every phrase it appears in, and score =
+    degree/freq (milli-quantized) rewards words that live in long
+    multi-word phrases over words that stand alone — the classic
+    no-training keyword extractor, here at corpus level with a
+    min-frequency gate.
+
+    Scale: tokenization explodes once (corpus x tokens rows); the two
+    windows both partition by doc (segment id needs position order,
+    phrase length is per-(doc, segment)); the word rollup is one
+    map-side-combining shuffle and top-k plans as
+    TakeOrderedAndProject.  Every stage is keyed by doc or word — no
+    global sort, no driver state."""
+    from pedri_analysis_spark.plans.text_queries import _QUALITY_STOPWORDS
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = spread(docs).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode("toks").alias("pos", "t")
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("t").isin(*_QUALITY_STOPWORDS), 1).otherwise(0),
+    )
+    seg = pos.withColumn(
+        "sid",
+        F.sum("is_stop").over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ph = seg.filter("is_stop = 0").withColumn(
+        "phrase_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "sid"))
+    )
+    w = (
+        ph.groupBy(F.col("t").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("phrase_len").cast("bigint").alias("degree"),
+        )
+        .filter(F.col("freq") >= RAKE_MIN_FREQ)
+    )
+    score = F.expr(
+        f"CAST({tx.floor_scaled_div(tx.SPARK, 'degree', 'freq', 1000)} AS BIGINT)"
+    )
+    return (
+        w.select("word", "freq", "degree", score.alias("score_milli"))
+        .orderBy(F.desc("score_milli"), F.desc("freq"), F.asc("word"))
+        .limit(RAKE_TOPK)
     )

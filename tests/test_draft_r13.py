@@ -307,3 +307,45 @@ def test_permutation_p_is_add_one_smoothed_rank(spark):
     lo = 1_000_000 // (d.PERM_REPS + 1)
     assert lo - 1 <= r["p_micro"] <= 1_000_000
     assert r["observed_diff_micros"] >= 0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """Containment scores dominate Jaccard on every pair (|A∩B|/min ≥
+    |A∩B|/|A∪B|), and each reported pair clears the threshold on its
+    larger direction."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["containment_near_dups"](spark, SF_DIR).collect()
+    for r in rows:
+        assert max(r["cont_ab_milli"], r["cont_ba_milli"]) >= d.CONT_T_MILLI
+        assert 0 <= r["n_common"] <= min(r["n_sh_a"], r["n_sh_b"])
+        jacc_milli = r["n_common"] * 1000 // (r["n_sh_a"] + r["n_sh_b"] - r["n_common"])
+        assert max(r["cont_ab_milli"], r["cont_ba_milli"]) >= jacc_milli
+
+
+def test_mrr_rank_is_consistent_with_gold(spark):
+    """first_hit_rank is a 1-based rank into the corpus and rr_micro is
+    its exact floor reciprocal."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    rows = d.QUERIES["mrr_bm25_phrases"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert 0 < len(rows) <= len(d.MRR_PHRASES)
+    for r in rows:
+        assert 1 <= r["first_hit_rank"] <= n_docs
+        assert r["rr_micro"] == 1_000_000 // r["first_hit_rank"]
+        assert r["n_gold"] >= 1
+
+
+def test_rake_scores_reward_phrase_membership(spark):
+    """degree >= freq always (every occurrence contributes phrase_len >=
+    1), so score_milli >= 1000; stopwords never appear as keywords."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+    from pedri_analysis_spark.plans.text_queries import _QUALITY_STOPWORDS
+
+    rows = d.QUERIES["rake_keyword_topk"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= d.RAKE_TOPK
+    for r in rows:
+        assert r["degree"] >= r["freq"] >= d.RAKE_MIN_FREQ
+        assert r["score_milli"] >= 1000
+        assert r["word"] not in _QUALITY_STOPWORDS

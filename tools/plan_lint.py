@@ -107,6 +107,7 @@ _BNLJ_ALLOWED = {
     "zone_map_skipping_audit",  # 4-row literal predicate frame (non-equi overlap)
     "lagged_spearman_ccf",  # 7-row literal lag frame against the daily rollup
     "permutation_test_segments",  # 1-row observed-statistic frame
+    "mrr_bm25_phrases",  # 1-row corpus-stats frame (bm25 precedent) x4 legs
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
