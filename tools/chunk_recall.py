@@ -280,6 +280,45 @@ def semdedup_prune_recall(synth_dir: str) -> dict:
     }
 
 
+def containment_recall(synth_dir: str, forced_cap: int = 16) -> dict:
+    """Pair recall of containment_near_dups (draft_r13) under the shared
+    MinHash-LSH bucket cap vs the uncapped run.  The query inherits
+    dedup_queries.MAX_BUCKET (the minhash family's drop-cap), so this
+    mirrors annlsh_pair_recall: measure whether the SHIPPED cap engages
+    at the synth decade, then force the cap small to measure the
+    drop-cap's recall in the regime a hot cluster would hit.  Capped
+    candidates are a subset (the cap only drops buckets; the verify is
+    unchanged), so count ratios are set recalls."""
+    from pedri_analysis_spark.plans import dedup_queries as dq
+    from pedri_analysis_spark.plans import draft_r13 as d13
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-recall-containment")
+
+    def n_pairs(cap: int) -> int:
+        orig = dq.MAX_BUCKET
+        dq.MAX_BUCKET = cap
+        try:
+            return d13.QUERIES["containment_near_dups"](spark, synth_dir).count()
+        finally:
+            dq.MAX_BUCKET = orig
+
+    exact = n_pairs(1 << 40)
+    shipped = n_pairs(dq.MAX_BUCKET)
+    forced = n_pairs(forced_cap)
+    return {
+        "family": "containment_near_dups",
+        "cap": dq.MAX_BUCKET,
+        "n_pairs_exact": int(exact),
+        "n_pairs_shipped_cap": int(shipped),
+        "shipped_cap_engages": shipped != exact,
+        "shipped_cap_recall": round(shipped / exact, 4) if exact else None,
+        "forced_cap": forced_cap,
+        "n_pairs_forced_cap": int(forced),
+        "forced_cap_recall": round(forced / exact, 4) if exact else None,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -309,6 +348,13 @@ def main() -> int:
         action="store_true",
         help="also measure fellegi_sunter_parts' capped-vs-exact pair "
         "and match recall (starts a Spark session)",
+    )
+    p.add_argument(
+        "--containment",
+        action="store_true",
+        help="also measure containment_near_dups' capped-vs-exact pair "
+        "recall under the shared MinHash bucket cap (starts a Spark "
+        "session)",
     )
     a = p.parse_args()
 
@@ -385,6 +431,8 @@ def main() -> int:
         results.append(annlsh_pair_recall(a.synth_dir))
     if a.fs:
         results.append(fellegi_sunter_recall(a.synth_dir))
+    if a.containment:
+        results.append(containment_recall(a.synth_dir))
 
     for r in results:
         print(json.dumps(r))
