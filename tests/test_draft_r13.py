@@ -349,3 +349,24 @@ def test_rake_scores_reward_phrase_membership(spark):
         assert r["degree"] >= r["freq"] >= d.RAKE_MIN_FREQ
         assert r["score_milli"] >= 1000
         assert r["word"] not in _QUALITY_STOPWORDS
+
+
+def test_bloom_fpr_tracks_analytic_expectation(spark):
+    """The measured FPR must track the textbook expectation
+    (1 - (1 - 1/m)^(k*n))^k — a uniform-hash sanity check on the
+    seeded_hash64 position construction: a biased hash family would
+    cluster positions and push the measured rate off the curve.  The
+    band is generous (binomial noise at ~1k probes) but kills
+    order-of-magnitude hash pathologies."""
+    from pedri_analysis_spark.plans import draft_r13 as d
+
+    (r,) = d.QUERIES["bloom_filter_fpr_audit"](spark, SF_DIR).collect()
+    fill = 1.0 - (1.0 - 1.0 / d.BLOOM_M) ** (d.BLOOM_K * r["n_build"])
+    fpr_expected = fill**d.BLOOM_K
+    measured = r["false_positives"] / r["n_probe"]
+    # measured bits_set should track m*fill closely (law of large numbers
+    # over m cells)
+    assert abs(r["bits_set"] - d.BLOOM_M * fill) <= 0.1 * d.BLOOM_M * fill + 8
+    # FPR: within 3x either way, plus an absolute floor for tiny samples
+    assert measured <= 3.0 * fpr_expected + 5.0 / r["n_probe"]
+    assert measured >= fpr_expected / 3.0 - 5.0 / r["n_probe"]
