@@ -1,0 +1,67 @@
+"""Partition-count invariance: the determinism discipline (DECIMAL
+aggregate sums, integer/floor quantization, total-order ranks) exists so
+results never depend on HOW data is partitioned or in what order partial
+aggregates merge.  This pins it with the engine itself: run a
+float-sensitive, window-bearing, iterative sample of the catalog under a
+deliberately hostile parallelism (7 shuffle partitions vs the suite's
+32 — different partial-agg merge trees, different window task splits)
+in a sibling session and require BIT-IDENTICAL canonical rows.
+
+A failure here means a query's result is an artifact of the cluster
+layout — exactly the class of bug that passes every single-session
+oracle comparison and then diverges on a real 1000-executor cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, canonical_rows
+
+# float-aggregate, window, iterative-graph, digest-slice and draft
+# representatives — the surfaces where merge order COULD leak if the
+# discipline slipped
+SAMPLE = [
+    ("pricing_summary", None),  # DECIMAL->DOUBLE money aggregates
+    ("stats_moments_exact", None),  # higher central moments
+    ("tfidf_top_terms", None),  # 6-dp rounded idf products
+    ("pagerank_trade_graph", None),  # 5 iterations of rounded contributions
+    ("window_running_total", None),  # ordered window over shuffled input
+    ("bootstrap_ci_avg_order", "draft_r11"),  # digest-slice replicates
+    ("embedding_dim_health", "draft_r13"),  # rounded-square DECIMAL sums
+    ("hits_hubs_authorities", "draft_r13"),  # integer max-normalized graph
+]
+
+
+def _fn(name: str, module: str | None):
+    if module is None:
+        from pedri_analysis_spark.plans import registry
+
+        return registry.all_queries()[name]
+    import importlib
+
+    mod = importlib.import_module(f"pedri_analysis_spark.plans.{module}")
+    return mod.QUERIES[name]
+
+
+@pytest.mark.parametrize("name,module", SAMPLE, ids=[s[0] for s in SAMPLE])
+def test_results_invariant_under_hostile_partitioning(spark, name, module):
+    from pedri_analysis_spark.sources.tables import ensure_session_conf
+
+    fn = _fn(name, module)
+    base = fn(spark, SF_DIR)
+    cols = base.columns
+    _, want = canonical_rows(cols, [tuple(r) for r in base.collect()])
+
+    other = spark.newSession()
+    ensure_session_conf(other)
+    other.conf.set("spark.sql.shuffle.partitions", "7")
+    # disabling AQE coalescing too: it must also not matter
+    other.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        got_df = fn(other, SF_DIR)
+        assert got_df.columns == cols
+        _, got = canonical_rows(cols, [tuple(r) for r in got_df.collect()])
+    finally:
+        other.conf.set("spark.sql.shuffle.partitions", "32")
+        other.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert got == want, f"{name}: result depends on partitioning"
