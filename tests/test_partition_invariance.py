@@ -57,6 +57,9 @@ def test_results_invariant_under_hostile_partitioning(spark, name, module):
     other.conf.set("spark.sql.shuffle.partitions", "7")
     # disabling AQE coalescing too: it must also not matter
     other.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # and shred the INPUT side: 64 KiB splits force many scan tasks, so
+    # per-partition partial aggregates see entirely different row subsets
+    other.conf.set("spark.sql.files.maxPartitionBytes", "65536")
     try:
         got_df = fn(other, SF_DIR)
         assert got_df.columns == cols
@@ -64,4 +67,5 @@ def test_results_invariant_under_hostile_partitioning(spark, name, module):
     finally:
         other.conf.set("spark.sql.shuffle.partitions", "32")
         other.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        other.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     assert got == want, f"{name}: result depends on partitioning"
