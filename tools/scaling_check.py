@@ -63,6 +63,18 @@ KNOWN_QUADRATIC: dict[str, str] = {}
 # co-chunked by construction.  This dict is surfaced verbatim in
 # SCALING.json so the approximation is reported, not implied exact.
 APPROX_PAST_CAP: dict[str, str] = {
+    "containment_near_dups": (
+        "r13 draft, pre-staged: inherits minhash_near_dups' MAX_BUCKET "
+        "drop-cap; the cap does not engage at sf1.0synth and forcing it "
+        "to 16 and even 4 still yields MEASURED pair recall 1.0000 "
+        "(tools/chunk_recall.py --containment, r11) — high-containment "
+        "pairs are signature-concordant across most of the 8 bands, so "
+        "at least one collision survives any per-band cap; the residual "
+        "approximation is the candidate GENERATOR's Jaccard-targeted "
+        "bands (recall falls with size skew |B|/|A|), stated in the "
+        "query docstring with the suffix/prefix-anchored band family "
+        "named as the recall-preserving 100 TB design"
+    ),
     "ngram_jaccard_near_dups": (
         "exact for nch==1 (every real SF); past the cap, pairs split "
         "across residue cells are skipped — MEASURED pair recall 0.204 "
