@@ -1,12 +1,11 @@
-"""Draft queries staged for r12 registration (NOT in the registry).
+"""The r11-staged query wave, REGISTERED in r12 (registry._modules).
 
-Staged-draft protocol (established r10→r11): the module is fully
+Staged-draft protocol (established r10→r11): the module was fully
 implemented, oracle-paired, plan-invariant-pinned and proven green by
-tests/test_draft_r12.py under the driver-identical comparison THIS
-round; registering next round is one line in ``registry._modules``.
-Keeping them out of the r11 registry preserves the verification
-window's drain slots (10 rewritten-since-green re-proofs + 6 r11 drafts
-+ 34 stale re-proofs already fill it).
+tests/test_draft_r12.py under the driver-identical comparison in r11;
+r12 registered it (one line in ``registry._modules``) and reworked
+``fellegi_sunter_parts`` with field-agreement candidate blocking
+(VERDICT r11 ask #3) before first driver contact.
 
 Every query follows the determinism discipline (integer / DECIMAL
 arithmetic, hash-seeded pseudo-randomness, total orders on every rank,
@@ -479,6 +478,30 @@ FS_T_MATCH = 2500  # >= : match
 FS_T_POSSIBLE = 0  # >= : possible, else non-match
 FS_SIZE_TOL = 2
 FS_PRICE_TOL_CENTS = 500
+# Shifted double-grid widths for the two tolerance fields (width = 2*tol,
+# second grid offset by tol): any pair within tolerance shares a cell in
+# at least one of the two grids — the standard banding lemma.
+FS_SIZE_W = 2 * FS_SIZE_TOL
+FS_CENT_W = 2 * FS_PRICE_TOL_CENTS
+
+
+def _fs_pass_keys(dialect: str) -> list[tuple[str, str]]:
+    """The six field-agreement blocking passes as (name, key-expr) —
+    one equality pass per exact field (brand, adj) and a shifted
+    double-grid pass pair per tolerance field (size, price).  Integer
+    div is truncated in Spark and floor in DuckDB; both operands are
+    non-negative in the TPC-H part domain (p_size 1..50, retail price
+    > 0), where the two agree."""
+    d = "//" if dialect == tx.DUCK else "div"
+    cast = "VARCHAR" if dialect == tx.DUCK else "STRING"
+    return [
+        ("b", "brand"),
+        ("a", "adj"),
+        ("s0", f"CAST(size {d} {FS_SIZE_W} AS {cast})"),
+        ("s1", f"CAST((size + {FS_SIZE_TOL}) {d} {FS_SIZE_W} AS {cast})"),
+        ("p0", f"CAST(cents {d} {FS_CENT_W} AS {cast})"),
+        ("p1", f"CAST((cents + {FS_PRICE_TOL_CENTS}) {d} {FS_CENT_W} AS {cast})"),
+    ]
 
 
 def _fs_score(prefix_a: str, prefix_b: str) -> str:
@@ -498,6 +521,11 @@ def _fs_score(prefix_a: str, prefix_b: str) -> str:
 
 
 def _fs_oracle() -> str:
+    bk_rows = "\n      UNION ALL ".join(
+        f"SELECT pk, ptype, noun, brand, size, cents, adj, "
+        f"'{pname}' AS bpass, {kexpr} AS bkey FROM reg"
+        for pname, kexpr in _fs_pass_keys(tx.DUCK)
+    )
     return f"""
     WITH reg AS (
       SELECT p_partkey AS pk, p_type AS ptype,
@@ -507,20 +535,26 @@ def _fs_oracle() -> str:
              CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
       FROM part
     ),
+    bk AS (
+      {bk_rows}
+    ),
     bc AS (
-      SELECT ptype, noun, {chk.nch_sql(FS_CHUNK)} AS nch
-      FROM reg GROUP BY ptype, noun
+      SELECT ptype, noun, bpass, bkey, {chk.nch_sql(FS_CHUNK)} AS nch
+      FROM bk GROUP BY ptype, noun, bpass, bkey
     ),
-    chunked AS (
-      SELECT r.*, {tx.chunk_of(tx.DUCK, 'r.pk', 'bc.nch')} AS chunk
-      FROM reg r JOIN bc ON r.ptype = bc.ptype AND r.noun = bc.noun
+    ck AS (
+      SELECT bk.*,
+             {tx.chunk_of(tx.DUCK, "concat(bk.bpass, '#', CAST(bk.pk AS VARCHAR))", 'bc.nch')}
+               AS chunk
+      FROM bk JOIN bc ON bk.ptype = bc.ptype AND bk.noun = bc.noun
+                     AND bk.bpass = bc.bpass AND bk.bkey = bc.bkey
     ),
-    scored AS (
-      SELECT a.ptype,
+    cand AS (
+      SELECT DISTINCT a.ptype, a.pk AS a_pk, b.pk AS b_pk,
              {_fs_score('a.', 'b.')} AS score
-      FROM chunked a JOIN chunked b
-        ON a.ptype = b.ptype AND a.noun = b.noun AND a.chunk = b.chunk
-       AND a.pk < b.pk
+      FROM ck a JOIN ck b
+        ON a.ptype = b.ptype AND a.noun = b.noun AND a.bpass = b.bpass
+       AND a.bkey = b.bkey AND a.chunk = b.chunk AND a.pk < b.pk
     )
     SELECT ptype,
            count(*)::BIGINT AS n_pairs,
@@ -530,7 +564,7 @@ def _fs_oracle() -> str:
                     THEN 1 ELSE 0 END)::BIGINT AS n_possible,
            sum(CASE WHEN score < {FS_T_POSSIBLE} THEN 1 ELSE 0 END)::BIGINT
              AS n_nonmatch
-    FROM scored
+    FROM cand
     GROUP BY ptype
     """
 
@@ -538,25 +572,45 @@ def _fs_oracle() -> str:
 @_register("fellegi_sunter_parts", _fs_oracle())
 def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage (JASA 1969) over the
-    part register: candidate pairs from (type, name-noun) blocks score
-    each comparison field with literal agreement/disagreement
-    milli-log-odds weights (brand equality, size within {FS_SIZE_TOL},
-    price within {FS_PRICE_TOL_CENTS} cents, adjective equality) and
-    the summed score classifies match / possible / non-match per the
-    two FS thresholds — reported per part type.
+    part register: blocked candidate pairs score each comparison field
+    with literal agreement/disagreement milli-log-odds weights (brand
+    equality, size within {FS_SIZE_TOL}, price within
+    {FS_PRICE_TOL_CENTS} cents, adjective equality) and the summed
+    score classifies match / possible / non-match per the two FS
+    thresholds — reported per part type.
+
+    Candidate generation (r12 redesign, VERDICT r11 ask #3 — blocking
+    before scoring, not the 0.015-recall whole-register mod-chunk): the
+    union of SIX field-agreement blocking passes within (type, noun) —
+    equality on brand, equality on adjective, and a shifted double grid
+    per tolerance field (width 2*tol, second grid offset by tol, so any
+    within-tolerance pair shares a cell in >=1 grid).  With these
+    weights, score >= {FS_T_POSSIBLE} (possible-or-match) holds IFF the
+    pair agrees on >=2 of the 4 fields (enumerate: every 2-agreement
+    combination sums >= +400, every 1-agreement combination <= -100),
+    so every match and every possible pair agrees on >=1 blocked field
+    and is generated by its pass — candidate recall for both FS classes
+    is 1.0 BY CONSTRUCTION uncapped (pinned cross-engine in
+    tests/test_draft_r12.py against the all-pairs in-block run).
+    n_pairs / n_nonmatch count the scored CANDIDATES (pairs agreeing on
+    >=1 blocking key), the operational FS denominator — not the
+    quadratic all-pairs universe.
 
     Determinism: weights are literals (a trained model's m/u
     probabilities enter only through them — the Benford constant
     discipline), prices are exact integer cents, comparisons and CASE
-    sums are pure integers.
+    sums are pure integers; the cross-pass DISTINCT collapses
+    multi-pass duplicates exactly (score is pair-deterministic).
 
-    Scale: blocks are corpus-fraction, so the in-block all-pairs join
-    takes the shared mod-chunk cap (FS_CHUNK={FS_CHUNK},
-    operators/chunking.py): nch == 1 at every real SF (bit-identical
-    unchunked plan); past the cap the query is APPROXIMATE per the
-    shared contract (a true pair whose ids land in different residue
-    cells is not scored) — the forced-cap branch is cross-engine-proven
-    in tests/test_draft_r12.py."""
+    Scale: pass blocks are 25-100x finer than (type, noun) — brand /
+    adjective / grid-cell sub-keys — and each pass carries the shared
+    mod-chunk cap (FS_CHUNK={FS_CHUNK}, operators/chunking.py) with a
+    PER-PASS chunk hash (the pass name is folded into the hash input),
+    so past the cap a match pair (>=3 field agreements => >=3 covering
+    passes) gets >=3 INDEPENDENT survival draws instead of the old
+    single 1/nch draw — forced-cap recall measured by
+    tools/chunk_recall.py --fs and recorded in APPROX_PAST_CAP.  The
+    chunked branch is cross-engine-proven in tests/test_draft_r12.py."""
     reg = load_table(spark, "part", sf_dir).select(
         F.col("p_partkey").alias("pk"),
         F.col("p_type").alias("ptype"),
@@ -568,23 +622,41 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    chunked = chk.mod_chunk(reg, ["ptype", "noun"], "pk", FS_CHUNK)
-    a = chunked.select(
-        F.col("pk").alias("a_pk"), "ptype", "noun", "chunk",
+    bk = None
+    for pname, kexpr in _fs_pass_keys(tx.SPARK):
+        p = reg.select(
+            "pk", "ptype", "noun", "brand", "size", "cents", "adj",
+            F.lit(pname).alias("bpass"), F.expr(kexpr).alias("bkey"),
+        )
+        bk = p if bk is None else bk.unionByName(p)
+    bc = bk.groupBy("ptype", "noun", "bpass", "bkey").agg(
+        F.expr(chk.nch_sql(FS_CHUNK, tx.SPARK)).alias("nch")
+    )
+    ck = bk.join(bc, ["ptype", "noun", "bpass", "bkey"]).withColumn(
+        "chunk",
+        F.expr(
+            tx.chunk_of(tx.SPARK, "concat(bpass, '#', CAST(pk AS STRING))", "nch")
+        ),
+    )
+    a = ck.select(
+        F.col("pk").alias("a_pk"), "ptype", "noun", "bpass", "bkey", "chunk",
         F.col("adj").alias("a_adj"), F.col("brand").alias("a_brand"),
         F.col("size").alias("a_size"), F.col("cents").alias("a_cents"),
     )
-    b = chunked.select(
-        F.col("pk").alias("b_pk"), "ptype", "noun", "chunk",
+    b = ck.select(
+        F.col("pk").alias("b_pk"), "ptype", "noun", "bpass", "bkey", "chunk",
         F.col("adj").alias("b_adj"), F.col("brand").alias("b_brand"),
         F.col("size").alias("b_size"), F.col("cents").alias("b_cents"),
     )
-    scored = (
-        a.join(b, ["ptype", "noun", "chunk"])
+    cand = (
+        a.join(b, ["ptype", "noun", "bpass", "bkey", "chunk"])
         .filter(F.col("a_pk") < F.col("b_pk"))
-        .select("ptype", F.expr(_fs_score("a_", "b_")).alias("score"))
+        .select(
+            "ptype", "a_pk", "b_pk", F.expr(_fs_score("a_", "b_")).alias("score")
+        )
+        .distinct()
     )
-    return scored.groupBy("ptype").agg(
+    return cand.groupBy("ptype").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.expr(f"CASE WHEN score >= {FS_T_MATCH} THEN 1 ELSE 0 END"))
         .cast("bigint")

@@ -137,6 +137,7 @@ def _modules():
         "pedri_queries",
         "pedri_profile_queries",
         "draft_r11",
+        "draft_r12",
     ):
         try:
             mods.append(

@@ -60,16 +60,65 @@ def test_draft_plan_invariants(spark, name, qfn, sql):
 
 
 def test_fellegi_sunter_chunked_branch_matches_oracle(spark, duck, monkeypatch):
-    """The (type, noun) blocks are corpus-fraction, so the pair stage
-    carries the shared mod-chunk cap; every real SF is unchunked
-    (nch == 1), so force the cap tiny to cross-engine-prove the chunked
-    branch — the branch that actually runs past the cap."""
+    """The field-agreement pass blocks still grow with the corpus, so
+    the pair stage carries the shared mod-chunk cap per pass; every
+    real SF is unchunked (nch == 1), so force the cap tiny to
+    cross-engine-prove the chunked branch — the branch that actually
+    runs past the cap."""
     from pedri_analysis_spark.plans import draft_r12 as d
 
     monkeypatch.setattr(d, "FS_CHUNK", 4)
     assert_query_matches_oracle(
         spark, duck, d.QUERIES["fellegi_sunter_parts"], d._fs_oracle()
     )
+
+
+def test_fellegi_sunter_blocking_recall_is_exact_for_fs_classes(spark, duck):
+    """The six field-agreement passes generate EVERY match and EVERY
+    possible pair (score >= 0 iff >=2 field agreements iff >=1 blocked
+    field agrees — the docstring's enumeration), so the blocked
+    n_match / n_possible per ptype must equal the quadratic all-pairs
+    in-(type, noun)-block ground truth.  n_pairs / n_nonmatch are
+    candidate-denominated by design and are NOT compared."""
+    from pedri_analysis_spark.plans import draft_r12 as d
+
+    blocked = {
+        r["ptype"]: (r["n_match"], r["n_possible"])
+        for r in d.QUERIES["fellegi_sunter_parts"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    truth_sql = f"""
+    WITH reg AS (
+      SELECT p_partkey AS pk, p_type AS ptype,
+             split_part(p_name, ' ', 2) AS noun,
+             split_part(p_name, ' ', 1) AS adj,
+             p_brand AS brand, p_size AS size,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM part
+    ),
+    scored AS (
+      SELECT a.ptype, {d._fs_score('a.', 'b.')} AS score
+      FROM reg a JOIN reg b
+        ON a.ptype = b.ptype AND a.noun = b.noun AND a.pk < b.pk
+    )
+    SELECT ptype,
+           sum(CASE WHEN score >= {d.FS_T_MATCH} THEN 1 ELSE 0 END)::BIGINT
+             AS n_match,
+           sum(CASE WHEN score >= {d.FS_T_POSSIBLE} AND score < {d.FS_T_MATCH}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_possible
+    FROM scored GROUP BY ptype
+    """
+    truth = {
+        t[0]: (t[1], t[2]) for t in duck.execute(truth_sql).fetchall()
+    }
+    for ptype, (nm, np_) in truth.items():
+        got = blocked.get(ptype, (0, 0))
+        assert got == (nm, np_), (ptype, got, (nm, np_))
+    # and nothing extra: a ptype absent from truth has no match/possible
+    for ptype, (nm, np_) in blocked.items():
+        if ptype not in truth:
+            assert (nm, np_) == (0, 0)
 
 
 def test_kcore_rounds_monotone(spark):
