@@ -522,8 +522,8 @@ def _fs_score(prefix_a: str, prefix_b: str) -> str:
 
 def _fs_oracle() -> str:
     bk_rows = "\n      UNION ALL ".join(
-        f"SELECT pk, ptype, noun, brand, size, cents, adj, "
-        f"'{pname}' AS bpass, {kexpr} AS bkey FROM reg"
+        f"SELECT pk, w, ptype, noun, brand, size, cents, adj, "
+        f"'{pname}' AS bpass, {kexpr} AS bkey FROM clus"
         for pname, kexpr in _fs_pass_keys(tx.DUCK)
     )
     return f"""
@@ -534,6 +534,15 @@ def _fs_oracle() -> str:
              p_brand AS brand, p_size AS size,
              CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
       FROM part
+    ),
+    clus AS (
+      SELECT ptype, noun, adj, brand, size, cents,
+             min(pk) AS pk, count(*)::BIGINT AS w
+      FROM reg GROUP BY ptype, noun, adj, brand, size, cents
+    ),
+    ident AS (
+      SELECT ptype, sum(w * (w - 1) // 2)::BIGINT AS ident_pairs
+      FROM clus GROUP BY ptype
     ),
     bk AS (
       {bk_rows}
@@ -551,21 +560,30 @@ def _fs_oracle() -> str:
     ),
     cand AS (
       SELECT DISTINCT a.ptype, a.pk AS a_pk, b.pk AS b_pk,
+             a.w AS a_w, b.w AS b_w,
              {_fs_score('a.', 'b.')} AS score
       FROM ck a JOIN ck b
         ON a.ptype = b.ptype AND a.noun = b.noun AND a.bpass = b.bpass
        AND a.bkey = b.bkey AND a.chunk = b.chunk AND a.pk < b.pk
+    ),
+    cross_cnt AS (
+      SELECT ptype,
+             sum(a_w * b_w)::BIGINT AS x_pairs,
+             sum(CASE WHEN score >= {FS_T_MATCH} THEN a_w * b_w
+                      ELSE 0 END)::BIGINT AS x_match,
+             sum(CASE WHEN score >= {FS_T_POSSIBLE} AND score < {FS_T_MATCH}
+                      THEN a_w * b_w ELSE 0 END)::BIGINT AS x_possible,
+             sum(CASE WHEN score < {FS_T_POSSIBLE} THEN a_w * b_w
+                      ELSE 0 END)::BIGINT AS x_nonmatch
+      FROM cand GROUP BY ptype
     )
-    SELECT ptype,
-           count(*)::BIGINT AS n_pairs,
-           sum(CASE WHEN score >= {FS_T_MATCH} THEN 1 ELSE 0 END)::BIGINT
-             AS n_match,
-           sum(CASE WHEN score >= {FS_T_POSSIBLE} AND score < {FS_T_MATCH}
-                    THEN 1 ELSE 0 END)::BIGINT AS n_possible,
-           sum(CASE WHEN score < {FS_T_POSSIBLE} THEN 1 ELSE 0 END)::BIGINT
-             AS n_nonmatch
-    FROM cand
-    GROUP BY ptype
+    SELECT i.ptype,
+           (i.ident_pairs + COALESCE(c.x_pairs, 0))::BIGINT AS n_pairs,
+           (i.ident_pairs + COALESCE(c.x_match, 0))::BIGINT AS n_match,
+           COALESCE(c.x_possible, 0)::BIGINT AS n_possible,
+           COALESCE(c.x_nonmatch, 0)::BIGINT AS n_nonmatch
+    FROM ident i LEFT JOIN cross_cnt c ON i.ptype = c.ptype
+    WHERE i.ident_pairs + COALESCE(c.x_pairs, 0) > 0
     """
 
 
@@ -580,37 +598,55 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds — reported per part type.
 
     Candidate generation (r12 redesign, VERDICT r11 ask #3 — blocking
-    before scoring, not the 0.015-recall whole-register mod-chunk): the
-    union of SIX field-agreement blocking passes within (type, noun) —
-    equality on brand, equality on adjective, and a shifted double grid
-    per tolerance field (width 2*tol, second grid offset by tol, so any
-    within-tolerance pair shares a cell in >=1 grid).  With these
-    weights, score >= {FS_T_POSSIBLE} (possible-or-match) holds IFF the
-    pair agrees on >=2 of the 4 fields (enumerate: every 2-agreement
-    combination sums >= +400, every 1-agreement combination <= -100),
-    so every match and every possible pair agrees on >=1 blocked field
-    and is generated by its pass — candidate recall for both FS classes
-    is 1.0 BY CONSTRUCTION uncapped (pinned cross-engine in
-    tests/test_draft_r12.py against the all-pairs in-block run).
-    n_pairs / n_nonmatch count the scored CANDIDATES (pairs agreeing on
-    >=1 blocking key), the operational FS denominator — not the
-    quadratic all-pairs universe.
+    before scoring, not the 0.015-recall whole-register mod-chunk),
+    two exact layers:
+
+    1. EXACT-DUPLICATE CLUSTERING: records grouped by the full
+       comparison tuple (type, noun, adjective, brand, size, cents);
+       a cluster of w identical records contributes w*(w-1)/2 pairs
+       ANALYTICALLY (all agree on every field => score 5400 => match)
+       — linear work, recall 1.0 at ANY scale, immune to the cap.
+       This absorbs the quadratic replica explosion (47% of all match
+       pairs at the sf1.0synth decade are full-tuple-identical).
+    2. BLOCKED SCORING OVER DISTINCT REPRESENTATIVES: the union of SIX
+       field-agreement blocking passes within (type, noun) — equality
+       on brand, equality on adjective, and a shifted double grid per
+       tolerance field (width 2*tol, second grid offset by tol, so any
+       within-tolerance pair shares a cell in >=1 grid) — over one
+       representative per cluster (id = min pk), each pair counted
+       with multiplicity a_w * b_w.  With these weights, score >=
+       {FS_T_POSSIBLE} (possible-or-match) holds IFF the pair agrees
+       on >=2 of the 4 fields (enumerate: every 2-agreement
+       combination sums >= +400, every 1-agreement combination <=
+       -100), so every cross-cluster match/possible pair agrees on
+       >=1 blocked field and is generated by its pass — candidate
+       recall for both FS classes is 1.0 BY CONSTRUCTION uncapped
+       (pinned cross-engine in tests/test_draft_r12.py against the
+       quadratic all-pairs in-block run).
+
+    n_pairs / n_nonmatch count identical pairs plus the scored
+    candidates (pairs agreeing on >=1 blocking key), the operational
+    FS denominator — not the quadratic all-pairs universe.
 
     Determinism: weights are literals (a trained model's m/u
     probabilities enter only through them — the Benford constant
     discipline), prices are exact integer cents, comparisons and CASE
     sums are pure integers; the cross-pass DISTINCT collapses
-    multi-pass duplicates exactly (score is pair-deterministic).
+    multi-pass duplicates exactly (score and weights are
+    pair-deterministic).  Overflow: w*(w-1)/2 and a_w*b_w are safe
+    while no single identical-record cluster exceeds ~3e9 rows (BIGINT
+    product bound); DECIMAL(38,0) is the escape hatch past that.
 
-    Scale: pass blocks are 25-100x finer than (type, noun) — brand /
-    adjective / grid-cell sub-keys — and each pass carries the shared
-    mod-chunk cap (FS_CHUNK={FS_CHUNK}, operators/chunking.py) with a
-    PER-PASS chunk hash (the pass name is folded into the hash input),
-    so past the cap a match pair (>=3 field agreements => >=3 covering
-    passes) gets >=3 INDEPENDENT survival draws instead of the old
-    single 1/nch draw — forced-cap recall measured by
-    tools/chunk_recall.py --fs and recorded in APPROX_PAST_CAP.  The
-    chunked branch is cross-engine-proven in tests/test_draft_r12.py."""
+    Scale: the representative register is DISTINCT-tuple-sized (the
+    replica dimension is gone), pass blocks are 25-100x finer than
+    (type, noun), and each pass carries the shared mod-chunk cap
+    (FS_CHUNK={FS_CHUNK}, operators/chunking.py) with a PER-PASS chunk
+    hash (the pass name is folded into the hash input), so past the
+    cap a cross-cluster match pair (>=3 field agreements => >=3
+    covering passes) gets >=3 INDEPENDENT survival draws instead of
+    the old single 1/nch draw — measured by tools/chunk_recall.py --fs
+    and recorded in APPROX_PAST_CAP.  The chunked branch is
+    cross-engine-proven in tests/test_draft_r12.py."""
     reg = load_table(spark, "part", sf_dir).select(
         F.col("p_partkey").alias("pk"),
         F.col("p_type").alias("ptype"),
@@ -622,10 +658,16 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+    clus = reg.groupBy("ptype", "noun", "adj", "brand", "size", "cents").agg(
+        F.min("pk").alias("pk"), F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    ident = clus.groupBy("ptype").agg(
+        F.sum(F.expr("w * (w - 1) div 2")).cast("bigint").alias("ident_pairs")
+    )
     bk = None
     for pname, kexpr in _fs_pass_keys(tx.SPARK):
-        p = reg.select(
-            "pk", "ptype", "noun", "brand", "size", "cents", "adj",
+        p = clus.select(
+            "pk", "w", "ptype", "noun", "brand", "size", "cents", "adj",
             F.lit(pname).alias("bpass"), F.expr(kexpr).alias("bkey"),
         )
         bk = p if bk is None else bk.unionByName(p)
@@ -639,12 +681,14 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     a = ck.select(
-        F.col("pk").alias("a_pk"), "ptype", "noun", "bpass", "bkey", "chunk",
+        F.col("pk").alias("a_pk"), F.col("w").alias("a_w"),
+        "ptype", "noun", "bpass", "bkey", "chunk",
         F.col("adj").alias("a_adj"), F.col("brand").alias("a_brand"),
         F.col("size").alias("a_size"), F.col("cents").alias("a_cents"),
     )
     b = ck.select(
-        F.col("pk").alias("b_pk"), "ptype", "noun", "bpass", "bkey", "chunk",
+        F.col("pk").alias("b_pk"), F.col("w").alias("b_w"),
+        "ptype", "noun", "bpass", "bkey", "chunk",
         F.col("adj").alias("b_adj"), F.col("brand").alias("b_brand"),
         F.col("size").alias("b_size"), F.col("cents").alias("b_cents"),
     )
@@ -652,26 +696,42 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["ptype", "noun", "bpass", "bkey", "chunk"])
         .filter(F.col("a_pk") < F.col("b_pk"))
         .select(
-            "ptype", "a_pk", "b_pk", F.expr(_fs_score("a_", "b_")).alias("score")
+            "ptype", "a_pk", "b_pk", "a_w", "b_w",
+            F.expr(_fs_score("a_", "b_")).alias("score"),
         )
         .distinct()
     )
-    return cand.groupBy("ptype").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.expr(f"CASE WHEN score >= {FS_T_MATCH} THEN 1 ELSE 0 END"))
+    cross = cand.groupBy("ptype").agg(
+        F.sum(F.expr("a_w * b_w")).cast("bigint").alias("x_pairs"),
+        F.sum(F.expr(f"CASE WHEN score >= {FS_T_MATCH} THEN a_w * b_w ELSE 0 END"))
         .cast("bigint")
-        .alias("n_match"),
+        .alias("x_match"),
         F.sum(
             F.expr(
                 f"CASE WHEN score >= {FS_T_POSSIBLE} AND score < {FS_T_MATCH} "
-                f"THEN 1 ELSE 0 END"
+                f"THEN a_w * b_w ELSE 0 END"
             )
         )
         .cast("bigint")
-        .alias("n_possible"),
-        F.sum(F.expr(f"CASE WHEN score < {FS_T_POSSIBLE} THEN 1 ELSE 0 END"))
+        .alias("x_possible"),
+        F.sum(F.expr(f"CASE WHEN score < {FS_T_POSSIBLE} THEN a_w * b_w ELSE 0 END"))
         .cast("bigint")
-        .alias("n_nonmatch"),
+        .alias("x_nonmatch"),
+    )
+    return (
+        ident.join(cross, ["ptype"], "left")
+        .select(
+            "ptype",
+            F.expr("CAST(ident_pairs + COALESCE(x_pairs, 0) AS BIGINT)").alias(
+                "n_pairs"
+            ),
+            F.expr("CAST(ident_pairs + COALESCE(x_match, 0) AS BIGINT)").alias(
+                "n_match"
+            ),
+            F.expr("CAST(COALESCE(x_possible, 0) AS BIGINT)").alias("n_possible"),
+            F.expr("CAST(COALESCE(x_nonmatch, 0) AS BIGINT)").alias("n_nonmatch"),
+        )
+        .filter(F.col("n_pairs") > 0)
     )
 
 

@@ -18,14 +18,15 @@ def _pairs():
     return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
 
 
-def test_drafts_are_not_registered():
+def test_drafts_are_registered():
+    """Flipped at r12 registration: the wave is now IN the registry
+    (one line in registry._modules), fully oracle-paired."""
     from pedri_analysis_spark.plans import draft_r12 as d
     from pedri_analysis_spark.plans import registry
 
     registered = set(registry.all_queries())
-    assert not (set(d.QUERIES) & registered), (
-        "r12 draft queries leaked into the r11 registry — they must not "
-        "displace the rewritten-re-proof / stale-drain window slots"
+    assert set(d.QUERIES) <= registered, (
+        "r12 wave missing from the registry after its registration round"
     )
     # every draft is oracle-paired (full hash-match contract)
     assert set(d.ORACLE_SQL) == set(d.QUERIES)

@@ -213,19 +213,25 @@ def annlsh_pair_recall(synth_dir: str, forced_cap: int = 16) -> dict:
     }
 
 
-def fellegi_sunter_recall(synth_dir: str) -> dict:
-    """Pair and match-class recall of the capped fellegi_sunter_parts
-    (draft_r12) vs the uncapped run on the same synth dir.  The (type,
-    noun) blocks are corpus-fraction, so unlike ann_lsh the FS_CHUNK cap
-    DOES engage at the synth decade (blocks ~330 at sf1.0synth vs cap
-    64) — the capped candidate set is a subset (chunking only removes
-    pairs; scoring unchanged), so the count ratios are set recalls."""
+def fellegi_sunter_recall(synth_dir: str, forced_cap: int = 16) -> dict:
+    """Match- and possible-class recall of the capped
+    fellegi_sunter_parts (draft_r12) vs the uncapped run on the same
+    synth dir.  Since the r12 field-agreement-blocking redesign the
+    uncapped blocked run IS the ground truth for both FS classes
+    (recall 1.0 by construction — tests/test_draft_r12.py), and the
+    pass blocks are 25-100x finer than the old (type, noun) block, so
+    the shipped cap no longer engages at the synth decade; like
+    ann_lsh, this measures the FORCED cap (per-pass nch > 1) so the
+    number reported for APPROX_PAST_CAP is the cap actually biting.
+    The capped candidate set is a subset (per-pass chunking only
+    removes pairs; scoring and the cross-pass DISTINCT unchanged), so
+    the count ratios are set recalls."""
     from pedri_analysis_spark.plans import draft_r12 as d12
     from pedri_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="chunk-recall-fs")
 
-    def totals(cap: int) -> tuple[int, int]:
+    def totals(cap: int) -> tuple[int, int, int]:
         orig = d12.FS_CHUNK
         d12.FS_CHUNK = cap
         try:
@@ -235,19 +241,28 @@ def fellegi_sunter_recall(synth_dir: str) -> dict:
         return (
             sum(r["n_pairs"] for r in rows),
             sum(r["n_match"] for r in rows),
+            sum(r["n_possible"] for r in rows),
         )
 
-    pairs_c, match_c = totals(d12.FS_CHUNK)
-    pairs_u, match_u = totals(1 << 40)
+    pairs_s, match_s, poss_s = totals(d12.FS_CHUNK)
+    pairs_f, match_f, poss_f = totals(forced_cap)
+    pairs_u, match_u, poss_u = totals(1 << 40)
     return {
         "family": "fellegi_sunter_parts",
         "cap": d12.FS_CHUNK,
-        "n_pairs_capped": int(pairs_c),
+        "n_pairs_shipped_cap": int(pairs_s),
         "n_pairs_exact": int(pairs_u),
-        "pair_recall": round(pairs_c / pairs_u, 4) if pairs_u else None,
-        "n_match_capped": int(match_c),
+        "shipped_cap_engages": pairs_s != pairs_u,
+        "shipped_match_recall": round(match_s / match_u, 4) if match_u else None,
+        "forced_cap": forced_cap,
+        "n_pairs_forced_cap": int(pairs_f),
+        "forced_pair_recall": round(pairs_f / pairs_u, 4) if pairs_u else None,
         "n_match_exact": int(match_u),
-        "match_recall": round(match_c / match_u, 4) if match_u else None,
+        "n_match_forced_cap": int(match_f),
+        "forced_match_recall": round(match_f / match_u, 4) if match_u else None,
+        "n_possible_exact": int(poss_u),
+        "n_possible_forced_cap": int(poss_f),
+        "forced_possible_recall": round(poss_f / poss_u, 4) if poss_u else None,
     }
 
 

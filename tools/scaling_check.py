@@ -111,14 +111,20 @@ APPROX_PAST_CAP: dict[str, str] = {
         "apply the same cap"
     ),
     "fellegi_sunter_parts": (
-        "r12 draft, pre-staged: exact for nch==1 (every real SF); past "
-        "the cap the (type, noun) blocks mod-chunk and — unlike the "
-        "multi-table ann_lsh — a pair lost to a residue split has no "
-        "second chance, so recall follows the 1/nch law exactly: "
-        "MEASURED pair recall 0.0152 and match-class recall 0.0153 on "
-        "sf1.0synth at cap 64 where nch~66 (tools/chunk_recall.py "
-        "--fs); the recall-preserving scale path is sorted-neighborhood "
-        "or LSH candidate blocking before FS scoring"
+        "r12 redesign (dedup-first + field-agreement blocking): "
+        "identical-tuple pairs counted analytically (exact at any "
+        "scale, cap-immune); cross-cluster candidates from six "
+        "per-field passes over distinct representatives, each pass "
+        "mod-chunk-capped with a per-pass hash so a match pair (>=3 "
+        "agreements) gets >=3 independent survival draws — MEASURED on "
+        "sf1.0synth: SHIPPED cap 64 match recall 1.0 (cap engages on "
+        "brand/size-grid passes but every match survives via an "
+        "uncapped covering pass), forced cap 16 match recall 0.914 and "
+        "possible-class recall 0.676 (tools/chunk_recall.py --fs; was "
+        "0.0153 match recall under the pre-redesign whole-block "
+        "1/nch law); past-cap losses concentrate in the "
+        "2-agreement possible class, whose recall-preserving path is "
+        "adding field-pair passes"
     ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
