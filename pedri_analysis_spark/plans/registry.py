@@ -200,25 +200,177 @@ def fn_source_hash(module_text: str, fn_name: str) -> str | None:
     return hashlib.sha256(src.encode("utf-8")).hexdigest()
 
 
-def _current_hashes(fns: dict[str, object]) -> dict[str, str]:
-    """sha256 of each query function's on-disk source, by query name.
-    Queries whose function can't be located (non-function placeholder in
-    tests, C extension) are simply absent — the ordering treats that as
-    'cannot tell' and trusts the manifest stamp."""
-    texts: dict[str, str] = {}
-    out: dict[str, str] = {}
-    for name, fn in fns.items():
-        mod = sys.modules.get(getattr(fn, "__module__", "") or "")
-        path = getattr(mod, "__file__", None)
-        if not path:
+# --- transitive helper-closure hashing (r12, VERDICT r11 ask #5) ----------
+#
+# A per-function hash misses rewrites of SHARED helpers: r10/r11 rewrote
+# lshplanes/similarity helpers under cosine_topk_bruteforce / ivf_topk /
+# sq_recall_at_k without re-tiering them.  The stamp therefore now hashes
+# the function TOGETHER with every repo-local top-level definition it
+# transitively references (same-module helpers and constants, and
+# helpers reached through `from pedri_analysis_spark...` imports or
+# repo-module aliases) — an edit anywhere in that closure re-enters the
+# query into the driver window.  Ubiquitous infrastructure every query
+# goes through is excluded: a tables.py/session.py edit would flood the
+# whole catalog into tier 1, yet ANY window re-proves those paths.
+
+_REPO_PKG = "pedri_analysis_spark"
+_CLOSURE_EXCLUDE = {
+    f"{_REPO_PKG}.sources.tables",
+    f"{_REPO_PKG}.session",
+    f"{_REPO_PKG}.plans.registry",
+    f"{_REPO_PKG}.plans.relational",  # QueryFn alias import only; its
+    # QUERY functions hash their own closures
+}
+
+
+def _node_source(module_text: str, node: ast.stmt) -> str:
+    lines = module_text.splitlines()
+    start = node.lineno
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        decos = [d.lineno for d in node.decorator_list]
+        start = min(decos + [node.lineno])
+    return "\n".join(lines[start - 1 : node.end_lineno])
+
+
+def _module_maps(module_text: str, module_name: str):
+    """(defs, from_imports, mod_aliases) for one module's top level.
+    defs: name -> stmt node; from_imports: local name -> absolute
+    source module + original name; mod_aliases: alias -> module."""
+    tree = ast.parse(module_text)
+    defs: dict[str, ast.stmt] = {}
+    from_imports: dict[str, tuple[str, str]] = {}
+    mod_aliases: dict[str, str] = {}
+    pkg_parts = module_name.split(".")
+    for n in tree.body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[n.name] = n
+        elif isinstance(n, ast.Assign):
+            for t in n.targets:
+                for sub in ast.walk(t):
+                    if isinstance(sub, ast.Name):
+                        defs[sub.id] = n
+        elif isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name):
+            defs[n.target.id] = n
+        elif isinstance(n, ast.Import):
+            for al in n.names:
+                mod_aliases[al.asname or al.name.split(".")[0]] = al.name
+        elif isinstance(n, ast.ImportFrom):
+            if n.level:
+                base = pkg_parts[: len(pkg_parts) - n.level]
+                src_mod = ".".join(base + ([n.module] if n.module else []))
+            else:
+                src_mod = n.module or ""
+            for al in n.names:
+                from_imports[al.asname or al.name] = (src_mod, al.name)
+    return defs, from_imports, mod_aliases
+
+
+def _referenced(node: ast.stmt):
+    """(base_name, attr_or_None) pairs referenced inside ``node``."""
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+            yield sub.value.id, sub.attr
+        elif isinstance(sub, ast.Name):
+            yield sub.id, None
+
+
+def closure_fn_hash(
+    module_name: str,
+    fn_name: str,
+    get_text: Callable[[str], str | None],
+    _maps_cache: dict | None = None,
+) -> str | None:
+    """sha256 over the query function's source plus the sources of every
+    repo-local top-level definition it transitively references.  Returns
+    None when the function itself can't be located (the caller treats
+    that as 'cannot tell' and trusts the stamp)."""
+    maps_cache = _maps_cache if _maps_cache is not None else {}
+
+    def maps(mod: str):
+        if mod not in maps_cache:
+            text = get_text(mod)
+            try:
+                maps_cache[mod] = (
+                    (text,) + _module_maps(text, mod) if text is not None else None
+                )
+            except SyntaxError:
+                maps_cache[mod] = None
+        return maps_cache[mod]
+
+    root = maps(module_name)
+    if root is None or fn_name not in root[1]:
+        return None
+    pieces: dict[tuple[str, str], str] = {}
+    visited: set[tuple[str, str]] = set()
+    stack: list[tuple[str, str]] = [(module_name, fn_name)]
+    while stack:
+        mod, name = stack.pop()
+        if (mod, name) in visited or mod in _CLOSURE_EXCLUDE:
             continue
-        if path not in texts:
+        visited.add((mod, name))
+        m = maps(mod)
+        if m is None:
+            continue
+        text, defs, fimps, maliases = m
+        node = defs.get(name)
+        if node is None:
+            continue
+        pieces[(mod, name)] = _node_source(text, node)
+        for base, attr in _referenced(node):
+            if base in defs:
+                stack.append((mod, base))
+            elif base in fimps:
+                smod, sname = fimps[base]
+                if not smod.startswith(_REPO_PKG):
+                    continue
+                sm = maps(smod)
+                if sm is not None and sname in sm[1]:
+                    stack.append((smod, sname))
+                elif attr is not None and maps(f"{smod}.{sname}") is not None:
+                    # `from pkg.sub import module as alias` + alias.attr
+                    stack.append((f"{smod}.{sname}", attr))
+            elif base in maliases and attr is not None:
+                amod = maliases[base]
+                if amod.startswith(_REPO_PKG):
+                    stack.append((amod, attr))
+    blob = "\n\n".join(
+        f"# {m}:{n}\n{src}" for (m, n), src in sorted(pieces.items())
+    )
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+
+def _disk_text_getter() -> Callable[[str], str | None]:
+    cache: dict[str, str | None] = {}
+
+    def get_text(mod: str) -> str | None:
+        if mod not in cache:
+            path = os.path.join(_REPO_ROOT, mod.replace(".", "/") + ".py")
             try:
                 with open(path, encoding="utf-8") as f:
-                    texts[path] = f.read()
+                    cache[mod] = f.read()
             except OSError:
-                texts[path] = ""
-        h = fn_source_hash(texts[path], getattr(fn, "__name__", ""))
+                cache[mod] = None
+        return cache[mod]
+
+    return get_text
+
+
+def _current_hashes(fns: dict[str, object]) -> dict[str, str]:
+    """Transitive-closure sha256 of each query function's on-disk source
+    (closure_fn_hash), by query name.  Queries whose function can't be
+    located (non-function placeholder in tests, C extension) are simply
+    absent — the ordering treats that as 'cannot tell' and trusts the
+    manifest stamp."""
+    get_text = _disk_text_getter()
+    maps_cache: dict = {}
+    out: dict[str, str] = {}
+    for name, fn in fns.items():
+        mod = getattr(fn, "__module__", "") or ""
+        if not mod.startswith(_REPO_PKG):
+            continue
+        h = closure_fn_hash(
+            mod, getattr(fn, "__name__", ""), get_text, maps_cache
+        )
         if h is not None:
             out[name] = h
     return out
@@ -271,6 +423,15 @@ def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
     return last_green, last_seen
 
 
+# One-round hand-forced driver re-proofs (VERDICT r11 ask #5): the three
+# similarity queries whose MODULES were rewritten around them in r10/r11.
+# The new closure hashes prove their transitive helper closures are
+# byte-identical to the r08/r09 trees their green proofs came from (the
+# rewrites touched sibling functions only), but the verdict asked for a
+# fresh driver row regardless.  Clear this set once CORRECTNESS_r12 lands.
+_FORCE_REPROVE = {"cosine_topk_bruteforce", "ivf_topk", "sq_recall_at_k"}
+
+
 def _ordered(names: dict[str, object]) -> list[str]:
     last_green, last_seen = _verification_history()
     if not last_seen:
@@ -297,11 +458,12 @@ def _ordered(names: dict[str, object]) -> list[str]:
     def key(n: str):
         # tier 0: latest driver check FAILED (error/mismatch after the
         #         last green) — must be re-proven immediately;
-        # tier 1: green, but the query function's source hash differs
+        # tier 1: green, but the query function's closure hash differs
         #         from the hash the green proof was recorded against
         #         (rewritten-since-green) — re-prove before trusting;
         # tier 2: never driver-checked at all;
-        # tier 3: green on proven source — least-recently-verified
+        # tier 3: hand-forced re-proofs (_FORCE_REPROVE);
+        # tier 4: green on proven source — least-recently-verified
         #         first, so the window sweeps the whole catalog.
         green, seen = last_green.get(n, -1), last_seen.get(n, -1)
         if seen > green:
@@ -310,8 +472,10 @@ def _ordered(names: dict[str, object]) -> list[str]:
             tier = 1
         elif seen < 0:
             tier = 2
-        else:
+        elif n in _FORCE_REPROVE:
             tier = 3
+        else:
+            tier = 4
         return (tier, green, reg[n])
 
     return sorted(names, key=key)

@@ -210,6 +210,87 @@ def dup():
     assert registry.extract_fn_source("def broken(:", "broken") is None
 
 
+def test_closure_hash_retiers_on_helper_only_edits():
+    """The manifest stamp hashes the query function's TRANSITIVE helper
+    closure (VERDICT r11 ask #5): an edit to a same-module helper, a
+    module-level constant, an oracle-builder function, or a helper in
+    ANOTHER repo module reached through an import must all change the
+    hash (re-tiering the caller), while edits to unrelated siblings must
+    not."""
+    from pedri_analysis_spark.plans import registry
+
+    pkg = registry._REPO_PKG
+    plans_text = f'''
+from {pkg}.functions import helpers as hx
+from {pkg}.functions.helpers import shared_const
+
+CAP = 64
+
+
+def _register(name, oracle):
+    def deco(fn):
+        return fn
+
+    return deco
+
+
+def _oracle():
+    return f"SELECT {{CAP}} AS c, {{shared_const}} AS s"
+
+
+@_register("q_main", _oracle())
+def q_main(spark, sf):
+    return hx.kernel(spark, CAP)
+
+
+def q_unrelated(spark, sf):
+    return spark.range(3)
+'''
+    helpers_text = '''
+shared_const = 7
+
+
+def kernel(spark, cap):
+    return spark.range(cap)
+
+
+def lonely():
+    return 99
+'''
+    texts = {
+        f"{pkg}.plans.fake": plans_text,
+        f"{pkg}.functions.helpers": helpers_text,
+    }
+
+    def hash_with(**edits):
+        t = dict(texts)
+        for mod, (old, new) in edits.items():
+            assert old in t[mod]
+            t[mod] = t[mod].replace(old, new)
+        return registry.closure_fn_hash(
+            f"{pkg}.plans.fake", "q_main", lambda m: t.get(m), {}
+        )
+
+    base = hash_with()
+    assert base is not None
+    hmod = f"{pkg}.functions.helpers"
+    fmod = f"{pkg}.plans.fake"
+    # cross-module helper body edit re-tiers the caller
+    assert hash_with(**{hmod: ("range(cap)", "range(cap + 1)")}) != base
+    # cross-module constant edit re-tiers the caller
+    assert hash_with(**{hmod: ("shared_const = 7", "shared_const = 8")}) != base
+    # same-module constant edit re-tiers the caller
+    assert hash_with(**{fmod: ("CAP = 64", "CAP = 32")}) != base
+    # edits to siblings the closure does NOT reach leave the hash alone
+    assert hash_with(**{hmod: ("return 99", "return 100")}) == base
+    assert hash_with(**{fmod: ("range(3)", "range(4)")}) == base
+    # function missing -> None (caller trusts the stamp)
+    assert (
+        registry.closure_fn_hash(fmod, "q_absent", lambda m: texts.get(m), {})
+        is None
+    )
+
+
 def test_stamp_latest_promotes_rewritten_query_back_to_green(tmp_path, monkeypatch):
     """End-to-end tier transition: a green query whose source changed
     sits in the rewritten tier until --stamp-latest records the newly

@@ -109,7 +109,24 @@ def bootstrap() -> dict[str, dict]:
         )
     last_green, _ = registry._verification_history()
     commits = _round_commits()
-    texts: dict[tuple[str, str], str | None] = {}
+    # per-commit text getters + parse caches so closure_fn_hash reads
+    # every module AT THAT ROUND'S TREE (helpers included)
+    getters: dict[str, object] = {}
+    maps_caches: dict[str, dict] = {}
+
+    def getter_for(commit: str):
+        if commit not in getters:
+            cache: dict[str, str | None] = {}
+
+            def get_text(mod: str, _c=commit, _cache=cache):
+                if mod not in _cache:
+                    _cache[mod] = _git_show(_c, mod.replace(".", "/") + ".py")
+                return _cache[mod]
+
+            getters[commit] = get_text
+            maps_caches[commit] = {}
+        return getters[commit], maps_caches[commit]
+
     manifest: dict[str, dict] = {}
     for name, fn in sorted(fns.items()):
         rnd = last_green.get(name, -1)
@@ -119,15 +136,9 @@ def bootstrap() -> dict[str, dict]:
         if commit is None:
             print(f"  !! {name}: no commit found for round {rnd}", file=sys.stderr)
             continue
-        relpath = fn.__module__.replace(".", "/") + ".py"
-        key = (commit, relpath)
-        if key not in texts:
-            texts[key] = _git_show(commit, relpath)
-        text = texts[key]
-        h = (
-            registry.fn_source_hash(text, fn.__name__)
-            if text is not None
-            else None
+        get_text, maps_cache = getter_for(commit)
+        h = registry.closure_fn_hash(
+            fn.__module__, fn.__name__, get_text, maps_cache
         )
         if h is None:
             # module or function absent/ambiguous at that tree (moved in
