@@ -125,6 +125,7 @@ from pedri_analysis_spark.plans.relational import (
     money,
 )
 from pedri_analysis_spark.plans.similarity_queries import (
+    EMB_DIM,
     N_CENTROIDS,
     NPROBE,
     _dcos,
@@ -401,6 +402,13 @@ def q_spearman_corr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute from the same integers (``floor_scaled_div`` keeps
     6*sum_d2*10^6 from ever materializing — sum_d2 is O(n^3) per
     nation).
+
+    BIGINT bound (the wave's honesty convention): sum_d2 <= n(n^2-1)/3
+    and the rho denominator n(n^2-1) both stay under 2^63 while no
+    nation exceeds ~2.1e6 ranked suppliers (n^3 < 9.2e18); past that,
+    compute sum_d2 and the denominator in DECIMAL(38,0) — the
+    quantization and floor_scaled_div decomposition carry over
+    unchanged.
 
     Suppliers with zero lineitems have no revenue rank and are out of
     scope (inner join); nations with <2 ranked suppliers are excluded
@@ -1589,7 +1597,9 @@ def _edh_r6(e: str) -> str:
     WITH x AS (
       SELECT i.i AS dim, e.embedding[i.i]::DOUBLE AS v
       FROM embeddings e
-      CROSS JOIN (SELECT unnest(generate_series(1, {64})) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) i
+      WHERE CASE WHEN len(e.embedding) = {EMB_DIM} THEN TRUE
+                 ELSE error('embedding dim != {EMB_DIM}') END
     ),
     agg AS (
       SELECT dim,
@@ -1619,12 +1629,27 @@ def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed chain of single IEEE ops, then 6-dp rounded — bit-identical
     cross-engine, zero tolerance.
 
-    Scale: one narrow 64-way explode (corpus x 64 rows, no pre-shuffle)
-    into a 64-group aggregation — map-side partials collapse each
-    partition to 64 rows before the only shuffle."""
+    Dimension contract (ADVICE r11): both engines derive the dim range
+    from the shared EMB_DIM constant and FAIL LOUDLY on any row whose
+    array length differs (Spark assert_true / DuckDB error()) — a
+    re-generated fixture with a new dimensionality breaks the run, not
+    the per-dim n counts.
+
+    Scale: one narrow EMB_DIM-way explode (corpus x EMB_DIM rows, no
+    pre-shuffle) into an EMB_DIM-group aggregation — map-side partials
+    collapse each partition to EMB_DIM rows before the only shuffle."""
     emb = load_table(spark, "embeddings", sf_dir).select("embedding")
-    x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
-        (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    x = (
+        emb.filter(
+            F.expr(
+                f"assert_true(size(embedding) = {EMB_DIM}, "
+                f"'embedding dim != {EMB_DIM}') IS NULL"
+            )
+        )
+        .select(F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+        )
     )
     agg = x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1865,6 +1890,12 @@ def q_fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cauchy-Schwarz — floor-scaled to micro-units (population variance
     over OBSERVED days; zero-event days are out of the day domain, as
     in anomaly_zscore_daily).
+
+    BIGINT bound (the wave's honesty convention): S² = n_events² is the
+    first term to wrap, at ~3e9 events per type (and nQ at a similar
+    magnitude once hot days concentrate); past that, compute S², nQ and
+    the floor_scaled_div operands in DECIMAL(38,0) — the quantization
+    is unchanged.
 
     Scale: one (type, day) rollup shuffle (map-side combine collapses
     each partition to its observed day-domain first), then a 5-row
@@ -2134,7 +2165,9 @@ def _containment_oracle() -> str:
 
 
 @_register("containment_near_dups", _containment_oracle())
-def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_containment_near_dups(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int | None = None
+) -> DataFrame:
     """ASYMMETRIC containment near-dups: candidate pairs from the exact
     MinHash-LSH banding chain the symmetric family uses (same
     signatures, bands and bucket cap as minhash_near_dups — oracle
@@ -2156,7 +2189,13 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the size skew is moderate (recall falls as |B|/|A| grows — the
     standard containment-LSH tradeoff; the exact fix at 100 TB is a
     suffix/prefix-anchored band family, named here for the design
-    audit, not silently assumed)."""
+    audit, not silently assumed).
+
+    ``max_bucket`` (ADVICE r11): tools/chunk_recall.py passes the cap
+    EXPLICITLY to measure forced-cap recall — no module-global
+    monkeypatching whose effect would silently vanish if this
+    function's import of MAX_BUCKET ever moved to module level.  None
+    (the registered form) reads the shared dedup_queries.MAX_BUCKET."""
     from pedri_analysis_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -2168,6 +2207,8 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SHINGLE_K,
     )
 
+    if max_bucket is None:
+        max_bucket = MAX_BUCKET
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     sigs = (
         minhash_signatures(spread(docs), "text", N_HASHES, SHINGLE_K)
@@ -2175,7 +2216,7 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sigs.count()  # materialize before fan-out (cache-race discipline)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS, MAX_BUCKET)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS, max_bucket)
     left = sigs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     right = sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     cv = (

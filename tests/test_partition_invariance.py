@@ -29,6 +29,12 @@ SAMPLE = [
     ("bootstrap_ci_avg_order", "draft_r11"),  # digest-slice replicates
     ("embedding_dim_health", "draft_r13"),  # rounded-square DECIMAL sums
     ("hits_hubs_authorities", "draft_r13"),  # integer max-normalized graph
+    # r12 registrations with merge-order-sensitive exact reducers
+    # (VERDICT r11 ask #6)
+    ("power_iteration_top_pc", None),  # 6-dp quantized covariance sums
+    ("split_conformal_coverage", None),  # rank thresholds over hash splits
+    ("kcenter_coreset", None),  # iterative argmax with total-order ties
+    ("fellegi_sunter_parts", None),  # weighted pair counts via hash chunks
 ]
 
 

@@ -311,12 +311,11 @@ def containment_recall(synth_dir: str, forced_cap: int = 16) -> dict:
     spark = get_spark(app_name="chunk-recall-containment")
 
     def n_pairs(cap: int) -> int:
-        orig = dq.MAX_BUCKET
-        dq.MAX_BUCKET = cap
-        try:
-            return d13.QUERIES["containment_near_dups"](spark, synth_dir).count()
-        finally:
-            dq.MAX_BUCKET = orig
+        # cap passed EXPLICITLY (ADVICE r11) — no module-global
+        # monkeypatch whose effect depends on the query's import timing
+        return d13.q_containment_near_dups(
+            spark, synth_dir, max_bucket=cap
+        ).count()
 
     exact = n_pairs(1 << 40)
     shipped = n_pairs(dq.MAX_BUCKET)
