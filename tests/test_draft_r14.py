@@ -1,0 +1,105 @@
+"""The r14-staged draft queries (plans/draft_r14.py) must already pass
+the driver-identical oracle comparison — registration in r14 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules``: the r13 window is spoken for (21 r13 drafts +
+the r08 stale drain — COVERAGE.md "Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r14 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered), (
+        "r14 draft queries leaked into the registry early — they must not "
+        "displace the r13-wave first-contact / stale-drain window slots"
+    )
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    """The drafts must already satisfy the catalog plan rules
+    (tools/plan_lint.py): no CartesianProduct, Python boundaries only
+    for pre-allowlisted justified Arrow kernels, BNLJ only for
+    pre-allowlisted bounded build sides."""
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, (
+            f"{name}: Python boundary without a pre-staged Arrow-kernel entry"
+        )
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
+def test_simpson_bounds_and_hapax_identity(spark, duck):
+    """0 <= simpson_ppm <= 1e6, the two ppm columns are complements,
+    and an all-hapax source (every token once) would have simpson 0 —
+    pinned via the identity sum_cc == 0 iff n_tokens == n_distinct."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = d.QUERIES["simpson_diversity_sources"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["simpson_ppm"] <= 1_000_000
+        assert r["simpson_ppm"] + r["gini_simpson_ppm"] == 1_000_000
+        assert r["n_distinct"] <= r["n_tokens"]
+
+
+def test_pmi_support_and_symmetry_guards(spark):
+    """Every reported pair meets the support floor, is ordered
+    (tok_a < tok_b), and df covers n_ab (co-occurrence can't exceed
+    either document frequency)."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = d.QUERIES["pmi_top_cooccurrence"](spark, SF_DIR).collect()
+    assert rows
+    assert len(rows) <= d.PMI_TOPK
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["n_ab"] >= d.PMI_MIN_AB
+        assert r["n_ab"] <= min(r["df_a"], r["df_b"])
+
+
+def test_zipf_probe_ranks_monotone(spark):
+    """Probe rows appear at exactly the in-vocab power-of-two ranks and
+    occurrence counts are non-increasing in rank (rank is a total order
+    by occ DESC)."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = sorted(
+        d.QUERIES["zipf_rank_freq_audit"](spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    allowed = set(d._zipf_ranks())
+    for r in rows:
+        assert r["rank"] in allowed
+        assert r["rank_x_occ"] == r["rank"] * r["occ"]
+    occs = [r["occ"] for r in rows]
+    assert all(a >= b for a, b in zip(occs, occs[1:]))

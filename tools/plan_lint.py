@@ -62,6 +62,7 @@ _BNLJ_ALLOWED = {
     "idle_rich_customers",  # 1-row decimal-avg cutoff frame (Q22 scalar subquery)
     "ivf_topk",  # k-row centroid frame (probe selection)
     "pagerank_trade_graph",  # 1-row node-count frame, once per iteration
+    "pmi_top_cooccurrence",  # 1-row corpus doc-count frame (PMI denominator)
     "pedri_radar_percentiles",  # 1-row league-means frame
     "quantile_binning_price",  # k-row exact-quantile bounds frame
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
