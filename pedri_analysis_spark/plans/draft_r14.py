@@ -360,3 +360,444 @@ def q_zipf_rank_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-event-type permutation p-values
+# ---------------------------------------------------------------------------
+
+BH_REPS = 32  # one md5 digest's hex chars (the bootstrap_ci/perm discipline)
+BH_Q_PPM = 100_000  # q = 0.10 in ppm units
+
+
+def _bh_base(dialect: str) -> str:
+    """(event_type, digest, cents, weekend-flag) rows — weekend derived
+    from the epoch day by pure arithmetic ((day + 4) % 7 in {5, 6}:
+    1970-01-01 was a Thursday), never a TZ-dependent dayofweek()."""
+    cast = "VARCHAR" if dialect == tx.DUCK else "STRING"
+    h = (
+        "md5('bh:' || event_id::VARCHAR)"
+        if dialect == tx.DUCK
+        else "md5(concat('bh:', CAST(event_id AS STRING)))"
+    )
+    day = tx.epoch_day(dialect, "ts")
+    return f"""
+    base AS (
+      SELECT event_type, {h} AS h,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN (({day}) + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    )"""
+
+
+def _bh_oracle() -> str:
+    from pedri_analysis_spark.plans.draft_r13 import _perm_bit, _perm_diff
+
+    return f"""
+    WITH {_bh_base(tx.DUCK)},
+    obs AS (
+      SELECT event_type, {_perm_diff(tx.DUCK)} AS d
+      FROM (SELECT event_type, grp AS flag, cents FROM base)
+      GROUP BY event_type
+      HAVING sum(flag) > 0 AND sum(1 - flag) > 0
+    ),
+    reps AS (
+      SELECT b.event_type, r.rep,
+             {_perm_bit(tx.DUCK, "b.h", "r.rep")} AS flag, b.cents
+      FROM base b
+      CROSS JOIN (SELECT unnest(generate_series(0, {BH_REPS - 1})) AS rep) r
+    ),
+    null_d AS (
+      SELECT event_type, rep, {_perm_diff(tx.DUCK)} AS d
+      FROM reps GROUP BY event_type, rep
+      HAVING sum(flag) > 0 AND sum(1 - flag) > 0
+    ),
+    pv AS (
+      SELECT o.event_type, o.d AS diff_micros,
+             ({tx.floor_scaled_div(
+                 tx.DUCK,
+                 "1 + sum(CASE WHEN n.d >= o.d THEN 1 ELSE 0 END)",
+                 str(BH_REPS + 1),
+                 1_000_000,
+             )})::BIGINT AS p_ppm
+      FROM obs o JOIN null_d n ON n.event_type = o.event_type
+      GROUP BY o.event_type, o.d
+    ),
+    ranked AS (
+      SELECT event_type, diff_micros, p_ppm,
+             row_number() OVER (ORDER BY p_ppm ASC, event_type ASC)
+               AS bh_rank,
+             count(*) OVER ()::BIGINT AS m
+      FROM pv
+    ),
+    cut AS (
+      SELECT *,
+             max(CASE WHEN p_ppm * m <= {BH_Q_PPM} * bh_rank
+                      THEN bh_rank END) OVER () AS i_max
+      FROM ranked
+    )
+    SELECT event_type, diff_micros::BIGINT AS diff_micros, p_ppm,
+           bh_rank::BIGINT AS bh_rank, m,
+           (CASE WHEN bh_rank <= COALESCE(i_max, 0) THEN 1 ELSE 0 END)::BIGINT
+             AS rejected
+    FROM cut
+    """
+
+
+@_register("benjamini_hochberg_fdr", _bh_oracle())
+def q_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (1995) over one
+    permutation test per event type: is the mean event value different
+    on weekends?  Per type, the observed |weekend mean - weekday mean|
+    (floor-micro integers) is ranked against {BH_REPS} digest-bit
+    relabeling replicates (Dwass 1957, the permutation_test_segments
+    machinery) giving an add-one-smoothed p in ppm; BH then rejects the
+    smallest i_max ranks where p_(i)*m <= q*i — entirely integer
+    cross-multiplication (p_ppm * m <= {BH_Q_PPM} * rank), no division
+    at the decision point at all.
+
+    Determinism: digest bits are the fair Bernoulli(1/2) relabeling
+    null shared with permutation_test_segments; (p ASC, type ASC) is a
+    total order; replicate groups degenerating to one label (possible
+    only for single-digit-event types) drop via HAVING in BOTH engines
+    identically, keeping n_ge aligned.
+
+    Scale: the replicate fan-out is a flat-map into ONE (type, rep)
+    aggregation with map-side combine; everything after is an
+    m-row frame (m = |event types|, domain-bounded), where the BH
+    step-up windows run."""
+    day = tx.epoch_day(tx.SPARK, "ts")
+    base = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("md5(concat('bh:', CAST(event_id AS STRING)))").alias("h"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("cents"),
+        F.expr(f"CASE WHEN (({day}) + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END").alias(
+            "grp"
+        ),
+    )
+    from pedri_analysis_spark.plans.draft_r13 import _perm_bit, _perm_diff
+
+    obs = (
+        base.select("event_type", F.col("grp").alias("flag"), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.expr(_perm_diff(tx.SPARK)).alias("d"),
+            F.sum("flag").alias("nw"),
+            F.sum(F.expr("1 - flag")).alias("nd"),
+        )
+        .filter((F.col("nw") > 0) & (F.col("nd") > 0))
+        .select("event_type", "d")
+    )
+    reps = base.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(BH_REPS - 1)))
+    ).select(
+        "event_type",
+        "rep",
+        F.expr(_perm_bit(tx.SPARK, "h", "rep")).alias("flag"),
+        "cents",
+    )
+    null_d = (
+        reps.groupBy("event_type", "rep")
+        .agg(
+            F.expr(_perm_diff(tx.SPARK)).alias("d"),
+            F.sum("flag").alias("nw"),
+            F.sum(F.expr("1 - flag")).alias("nd"),
+        )
+        .filter((F.col("nw") > 0) & (F.col("nd") > 0))
+        .select("event_type", F.col("d").alias("nd_d"))
+    )
+    pv = (
+        obs.join(null_d, "event_type")
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.expr("CASE WHEN nd_d >= d THEN 1 ELSE 0 END")).alias("n_ge")
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("bigint").alias("diff_micros"),
+            F.expr(
+                tx.floor_scaled_div(tx.SPARK, "1 + n_ge", str(BH_REPS + 1), 1_000_000)
+            )
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )
+    wr = W.orderBy(F.asc("p_ppm"), F.asc("event_type"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = (
+        pv.withColumn("bh_rank", F.row_number().over(wr).cast("bigint"))
+        .withColumn("m", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn(
+            "i_max",
+            F.max(
+                F.expr(f"CASE WHEN p_ppm * m <= {BH_Q_PPM} * bh_rank "
+                       f"THEN bh_rank END")
+            ).over(wall),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "diff_micros",
+        "p_ppm",
+        "bh_rank",
+        "m",
+        F.expr("CASE WHEN bh_rank <= COALESCE(i_max, 0) THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-split binary-segmentation changepoint on daily revenue
+# ---------------------------------------------------------------------------
+
+# Daily sums quantized to $100 units before squaring: prefix sums and
+# their squares stay BIGINT-safe while total revenue <= ~$3e11 (the wave
+# convention bound; DECIMAL(38,0) or coarser units past it).
+BINSEG_UNIT_DIV = 10_000  # cents -> $100 quanta
+
+
+def _binseg_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             (sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // {BINSEG_UNIT_DIV})::BIGINT AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    pre AS (
+      SELECT day, v,
+             row_number() OVER w AS i,
+             sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ps,
+             count(*) OVER ()::BIGINT AS n,
+             sum(v) OVER ()::BIGINT AS s
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    ),
+    cand AS (
+      SELECT day, i, n,
+             (ps * ps) // i + ((s - ps) * (s - ps)) // (n - i)
+               - (s * s) // n AS gain_q,
+             ps // i AS left_mean_q,
+             (s - ps) // (n - i) AS right_mean_q
+      FROM pre WHERE i < n
+    )
+    SELECT day AS split_day, i::BIGINT AS n_left, (n - i)::BIGINT AS n_right,
+           gain_q::BIGINT AS gain_q,
+           left_mean_q::BIGINT AS left_mean_q,
+           right_mean_q::BIGINT AS right_mean_q
+    FROM cand
+    ORDER BY gain_q DESC, day ASC
+    LIMIT 1
+    """
+
+
+@_register("binseg_changepoint_daily", _binseg_oracle())
+def q_binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary-segmentation changepoint (the first step of
+    Scott & Knott 1974 / binary segmentation) on the daily order-revenue
+    series: the split day maximizing the variance-explained gain
+    S_L^2/n_L + S_R^2/n_R - S^2/n — the prefix-sum identity that needs
+    no per-segment second pass.  Ties break to the earliest day, so the
+    argmax is a total order.
+
+    Determinism: daily sums are exact integer $100 quanta
+    (cents div {BINSEG_UNIT_DIV}); every gain term is floor integer
+    division of integer squares — both engines compute the IDENTICAL
+    quantized objective, and the argmax of a quantized objective is
+    deterministic (the objective itself is the quantization of the real
+    SSE gain, documented, not hidden).
+
+    BIGINT bound (wave convention): prefix-sum squares wrap past total
+    revenue ~3e9 units (~$3e11); coarser units (BINSEG_UNIT_DIV) or
+    DECIMAL(38,0) are the escape hatch.
+
+    Scale: the day rollup shuffles once with map-side combine; the
+    prefix/argmax windows run on the DAY-domain frame (calendar-bounded
+    ~2.4k rows, the repo's domain-bounded single-partition contract),
+    and the final row is TakeOrdered(1)."""
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+                f" div {BINSEG_UNIT_DIV} AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    wo = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    pre = (
+        daily.withColumn("i", F.row_number().over(W.orderBy("day")).cast("bigint"))
+        .withColumn("ps", F.sum("v").over(wo).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("s", F.sum("v").over(wall).cast("bigint"))
+    )
+    cand = pre.filter(F.col("i") < F.col("n")).select(
+        F.col("day").alias("split_day"),
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+        F.expr(
+            "CAST((ps * ps) div i + ((s - ps) * (s - ps)) div (n - i)"
+            " - (s * s) div n AS BIGINT)"
+        ).alias("gain_q"),
+        F.expr("CAST(ps div i AS BIGINT)").alias("left_mean_q"),
+        F.expr("CAST((s - ps) div (n - i) AS BIGINT)").alias("right_mean_q"),
+    )
+    return cand.orderBy(F.desc("gain_q"), F.asc("split_day")).limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of daily revenue as SIGNED r^2 (no sqrt)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def _acf_rel_dev(dialect: str) -> str:
+    """Daily value as a 1e4-relative deviation from the series mean:
+    x_i = floor(v_i * 1e4 / mean) - 1e4.  Magnitudes are bounded by the
+    SHAPE of the series (max/mean), not its absolute scale, which is
+    what keeps every downstream product BIGINT-safe at any corpus
+    size (see docstring bound)."""
+    return f"({tx.floor_scaled_div(dialect, 'v * n', 's', 10_000)} - 10000)"
+
+
+def _acf_leg(dialect: str, k: int) -> str:
+    """One lag's aggregate leg over the (i, x) frame joined to itself at
+    lag k — emitted as a CTE-ready SELECT with integer Pearson pieces."""
+    return f"""
+      SELECT {k} AS lag,
+             count(*)::BIGINT AS n_pairs,
+             sum(a.x * b.x)::BIGINT AS sxy,
+             sum(a.x)::BIGINT AS sx, sum(b.x)::BIGINT AS sy,
+             sum(a.x * a.x)::BIGINT AS sxx, sum(b.x * b.x)::BIGINT AS syy
+      FROM xs a JOIN xs b ON b.i = a.i + {k}"""
+
+
+def _acf_r2_signed(dialect: str) -> str:
+    """sign(cov) * floor(|cov|*1000/varx) * floor(|cov|*1000/vary) over
+    the n-NORMALIZED Pearson pieces cov = sxy - (sx*sy) div n,
+    varx = sxx - (sx*sx) div n (the div-n floor is a deterministic
+    <=1-unit quantization mirrored in both engines; dividing all three
+    pieces by n leaves the true ratio unchanged) — the two-stage
+    floor-milli product approximates r^2 * 1e6 (<= ~1e6 by
+    Cauchy-Schwarz) in PURE BIGINT arithmetic."""
+    d = "//" if dialect == tx.DUCK else "div"
+    cov = f"(sxy - (sx * sy) {d} n_pairs)"
+    vx = f"(sxx - (sx * sx) {d} n_pairs)"
+    vy = f"(syy - (sy * sy) {d} n_pairs)"
+    a = tx.floor_scaled_div(dialect, f"abs({cov})", vx, 1000)
+    b = tx.floor_scaled_div(dialect, f"abs({cov})", vy, 1000)
+    sgn = f"(CASE WHEN {cov} < 0 THEN -1 ELSE 1 END)"
+    return f"({sgn} * ({a}) * ({b}))"
+
+
+def _acf_oracle() -> str:
+    legs = "\n      UNION ALL\n".join(
+        _acf_leg(tx.DUCK, k) for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             (sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // {BINSEG_UNIT_DIV})::BIGINT AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS s FROM daily),
+    xs AS (
+      SELECT row_number() OVER (ORDER BY day) AS i,
+             {_acf_rel_dev(tx.DUCK)} AS x
+      FROM daily, tot
+    ),
+    legs AS (
+{legs}
+    )
+    SELECT lag::BIGINT AS lag, n_pairs,
+           {_acf_r2_signed(tx.DUCK)}::BIGINT AS r2_signed_micro
+    FROM legs
+    WHERE n_pairs >= 2
+      AND (sxx - (sx * sx) // n_pairs) > 0
+      AND (syy - (sy * sy) // n_pairs) > 0
+    ORDER BY lag
+    """
+
+
+@_register("autocorr_daily_revenue", _acf_oracle())
+def q_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of the daily revenue series,
+    reported as SIGNED r^2 in micro units — the mann_kendall discipline:
+    squaring the statistic removes the libm sqrt from Pearson's
+    denominator, and the sign is carried separately, so r = +/-
+    sqrt(|r2|) is recoverable by the reader while both engines exchange
+    only integers.
+
+    The series enters as 1e4-relative deviations from its own mean
+    (x_i = floor(v_i*1e4/mean) - 1e4), which makes every Pearson piece
+    scale-FREE: magnitudes depend on the series' shape (max/mean), not
+    the corpus size, so the integer bounds hold at 100 TB exactly as at
+    sf0.001.  The cov/var pieces are n-normalized with a floor
+    (cov = sxy - (sx*sy) div n — a <=1-unit deterministic quantization
+    mirrored in both engines), and r2 is the product of two floor-milli
+    ratios (|cov|*1000/varx and /vary) — a documented two-stage
+    quantization with total error <~ 0.3% of r^2, ALL in BIGINT (no
+    DECIMAL division, whose integer-quotient semantics differ between
+    the engines).
+
+    BIGINT bound (wave convention): with day count <= ~4e3 and
+    max daily revenue <= ~30x the mean (|x| <= 3e5), sx*sy and the
+    milli residue products stay under 2^63; a spikier series or a
+    10x-longer calendar needs the DECIMAL(38,0) escape or a coarser
+    relative scale.
+
+    Scale: one day rollup shuffle; the lag joins and Pearson pieces run
+    on the calendar-bounded day frame (domain-bounded single-partition
+    contract, same as binseg)."""
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+                f" div {BINSEG_UNIT_DIV} AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    xs = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("s", F.sum("v").over(wall).cast("bigint"))
+        .withColumn("i", F.row_number().over(W.orderBy("day")).cast("bigint"))
+        .select("i", F.expr(_acf_rel_dev(tx.SPARK)).cast("bigint").alias("x"))
+    )
+    a = xs.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = xs.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    legs = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        leg = (
+            a.join(b, F.col("ib") == F.col("ia") + k)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum(F.expr("xa * xb")).cast("bigint").alias("sxy"),
+                F.sum("xa").cast("bigint").alias("sx"),
+                F.sum("xb").cast("bigint").alias("sy"),
+                F.sum(F.expr("xa * xa")).cast("bigint").alias("sxx"),
+                F.sum(F.expr("xb * xb")).cast("bigint").alias("syy"),
+            )
+            .select(F.lit(k).cast("bigint").alias("lag"), "*")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return (
+        legs.filter(
+            (F.col("n_pairs") >= 2)
+            & (F.expr("sxx - (sx * sx) div n_pairs") > 0)
+            & (F.expr("syy - (sy * sy) div n_pairs") > 0)
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(_acf_r2_signed(tx.SPARK)).cast("bigint").alias("r2_signed_micro"),
+        )
+        .orderBy("lag")
+    )

@@ -103,3 +103,61 @@ def test_zipf_probe_ranks_monotone(spark):
         assert r["rank_x_occ"] == r["rank"] * r["occ"]
     occs = [r["occ"] for r in rows]
     assert all(a >= b for a, b in zip(occs, occs[1:]))
+
+
+def test_bh_stepup_structure(spark):
+    """BH rejections are a prefix of the p-ascending order, every
+    rejected rank satisfies its own threshold only if it is <= i_max
+    (step-up, not step-down: a rank can be rejected without its own
+    inequality holding), ranks are 1..m, and p in [0, 1e6]."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = sorted(
+        d.QUERIES["benjamini_hochberg_fdr"](spark, SF_DIR).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    assert rows
+    m = rows[0]["m"]
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    flags = [r["rejected"] for r in rows]
+    assert all(f in (0, 1) for f in flags)
+    # prefix property
+    if 0 in flags:
+        first_zero = flags.index(0)
+        assert all(f == 0 for f in flags[first_zero:])
+    # the LAST rejected rank must satisfy its own inequality
+    if 1 in flags:
+        i_max = max(r["bh_rank"] for r in rows if r["rejected"])
+        r = next(x for x in rows if x["bh_rank"] == i_max)
+        assert r["p_ppm"] * m <= d.BH_Q_PPM * i_max
+    for r in rows:
+        assert 0 <= r["p_ppm"] <= 1_000_000
+
+
+def test_binseg_gain_nonnegative_and_split_interior(spark):
+    """The variance-explained gain is >= -2 (floor-quantization slack of
+    the three div terms; the REAL gain is >= 0 by convexity) and the
+    split is interior."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = d.QUERIES["binseg_changepoint_daily"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_left"] >= 1 and r["n_right"] >= 1
+    assert r["gain_q"] >= -2
+
+
+def test_autocorr_r2_bounds_and_lag_cover(spark):
+    """|r2_signed_micro| <= 1e6 + quantization slack (Cauchy-Schwarz)
+    and every lag 1..ACF_MAX_LAG reports (the daily calendar is dense
+    enough at the test SF)."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = sorted(
+        d.QUERIES["autocorr_daily_revenue"](spark, SF_DIR).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == list(range(1, d.ACF_MAX_LAG + 1))
+    for r in rows:
+        assert abs(r["r2_signed_micro"]) <= 1_002_001  # (1000+1)^2 slack
+        assert r["n_pairs"] >= 2
