@@ -801,3 +801,472 @@ def q_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index: LSH-plane clusters vs gold labels
+# ---------------------------------------------------------------------------
+
+ARI_BITS = 4  # 16 sign-bit clusters from the fixed table-0 plane prefix
+
+
+def _ari_cluster(dialect: str) -> str:
+    """Deterministic cluster id: {ARI_BITS} sign bits of dots with the
+    fixed lshplanes table-0 family — one expression, no iteration, and
+    both engines fold the dot sequentially (dot_literal contract) so
+    the sign bits are bit-identical."""
+    from pedri_analysis_spark.functions import lshplanes as lp
+    from pedri_analysis_spark.plans.similarity_queries import EMB_DIM
+
+    bits = []
+    for b in range(ARI_BITS):
+        dot = lp.dot_literal(dialect, "embedding", lp.plane(b, EMB_DIM))
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _ari_oracle() -> str:
+    d = "//"
+    c2 = "{x} * ({x} - 1) // 2"
+    return f"""
+    WITH asg AS (
+      SELECT vec_id, label, {_ari_cluster(tx.DUCK)} AS cluster
+      FROM embeddings
+    ),
+    cont AS (
+      SELECT cluster, label, count(*)::BIGINT AS nij
+      FROM asg GROUP BY cluster, label
+    ),
+    pieces AS (
+      SELECT
+        (SELECT sum({c2.format(x="nij")}) FROM cont)::BIGINT AS idx,
+        (SELECT sum({c2.format(x="a")}) FROM (
+           SELECT sum(nij)::BIGINT AS a FROM cont GROUP BY cluster))::BIGINT AS pa,
+        (SELECT sum({c2.format(x="b")}) FROM (
+           SELECT sum(nij)::BIGINT AS b FROM cont GROUP BY label))::BIGINT AS pb,
+        (SELECT {c2.format(x="count(*)")} FROM asg)::BIGINT AS t
+    ),
+    norm AS (
+      SELECT idx, pa, pb, t,
+             -- HUGEINT (int128) product + integer floor division: DuckDB's
+             -- DECIMAL '//' ROUNDS the decimal quotient (diverges from
+             -- Spark's truncating DECIMAL div); HUGEINT '//' is exact
+             CAST((CAST(pa AS HUGEINT) * pb) {d} t AS BIGINT) AS e_floor
+      FROM pieces
+    )
+    SELECT idx AS sum_c2_cells, pa AS sum_c2_clusters, pb AS sum_c2_labels, t AS n_pairs,
+           (CASE WHEN idx >= e_floor THEN 1 ELSE -1 END
+            * {tx.floor_scaled_div(tx.DUCK, "abs(idx - e_floor)", "(pa + pb) // 2 - e_floor", 1_000_000)}
+           )::BIGINT AS ari_micro
+    FROM norm
+    """
+
+
+@_register("ari_clusters_vs_labels", _ari_oracle())
+def q_ari_clusters_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between the
+    {ARI_BITS}-bit LSH-plane clustering of the embeddings and the gold
+    ``label`` column — the chance-corrected cluster-quality audit an
+    embedding-curation pipeline runs on its unsupervised partitions.
+    ARI = (index - E) / (max - E) with index = ΣC(n_ij,2),
+    E = ΣC(a_i,2)·ΣC(b_j,2)/C(n,2), max = (ΣC(a)+ΣC(b))/2 — exact pair
+    combinatorics, no model.
+
+    Determinism: the cluster id is sign bits of sequential-fold dots
+    with literal planes (bit-identical cross-engine by the dot_literal
+    contract); all pair counts are exact integers; E enters through ONE
+    floor (pa*pb div t, a <=1-unit quantization mirrored in both
+    engines — the autocorr normalize-first discipline, which keeps the
+    final ratio in BIGINT where DECIMAL integer-division semantics
+    would diverge), and the final ratio is floor-micro with the sign
+    carried separately.
+
+    BIGINT bound (wave convention): after the normalize-by-t floor the
+    residue*1e6 product caps the EXACT range at ~4e6 vectors
+    (C(n,2) <= 8e12); past that the DECIMAL(38,0) decomposition of the
+    final ratio is the escape hatch (pa*pb is already computed in
+    DECIMAL(19)x -> DECIMAL(38)).
+
+    Scale: one narrow map to assign clusters (4 literal-plane dots),
+    one (cluster, label) rollup — contingency is 16 x |labels|,
+    domain-bounded; everything after is a 1-row frame."""
+    asg = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.expr(_ari_cluster(tx.SPARK)).alias("cluster")
+    )
+    cont = asg.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    idx = cont.agg(
+        F.sum(F.expr("nij * (nij - 1) div 2")).cast("bigint").alias("idx")
+    )
+    pa = (
+        cont.groupBy("cluster")
+        .agg(F.sum("nij").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) div 2")).cast("bigint").alias("pa"))
+    )
+    pb = (
+        cont.groupBy("label")
+        .agg(F.sum("nij").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) div 2")).cast("bigint").alias("pb"))
+    )
+    t = asg.agg(
+        F.expr("CAST(count(*) * (count(*) - 1) div 2 AS BIGINT)").alias("t")
+    )
+    pieces = (
+        idx.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "e_floor",
+            F.expr("CAST((CAST(pa AS DECIMAL(19,0)) * pb) div t AS BIGINT)"),
+        )
+    )
+    return pieces.select(
+        F.col("idx").alias("sum_c2_cells"),
+        F.col("pa").alias("sum_c2_clusters"),
+        F.col("pb").alias("sum_c2_labels"),
+        F.col("t").alias("n_pairs"),
+        F.expr(
+            f"CAST((CASE WHEN idx >= e_floor THEN 1 ELSE -1 END) * "
+            f"{tx.floor_scaled_div(tx.SPARK, 'abs(idx - e_floor)', '(pa + pb) div 2 - e_floor', 1_000_000)}"
+            f" AS BIGINT)"
+        ).alias("ari_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diverse top-k over embeddings
+# ---------------------------------------------------------------------------
+
+MMR_K = 6
+MMR_LAM_X10 = 7  # lambda = 0.7: mmr = (7*rel - 3*maxsim) / 10, order-equivalent
+MMR_QUERY_ID = 0  # same probe vector as the cosine_topk family
+
+
+def _mmr_cos_lit_spark(values: list[float]) -> str:
+    """Spark-side cosine of the ``embedding`` column with a literal
+    vector: sequential zip_with dot / (sqrt(sum sq) * python norm),
+    round6 at the boundary — the _dcos contract (round6 absorbs the
+    fold-order ulps between this and DuckDB's list_cosine_similarity,
+    exactly as for the cosine_topk family)."""
+    import math
+
+    arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in values) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nv = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    ns = repr(math.sqrt(sum(float(v) * float(v) for v in values)))
+    return (
+        f"floor(({dot}) / (({nv}) * CAST({ns} AS DOUBLE)) * 1000000 + 0.5) "
+        f"/ 1000000"
+    )
+
+
+def _mmr_oracle() -> str:
+    from pedri_analysis_spark.plans.similarity_queries import _dcos
+
+    ctes = [
+        f"q AS MATERIALIZED (SELECT embedding FROM embeddings "
+        f"WHERE vec_id = {MMR_QUERY_ID})",
+        f"""d0 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {_dcos('e.embedding', 'q.embedding')} AS rel,
+             0.0 AS ms
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != {MMR_QUERY_ID}
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT vec_id, embedding, rel, ms FROM d0
+      ORDER BY rel DESC, vec_id ASC LIMIT 1
+    )""",
+    ]
+    rows = ["SELECT 0::BIGINT AS sel_round, vec_id, rel AS rel_r6, "
+            "ms AS maxsim_r6 FROM s0"]
+    for i in range(1, MMR_K):
+        prev_d, prev_s = f"d{i - 1}", f"s{i - 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding, d.rel,
+             greatest(d.ms, {_dcos('d.embedding', 's.embedding')}) AS ms
+      FROM {prev_d} d CROSS JOIN {prev_s} s
+      WHERE d.vec_id != s.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT vec_id, embedding, rel, ms FROM d{i}
+      ORDER BY {MMR_LAM_X10} * rel - {10 - MMR_LAM_X10} * ms DESC,
+               vec_id ASC LIMIT 1
+    )"""
+        )
+        rows.append(
+            f"SELECT {i}::BIGINT AS sel_round, vec_id, rel AS rel_r6, "
+            f"ms AS maxsim_r6 FROM s{i}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@_register("mmr_diverse_topk", _mmr_oracle())
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-{MMR_K} (Carbonell &
+    Goldstein 1998): greedily select the vector maximizing
+    lambda*rel - (1-lambda)*max-sim-to-selected (lambda = 0.7 as the
+    integer pair {MMR_LAM_X10}/{10 - MMR_LAM_X10} — small-int-by-double
+    products are exactly rounded IEEE ops, identical cross-engine), the
+    re-ranking a retrieval pipeline applies so the top results aren't
+    {MMR_K} near-duplicates of each other.
+
+    Determinism: rel and the pairwise sims are round6 cosines (the
+    _dcos contract: round6 absorbs fold-order ulps between the two
+    engines' folds); greatest() chains in iteration order; the argmax's
+    (mmr DESC, vec_id ASC) is a total order over bit-identical doubles.
+
+    Scale: the selected set is a k x dim driver-side model exactly like
+    kcenter/kmeans centroids — each round is one narrow map (cosine to
+    <= k literal vectors) + one TakeOrdered(1); k driver-side collects
+    of ONE tiny row each.  The oracle unrolls the same {MMR_K} rounds
+    as MATERIALIZED CTEs (the kcenter linearization)."""
+    import math
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).persist()
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).collect()[0]
+    base = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_mmr_cos_lit_spark(list(q["embedding"]))).alias("rel"),
+        )
+        .persist()
+    )
+    ms = F.lit(0.0)
+    picked: list[tuple[int, int, float, float]] = []
+    excluded: list[int] = []
+    for i in range(MMR_K):
+        if i == 0:
+            order = [F.desc("rel"), F.asc("vec_id")]
+        else:
+            order = [
+                F.desc(
+                    F.expr(f"{MMR_LAM_X10} * rel - {10 - MMR_LAM_X10} * ms")
+                ),
+                F.asc("vec_id"),
+            ]
+        frame = base.select("vec_id", "embedding", "rel", ms.alias("ms"))
+        if excluded:
+            frame = frame.filter(~F.col("vec_id").isin(excluded))
+        pick = frame.orderBy(*order).limit(1).collect()[0]
+        picked.append((i, pick["vec_id"], pick["rel"], pick["ms"]))
+        excluded.append(pick["vec_id"])
+        if i < MMR_K - 1:
+            ms = F.greatest(
+                ms, F.expr(_mmr_cos_lit_spark(list(pick["embedding"])))
+            )
+    return spark.createDataFrame(
+        picked, "sel_round long, vec_id long, rel_r6 double, maxsim_r6 double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAP@K of BM25 retrieval vs exact-phrase gold (ranking-eval family)
+# ---------------------------------------------------------------------------
+
+MAP_K = 10
+MAP_LCM = 2520  # lcm(1..10): AP@10 becomes an exact integer fraction
+MAP_SHARDS = 16  # stage-1 local top-k shards (bounded window partitions)
+
+
+def _map_oracle() -> str:
+    from pedri_analysis_spark.plans.draft_r13 import MRR_PHRASES
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+
+    df_cols = []
+    legs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, t2 = ph.split(" ")
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t1}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}a"
+        )
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t2}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}b"
+        )
+        score = (
+            f"({_term_micros(_tf(tx.DUCK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.DUCK, t2), f'df_{i}b')})"
+        )
+        legs.append(
+            f"""      SELECT '{ph}' AS phrase, doc_id, {score} AS score,
+             list_contains({tx.word_shingles(tx.DUCK, "toks", 2)}, '{ph}') AS gold
+      FROM t2, stats"""
+        )
+    scored_legs = "\n      UNION ALL\n".join(legs)
+    wsum = " + ".join(
+        f"CASE WHEN k = {k} AND gold THEN cum * {MAP_LCM // k} ELSE 0 END"
+        for k in range(1, MAP_K + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM toks),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+             {", ".join(df_cols)}
+      FROM t2
+    ),
+    scored AS (
+{scored_legs}
+    ),
+    ng AS (
+      SELECT phrase, sum(CASE WHEN gold THEN 1 ELSE 0 END)::BIGINT AS n_gold
+      FROM scored GROUP BY phrase
+    ),
+    topk AS (
+      SELECT phrase, gold,
+             row_number() OVER (PARTITION BY phrase
+                                ORDER BY score DESC, doc_id ASC) AS k
+      FROM scored
+      QUALIFY k <= {MAP_K}
+    ),
+    cumg AS (
+      SELECT phrase, k, gold,
+             sum(CASE WHEN gold THEN 1 ELSE 0 END)
+               OVER (PARTITION BY phrase ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM topk
+    ),
+    ap AS (
+      SELECT phrase,
+             max(cum)::BIGINT AS hits_at_k,
+             sum({wsum})::BIGINT AS ap_num
+      FROM cumg GROUP BY phrase
+    )
+    SELECT a.phrase, g.n_gold, a.hits_at_k,
+           (CASE WHEN g.n_gold > 0 THEN
+             {tx.floor_scaled_div(
+                 tx.DUCK,
+                 "a.ap_num",
+                 f"{MAP_LCM} * least(g.n_gold, {MAP_K})",
+                 1_000_000,
+             )}
+            ELSE 0 END)::BIGINT AS ap_micro
+    FROM ap a JOIN ng g ON g.phrase = a.phrase
+    """
+
+
+@_register("map_bm25_eval", _map_oracle())
+def q_map_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@{MAP_K} (mean average precision, the TREC ranking-eval
+    workhorse) of bag-of-words BM25 against exact-phrase gold sets —
+    completing the MRR/NDCG family: AP@{MAP_K} = mean over gold hits in
+    the top {MAP_K} of precision-at-their-rank, denominated by
+    min(n_gold, {MAP_K}).  Every AP is an EXACT integer fraction: the
+    precision terms share the literal common denominator
+    {MAP_LCM} = lcm(1..{MAP_K}), so ap_num = Σ gold_k * cum_k *
+    ({MAP_LCM}/k) is a pure integer and ap_micro one floor division —
+    no nested quantization.
+
+    Scale: the per-phrase top-{MAP_K} is computed in two bounded
+    stages — shard-local row_number over (phrase, doc_id % {MAP_SHARDS})
+    keeps <= {MAP_K} per shard, then the global window ranks
+    <= {MAP_SHARDS} * {MAP_K} survivors per phrase — never a
+    corpus-sized single window partition (the oracle uses the plain
+    global window; values are what the contract compares).  Scoring
+    reuses the mrr_bm25_phrases legs: one tokenize pass, broadcast
+    stats, |phrases| flat-map legs.
+
+    Determinism: (score DESC, doc_id ASC) is a total order; gold flags,
+    cumulative counts and AP numerators are exact integers."""
+    from pedri_analysis_spark.plans.draft_r13 import MRR_PHRASES
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    t2 = toks.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
+    ).persist()
+    t2.count()
+    df_aggs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{t1}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}a")
+        )
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{tb}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}b")
+        )
+    stats = t2.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"), *df_aggs
+    )
+    legs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        score = (
+            f"({_term_micros(_tf(tx.SPARK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.SPARK, tb), f'df_{i}b')})"
+        )
+        legs.append(
+            t2.crossJoin(F.broadcast(stats)).select(
+                F.lit(ph).alias("phrase"),
+                "doc_id",
+                F.expr(score).alias("score"),
+                F.expr(
+                    f"array_contains({tx.word_shingles(tx.SPARK, 'toks', 2)}, '{ph}')"
+                ).alias("gold"),
+            )
+        )
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionAll(leg)
+    scored = scored.persist()
+    scored.count()
+    ng = scored.groupBy("phrase").agg(
+        F.sum(F.when(F.col("gold"), 1).otherwise(0)).cast("bigint").alias("n_gold")
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    w_local = W.partitionBy(
+        "phrase", F.expr(f"pmod(doc_id, {MAP_SHARDS})")
+    ).orderBy(*order)
+    w_global = W.partitionBy("phrase").orderBy(*order)
+    topk = (
+        scored.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= MAP_K)
+        .withColumn("k", F.row_number().over(w_global))
+        .filter(F.col("k") <= MAP_K)
+    )
+    wc = W.partitionBy("phrase").orderBy("k").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cumg = topk.withColumn(
+        "cum", F.sum(F.when(F.col("gold"), 1).otherwise(0)).over(wc)
+    )
+    wsum = " + ".join(
+        f"CASE WHEN k = {k} AND gold THEN cum * {MAP_LCM // k} ELSE 0 END"
+        for k in range(1, MAP_K + 1)
+    )
+    ap = cumg.groupBy("phrase").agg(
+        F.max("cum").cast("bigint").alias("hits_at_k"),
+        F.sum(F.expr(wsum)).cast("bigint").alias("ap_num"),
+    )
+    return ap.join(ng, "phrase").select(
+        "phrase",
+        "n_gold",
+        "hits_at_k",
+        F.expr(
+            f"CAST(CASE WHEN n_gold > 0 THEN "
+            f"{tx.floor_scaled_div(tx.SPARK, 'ap_num', f'{MAP_LCM} * least(n_gold, {MAP_K})', 1_000_000)}"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("ap_micro"),
+    )

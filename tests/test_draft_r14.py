@@ -161,3 +161,47 @@ def test_autocorr_r2_bounds_and_lag_cover(spark):
     for r in rows:
         assert abs(r["r2_signed_micro"]) <= 1_002_001  # (1000+1)^2 slack
         assert r["n_pairs"] >= 2
+
+
+def test_ari_pieces_consistent(spark):
+    """Pair-counting identities: index <= min(sum_c2_clusters,
+    sum_c2_labels) <= n_pairs and |ari_micro| <= 1e6."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    r = d.QUERIES["ari_clusters_vs_labels"](spark, SF_DIR).collect()[0]
+    assert r["sum_c2_cells"] <= min(r["sum_c2_clusters"], r["sum_c2_labels"])
+    assert max(r["sum_c2_clusters"], r["sum_c2_labels"]) <= r["n_pairs"]
+    assert abs(r["ari_micro"]) <= 1_000_000
+
+
+def test_mmr_rounds_distinct_and_tradeoff(spark):
+    """Selected ids are distinct, round 0 is the pure-relevance argmax,
+    and later rounds never exceed round 0's relevance (MMR trades
+    relevance for diversity, never gains it)."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = sorted(
+        d.QUERIES["mmr_diverse_topk"](spark, SF_DIR).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [r["sel_round"] for r in rows] == list(range(d.MMR_K))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert d.MMR_QUERY_ID not in ids
+    assert rows[0]["maxsim_r6"] == 0.0
+    assert all(r["rel_r6"] <= rows[0]["rel_r6"] for r in rows)
+
+
+def test_map_ap_bounds_and_hits(spark):
+    """0 <= ap_micro <= 1e6, hits_at_k <= min(n_gold, K), and a phrase
+    whose entire gold set lands in the top-K has AP consistent with
+    full recall (hits == min(n_gold, K))."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = d.QUERIES["map_bm25_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ap_micro"] <= 1_000_000
+        assert r["hits_at_k"] <= min(r["n_gold"], d.MAP_K)
+        if r["n_gold"] == 0:
+            assert r["ap_micro"] == 0
