@@ -1270,3 +1270,296 @@ def q_map_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0 END AS BIGINT)"
         ).alias("ap_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed nation's suppliers
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 5
+PPR_DAMP = 0.85
+PPR_ALPHA = 0.15
+# Seed set: all suppliers sharing the LOWEST supplier key's nation —
+# data-derived so the seed set is non-empty at every SF (a literal
+# nation name is empty at sf0.001's 10-supplier sample).
+PPR_TOP = 20
+
+
+def _ppr_round(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def _ppr_oracle() -> str:
+    iters = []
+    for k in range(1, PPR_ITERS + 1):
+        iters.append(
+            f"""
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             {_ppr_round(
+                 f"{PPR_ALPHA}e0 * n.restart + {PPR_DAMP}e0 * "
+                 f"COALESCE(c.csum, 0e0)"
+             )} AS rank
+      FROM rs n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST({_ppr_round('r.rank / d.deg')} AS DECIMAL(18,6))) AS DOUBLE) AS csum
+        FROM edges e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+    return f"""
+    WITH pair AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pair
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pair
+    ),
+    deg AS (
+      SELECT src AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+    ),
+    seed_nat AS (
+      SELECT s_nationkey FROM supplier ORDER BY s_suppkey LIMIT 1
+    ),
+    seeds AS (
+      SELECT 's' || CAST(s.s_suppkey AS VARCHAR) AS node
+      FROM supplier s JOIN seed_nat z ON z.s_nationkey = s.s_nationkey
+    ),
+    ns AS (SELECT count(*)::DOUBLE AS n FROM seeds JOIN deg USING (node)),
+    rs AS (
+      SELECT d.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN {_ppr_round('1e0 / ns.n')} ELSE 0e0 END AS restart
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node
+      CROSS JOIN ns
+    ),
+    r0 AS MATERIALIZED (SELECT node, restart AS rank FROM rs),{",".join(iters)}
+    SELECT node, rank FROM r{PPR_ITERS}
+    WHERE rank > 0e0
+    ORDER BY rank DESC, node ASC LIMIT {PPR_TOP}
+    """
+
+
+@_register("personalized_pagerank", _ppr_oracle())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003): {PPR_ITERS} damped
+    iterations over the undirected customer-supplier trade graph with
+    the restart mass concentrated on one nation's suppliers (the
+    lowest supplier key's nation — data-derived so the seed set is
+    non-empty at every SF) — "which customers and suppliers are
+    closest to this nation's supply base", the seeded-relevance
+    variant of pagerank_trade_graph (whose
+    determinism discipline this reuses verbatim: 6-dp floor-rounded
+    per-edge contributions summed in DECIMAL, damping as a fixed chain
+    of single IEEE ops, unrolled oracle CTEs).
+
+    Unlike the uniform restart, nodes unreachable from the seed set
+    keep rank 0; the WHERE rank > 0 filter keeps the top-{PPR_TOP}
+    meaningful.
+
+    Scale: identical topology to pagerank_trade_graph — the persisted
+    pre-partitioned edge list, a node-sized (rank, deg) table joined in
+    per iteration (AQE picks broadcast vs shuffle), one edge-sized
+    dst-aggregation shuffle per iteration, per-generation persist to
+    cut lineage.  The restart table is node-sized."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = edges.repartition("src").persist()
+    edges.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist()
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    seed_nat = sup.orderBy(F.asc("s_suppkey")).limit(1).select(
+        F.col("s_nationkey").alias("z_nationkey")
+    )
+    seeds = sup.join(
+        F.broadcast(seed_nat), sup.s_nationkey == F.col("z_nationkey")
+    ).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    # seeds must be graph members (a supplier with no lineitems has no
+    # node); the oracle's ns counts the same join
+    seeds_in = seeds.join(deg.select("node"), "node")
+    ns = seeds_in.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def rnd(col):
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    rs = (
+        deg.select("node")
+        .join(seeds_in.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("is_seed") == 1, rnd(F.lit(1.0) / F.col("n")))
+            .otherwise(F.lit(0.0))
+            .alias("restart"),
+        )
+        .persist()
+    )
+    ranks = rs.select("node", F.col("restart").alias("rank"))
+    for _ in range(PPR_ITERS):
+        rank_deg = ranks.join(deg, "node").withColumnRenamed("node", "src")
+        contrib = edges.join(rank_deg, "src").select(
+            "dst",
+            rnd(F.col("rank") / F.col("deg")).cast("decimal(18,6)").alias("contrib"),
+        )
+        csum = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib").alias("csum")
+        )
+        ranks = rs.join(csum, "node", "left").select(
+            "node",
+            rnd(
+                F.lit(PPR_ALPHA) * F.col("restart")
+                + F.lit(PPR_DAMP)
+                * F.coalesce(F.col("csum").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.persist()
+    return (
+        ranks.filter(F.col("rank") > 0.0)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(PPR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3  # edges must sit in >= K-2 = 1 triangle to survive
+KTRUSS_ITERS = 3  # fixed PREFIX of the peel (the kcore/PageRank discipline)
+
+
+def _ktruss_sup_sql(e: str) -> str:
+    """Per-edge triangle support over ordered edge set ``e`` — each
+    triangle a<b<c found once by the ordered double-join, then projected
+    onto its three edges."""
+    return f"""(
+      SELECT pa, pb, count(*)::BIGINT AS sup FROM (
+        SELECT t.a AS pa, t.b AS pb FROM (
+          SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          FROM {e} e1
+          JOIN {e} e2 ON e2.pa = e1.pb
+          JOIN {e} e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ) t
+        UNION ALL
+        SELECT t.b, t.c FROM (
+          SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          FROM {e} e1
+          JOIN {e} e2 ON e2.pa = e1.pb
+          JOIN {e} e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ) t
+        UNION ALL
+        SELECT t.a, t.c FROM (
+          SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          FROM {e} e1
+          JOIN {e} e2 ON e2.pa = e1.pb
+          JOIN {e} e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ) t
+      ) GROUP BY pa, pb
+    )"""
+
+
+def _ktruss_oracle() -> str:
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    ctes = [
+        _copurchase_edges_sql().strip(),
+        "e0 AS MATERIALIZED (SELECT pa, pb FROM e)",
+    ]
+    rows = []
+    for i in range(KTRUSS_ITERS):
+        ctes.append(
+            f"""sup{i} AS MATERIALIZED (
+      SELECT * FROM {_ktruss_sup_sql(f'e{i}')}
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+      SELECT e.pa, e.pb FROM e{i} e
+      JOIN sup{i} s ON s.pa = e.pa AND s.pb = e.pb
+      WHERE s.sup >= {KTRUSS_K - 2}
+    )"""
+        )
+        rows.append(
+            f"""SELECT {i + 1}::BIGINT AS iter,
+           (SELECT count(*) FROM e{i}) - (SELECT count(*) FROM e{i + 1})
+             AS n_removed,
+           (SELECT count(*) FROM e{i + 1})::BIGINT AS n_edges"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
+    )
+
+
+@_register("k_truss_copurchase", _ktruss_oracle())
+def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss peeling (Cohen 2008) on the thresholded
+    co-purchase graph: per round, every edge's triangle SUPPORT is
+    recomputed over the surviving edge set and edges in fewer than
+    {KTRUSS_K}-2 triangles drop — the cohesive-subgraph extractor one
+    notch stronger than k-core (degree counts neighbors; support counts
+    MUTUAL neighbors).  {KTRUSS_ITERS} fixed unrolled rounds, the
+    kcore/PageRank prefix discipline (the report's per-round removals
+    show how far the peel got; convergence means a 0-removal round).
+
+    Determinism: pure edge counting; the ordered (lo, hi) edge storage
+    finds each triangle exactly once and projects it onto its three
+    edges.
+
+    Scale: each round is one ordered-edge double-join (the
+    triangle_count shape, O(E^1.5) wedge bound) plus an edge rollup;
+    every round's survivor set is persisted before the next round's
+    3-leg fan-out (the kcore lineage lesson — unpersisted, round k
+    re-derives rounds 1..k-1 per leg).  The oracle MATERIALIZES each
+    round's CTEs for the same linearization."""
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
+    counts = [e.count()]
+    out_rows = []
+    gens = [e]
+    for i in range(KTRUSS_ITERS):
+        cur = gens[-1]
+        e1 = cur.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        e2 = cur.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+        e3 = cur.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b2") == F.col("b"))
+            .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+            .select("a", "b", "c")
+        )
+        sup = (
+            tri.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+            .unionAll(tri.select(F.col("b").alias("pa"), F.col("c").alias("pb")))
+            .unionAll(tri.select(F.col("a").alias("pa"), F.col("c").alias("pb")))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+            .filter(F.col("sup") >= KTRUSS_K - 2)
+        )
+        nxt = cur.join(sup.select("pa", "pb"), ["pa", "pb"]).persist()
+        n = nxt.count()
+        out_rows.append((i + 1, counts[-1] - n, n))
+        counts.append(n)
+        gens.append(nxt)
+    for g in gens:
+        g.unpersist()
+    return spark.createDataFrame(out_rows, "iter long, n_removed long, n_edges long")

@@ -205,3 +205,36 @@ def test_map_ap_bounds_and_hits(spark):
         assert r["hits_at_k"] <= min(r["n_gold"], d.MAP_K)
         if r["n_gold"] == 0:
             assert r["ap_micro"] == 0
+
+
+def test_ppr_mass_and_seed_dominance(spark):
+    """PPR ranks are positive on reported rows, total reported mass is
+    <= 1 + rounding slack, and the top node is reachable from (indeed,
+    usually in) the seed set — pinned weakly: every reported node has
+    rank <= the maximum, and at least one seed-prefixed supplier node
+    appears in the top list."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = d.QUERIES["personalized_pagerank"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["rank"] > 0 for r in rows)
+    assert sum(r["rank"] for r in rows) <= 1.0 + 1e-3
+    assert any(r["node"].startswith("s") for r in rows)
+
+
+def test_ktruss_monotone_and_subset_of_kcore_bound(spark):
+    """Peeling is monotone (survivor counts never grow; a converged
+    round stays converged) and removals are non-negative."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    rows = sorted(
+        d.QUERIES["k_truss_copurchase"](spark, SF_DIR).collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [r["iter"] for r in rows] == list(range(1, d.KTRUSS_ITERS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_edges"] <= prev["n_edges"]
+        if prev["n_removed"] == 0:
+            assert cur["n_removed"] == 0
+    for r in rows:
+        assert r["n_removed"] >= 0
