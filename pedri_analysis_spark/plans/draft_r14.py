@@ -1563,3 +1563,140 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in gens:
         g.unpersist()
     return spark.createDataFrame(out_rows, "iter long, n_removed long, n_edges long")
+
+
+# ---------------------------------------------------------------------------
+# EXACT Jaccard near-dup mining via prefix filtering (no drop cap)
+# ---------------------------------------------------------------------------
+
+PFJ_K = 3  # word-shingle width (the dedup family's SHINGLE_K)
+PFJ_T_NUM, PFJ_T_DEN = 3, 5  # threshold t = 3/5 = 0.6, an EXACT rational
+
+
+def _pfj_oracle() -> str:
+    sh = tx.word_shingles(tx.DUCK, "toks", PFJ_K)
+    # prefix length p = sz - ceil(t*sz) + 1 (Chaudhuri 2006 / PPJoin)
+    p = f"(sz - ({PFJ_T_NUM} * sz + {PFJ_T_DEN - 1}) // {PFJ_T_DEN} + 1)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    g0 AS (
+      SELECT DISTINCT doc_id, unnest({sh}) AS g FROM toks
+    ),
+    dfreq AS (SELECT g, count(*)::BIGINT AS df FROM g0 GROUP BY g),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM g0 GROUP BY doc_id),
+    ranked AS (
+      SELECT g0.doc_id, g0.g, z.sz,
+             row_number() OVER (PARTITION BY g0.doc_id
+                                ORDER BY d.df ASC, g0.g ASC) AS rn
+      FROM g0 JOIN dfreq d ON d.g = g0.g JOIN sz z ON z.doc_id = g0.doc_id
+    ),
+    prefix AS (SELECT doc_id, g, sz FROM ranked WHERE rn <= {p}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+             a.sz AS sa, b.sz AS sb
+      FROM prefix a JOIN prefix b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+       AND least(a.sz, b.sz) * {PFJ_T_DEN} >= greatest(a.sz, b.sz) * {PFJ_T_NUM}
+    ),
+    inter AS (
+      SELECT c.ia, c.ib, c.sa, c.sb, count(*)::BIGINT AS ni
+      FROM cand c
+      JOIN g0 x ON x.doc_id = c.ia
+      JOIN g0 y ON y.doc_id = c.ib AND y.g = x.g
+      GROUP BY c.ia, c.ib, c.sa, c.sb
+    )
+    SELECT ia AS a, ib AS b, sa AS n_a, sb AS n_b, ni AS n_inter,
+           (ni * 1000 // (sa + sb - ni))::BIGINT AS jac_milli
+    FROM inter
+    WHERE ({PFJ_T_NUM} + {PFJ_T_DEN}) * ni >= {PFJ_T_NUM} * (sa + sb)
+    """
+
+
+@_register("prefix_filter_jaccard_dups", _pfj_oracle())
+def q_prefix_filter_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs (J >= {PFJ_T_NUM}/{PFJ_T_DEN})
+    via PREFIX FILTERING (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008
+    PPJoin candidate rule) — recall 1.0 BY CONSTRUCTION with no drop cap:
+    this is the recall-preserving scale path every APPROX_PAST_CAP
+    annotation in the capped LSH/mod-chunk dedup family names, now a
+    first-class operator.
+
+    The rule: order the shingle universe by ascending document frequency
+    (rarest first, ties by shingle); a doc's PREFIX is its first
+    sz - ceil(t*sz) + 1 shingles in that order.  Two docs with
+    J >= t MUST share a prefix shingle (pigeonhole on the >= t*|union|
+    shared elements), so the candidate join runs only on prefix
+    postings.  Two further LOSSLESS prunes: the length filter
+    (min_sz * {PFJ_T_DEN} >= max_sz * {PFJ_T_NUM}; J >= t forces size
+    ratio >= t) at candidate time, and the exact integer verify
+    ({PFJ_T_NUM + PFJ_T_DEN} * inter >= {PFJ_T_NUM} * (sz_a + sz_b),
+    the cross-multiplied J >= {PFJ_T_NUM}/{PFJ_T_DEN} — no float, no
+    floor, EXACT because t is the rational {PFJ_T_NUM}/{PFJ_T_DEN}).
+    Equality with the quadratic all-pairs truth is pinned in
+    tests/test_draft_r14.py.
+
+    Determinism: (df ASC, shingle ASC) is a total order; every count is
+    an exact integer; jac_milli is reporting-only floor.
+
+    Scale: work is bounded by prefix-posting-list joins — prefix tokens
+    are each doc's RAREST, so postings are short by construction; the
+    output is the true pair set (output-bound, not cap-bound).  The
+    named tightenings at extreme scale are PPJoin's positional filter
+    and PPJoin+'s suffix filter (stricter candidate pruning, same exact
+    semantics).  Per-doc ranking windows are doc-sized; the verify join
+    is candidate-pair x doc-size, bounded by the candidate prune."""
+    sh = tx.word_shingles(tx.SPARK, "toks", PFJ_K)
+    g0 = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks"))
+        .select("doc_id", F.explode(F.expr(sh)).alias("g"))
+        .distinct()
+        .persist()
+    )
+    g0.count()  # feeds dfreq, ranking and the two verify legs
+    dfreq = g0.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    szf = g0.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    wr = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+    ranked = (
+        g0.join(dfreq, "g")
+        .join(szf, "doc_id")
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    p = f"(sz - ({PFJ_T_NUM} * sz + {PFJ_T_DEN - 1}) div {PFJ_T_DEN} + 1)"
+    prefix = ranked.filter(F.expr(f"rn <= {p}")).select("doc_id", "g", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("ia"), "g", F.col("sz").alias("sa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("ib"), F.col("g").alias("gb"), F.col("sz").alias("sb")
+    )
+    cand = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("ia") < F.col("ib")))
+        .filter(
+            F.expr(
+                f"least(sa, sb) * {PFJ_T_DEN} >= greatest(sa, sb) * {PFJ_T_NUM}"
+            )
+        )
+        .select("ia", "ib", "sa", "sb")
+        .distinct()
+    )
+    x = g0.select(F.col("doc_id").alias("ia"), F.col("g").alias("gx"))
+    y = g0.select(F.col("doc_id").alias("jb"), F.col("g").alias("gy"))
+    inter = (
+        cand.join(x, "ia")
+        .join(y, (F.col("ib") == F.col("jb")) & (F.col("gy") == F.col("gx")))
+        .groupBy("ia", "ib", "sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    return inter.filter(
+        F.expr(f"({PFJ_T_NUM} + {PFJ_T_DEN}) * ni >= {PFJ_T_NUM} * (sa + sb)")
+    ).select(
+        F.col("ia").alias("a"),
+        F.col("ib").alias("b"),
+        F.col("sa").alias("n_a"),
+        F.col("sb").alias("n_b"),
+        F.col("ni").alias("n_inter"),
+        F.expr("CAST(ni * 1000 div (sa + sb - ni) AS BIGINT)").alias("jac_milli"),
+    )

@@ -238,3 +238,37 @@ def test_ktruss_monotone_and_subset_of_kcore_bound(spark):
             assert cur["n_removed"] == 0
     for r in rows:
         assert r["n_removed"] >= 0
+
+
+def test_prefix_filter_equals_quadratic_truth(spark, duck):
+    """The WHOLE POINT of the operator: prefix-filter candidates +
+    exact verify must equal the quadratic all-pairs ground truth
+    EXACTLY (recall 1.0 by construction, no cap) — computed here
+    independently in DuckDB without any prefix logic."""
+    from pedri_analysis_spark.plans import draft_r14 as d
+    from pedri_analysis_spark.functions import textexpr as tx
+
+    got = sorted(
+        (r["a"], r["b"], r["n_a"], r["n_b"], r["n_inter"])
+        for r in d.QUERIES["prefix_filter_jaccard_dups"](spark, SF_DIR).collect()
+    )
+    sh = tx.word_shingles(tx.DUCK, "toks", d.PFJ_K)
+    truth_sql = f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    g0 AS (SELECT DISTINCT doc_id, unnest({sh}) AS g FROM toks),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM g0 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id ia, b.doc_id ib, count(*)::BIGINT ni
+      FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia, ib, sa.sz, sb.sz, ni
+    FROM inter
+    JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+    WHERE ({d.PFJ_T_NUM} + {d.PFJ_T_DEN}) * ni >= {d.PFJ_T_NUM} * (sa.sz + sb.sz)
+    """
+    truth = sorted(tuple(r) for r in duck.execute(truth_sql).fetchall())
+    assert got == truth
+    assert got, "degenerate: no near-dup pairs at the test SF"
