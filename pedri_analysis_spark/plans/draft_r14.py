@@ -551,10 +551,11 @@ def q_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Single-split binary-segmentation changepoint on daily revenue
 # ---------------------------------------------------------------------------
 
-# Daily sums quantized to $100 units before squaring: prefix sums and
-# their squares stay BIGINT-safe while total revenue <= ~$3e11 (the wave
-# convention bound; DECIMAL(38,0) or coarser units past it).
-BINSEG_UNIT_DIV = 10_000  # cents -> $100 quanta
+# Daily sums quantized to $1000 units before squaring: prefix sums and
+# their squares stay BIGINT-safe while total revenue <= ~$3e12 (measured:
+# sf4.0synth totals $1.5e12 -> s^2 = 2.3e18 < 2^63; the wave convention
+# bound, DECIMAL(38,0) or coarser units past it).
+BINSEG_UNIT_DIV = 100_000  # cents -> $1000 quanta
 
 
 def _binseg_oracle() -> str:
@@ -601,7 +602,7 @@ def q_binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-segment second pass.  Ties break to the earliest day, so the
     argmax is a total order.
 
-    Determinism: daily sums are exact integer $100 quanta
+    Determinism: daily sums are exact integer $1000 quanta
     (cents div {BINSEG_UNIT_DIV}); every gain term is floor integer
     division of integer squares — both engines compute the IDENTICAL
     quantized objective, and the argmax of a quantized objective is
@@ -609,7 +610,7 @@ def q_binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSE gain, documented, not hidden).
 
     BIGINT bound (wave convention): prefix-sum squares wrap past total
-    revenue ~3e9 units (~$3e11); coarser units (BINSEG_UNIT_DIV) or
+    revenue ~3e9 units (~$3e12); coarser units (BINSEG_UNIT_DIV) or
     DECIMAL(38,0) are the escape hatch.
 
     Scale: the day rollup shuffles once with map-side combine; the
@@ -1547,10 +1548,22 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
             .select("a", "b", "c")
         )
+        # ONE explode leg instead of a 3-way unionAll of tri: each union
+        # leg re-derives the wedge double-join AND multiplies the round's
+        # lineage fan-out (~10 refs to the previous generation per round,
+        # so round k's ANALYSIS tree grows 10^k — measured 13 s of pure
+        # Catalyst time by round 3 on a 3-edge graph); the exploded form
+        # references the generation 4x and round 3 drops to ~1 s
         sup = (
-            tri.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
-            .unionAll(tri.select(F.col("b").alias("pa"), F.col("c").alias("pb")))
-            .unionAll(tri.select(F.col("a").alias("pa"), F.col("c").alias("pb")))
+            tri.select(
+                F.explode(
+                    F.expr(
+                        "array(struct(a AS pa, b AS pb), "
+                        "struct(b AS pa, c AS pb), struct(a AS pa, c AS pb))"
+                    )
+                ).alias("e")
+            )
+            .select("e.pa", "e.pb")
             .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
             .filter(F.col("sup") >= KTRUSS_K - 2)
