@@ -35,6 +35,10 @@ SAMPLE = [
     ("split_conformal_coverage", None),  # rank thresholds over hash splits
     ("kcenter_coreset", None),  # iterative argmax with total-order ties
     ("fellegi_sunter_parts", None),  # weighted pair counts via hash chunks
+    # r14 staged drafts with merge-order-sensitive shapes
+    ("autocorr_daily_revenue", "draft_r14"),  # ordered day windows + lag joins
+    ("mmr_diverse_topk", "draft_r14"),  # iterative double argmax (greatest chain)
+    ("prefix_filter_jaccard_dups", "draft_r14"),  # rank-prefix blocking windows
 ]
 
 
