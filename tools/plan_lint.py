@@ -66,6 +66,7 @@ _BNLJ_ALLOWED = {
     "ari_clusters_vs_labels",  # four 1-row combinatorics frames crossed
     "map_bm25_eval",  # 1-row corpus-stats frame per scoring leg (as mrr)
     "personalized_pagerank",  # 1-row seed-count frame (as pagerank)
+    "goodman_kruskal_tau",  # 1-row column-margin frame crossed
     "pedri_radar_percentiles",  # 1-row league-means frame
     "quantile_binning_price",  # k-row exact-quantile bounds frame
     "resample_ffill_daily",  # 1-row day-bounds frame -> grid explode
