@@ -320,59 +320,110 @@ def _fastss_variants(dialect: str, key: str, name: str) -> str:
 @_register(
     "edit_distance_near_dups",
     f"""
-    WITH src AS (SELECT s_suppkey, s_name FROM supplier),
-    dv AS ({_fastss_variants(tx.DUCK, "s_suppkey", "s_name")}),
+    WITH clus AS (
+      SELECT s_name, min(s_suppkey) AS rep, count(*)::BIGINT AS w
+      FROM supplier GROUP BY s_name
+    ),
+    src AS (SELECT rep, s_name, w FROM clus),
+    dv AS ({_fastss_variants(tx.DUCK, "rep", "s_name")}),
+    dvw AS (
+      SELECT dv.k, dv.nm, dv.v, c.w FROM dv JOIN clus c ON c.rep = dv.k
+    ),
     cand AS (
-      SELECT DISTINCT a.k AS a_key, b.k AS b_key, a.nm AS na, b.nm AS nb
-      FROM dv a JOIN dv b ON a.v = b.v AND a.k < b.k
+      SELECT DISTINCT a.k AS a_rep, b.k AS b_rep, a.nm AS na, b.nm AS nb,
+             a.w AS wa, b.w AS wb
+      FROM dvw a JOIN dvw b ON a.v = b.v AND a.k < b.k
+    ),
+    ident AS (
+      SELECT rep AS a_rep, rep AS b_rep, 0::BIGINT AS edit_dist,
+             (w * (w - 1) // 2)::BIGINT AS n_pairs
+      FROM clus WHERE w >= 2
+    ),
+    cross_p AS (
+      SELECT a_rep, b_rep, levenshtein(na, nb)::BIGINT AS edit_dist,
+             (wa * wb)::BIGINT AS n_pairs
+      FROM cand WHERE levenshtein(na, nb) = 1
     )
-    SELECT a_key, b_key, levenshtein(na, nb)::BIGINT AS edit_dist
-    FROM cand
-    WHERE levenshtein(na, nb) <= 1
+    SELECT * FROM ident UNION ALL SELECT * FROM cross_p
     """,
 )
 def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT edit-distance-1 pair mining over supplier names via FastSS
     deletion neighborhoods (Bocek et al. 2007) — the string-field
     counterpart of prefix_filter_jaccard_dups, recall 1.0 BY
-    CONSTRUCTION with no cap: if ed(s, t) <= 1 then the deletion-1
-    neighborhoods D(s) and D(t) intersect (equal strings share s; an
-    insertion/deletion pair shares the shorter string; a substitution
-    pair shares the string with the differing position deleted), so
-    every true pair is a candidate; exact levenshtein() — the same
-    unit-cost DP in both engines — verifies.  Pinned equal to the
-    quadratic all-pairs truth in tests/test_draft_r15.py.
+    CONSTRUCTION with no cap, in the fellegi_sunter two-layer shape:
+
+    1. EXACT-DUPLICATE CLUSTERING: identical names collapse to one
+       representative (min key) with multiplicity w; a cluster's
+       w*(w-1)/2 distance-0 pairs are counted ANALYTICALLY — linear
+       work, immune to the replica quadratics that made the naive
+       pair-list form take 65 s at the synth decade (10 replicas per
+       name => x100 candidate pairs).
+    2. FastSS over DISTINCT names: if ed(s, t) <= 1 then the deletion-1
+       neighborhoods D(s) and D(t) intersect (equal strings share s; an
+       insertion/deletion pair shares the shorter string; a
+       substitution pair shares the string with the differing position
+       deleted), so every true distinct-name pair is a candidate;
+       exact levenshtein() — the same unit-cost DP in both engines —
+       verifies, and the pair counts w_a * w_b record-level pairs.
+
+    The total pair count (Σ n_pairs over both layers) equals the
+    quadratic record-level all-pairs count with ed <= 1 — pinned in
+    tests/test_draft_r15.py.
 
     Determinism: variants are pure string slicing; counts and distances
     exact integers; candidate DISTINCT collapses multi-variant hits.
 
-    Scale: the variant relation is Σ(len+1) rows — linear with a
-    ~name-length factor; candidate work is bounded by the posting lists
-    of shared VARIANTS (near-duplicate names by construction), so like
-    the prefix filter it is OUTPUT-bound, not cap-bound.  The named
+    Scale: the variant relation is Σ(len+1) rows over DISTINCT names;
+    candidate work is bounded by the posting lists of shared variants
+    (near-duplicate names by construction) — output-bound over the
+    distinct-name pair set, never the record pair set.  The named
     extension for ed <= 2 is the recursive FastSS level-2 deletion
-    index (same construction, quadratic-in-length variant count)."""
-    src = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_name"
+    index (same construction, quadratic-in-length variant count).
+    Overflow: w*(w-1)/2 and wa*wb wrap past ~3e9 records per identical
+    name; DECIMAL(38,0) is the escape hatch (wave convention)."""
+    clus = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy("s_name")
+        .agg(
+            F.min("s_suppkey").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+        )
+        .persist()
     )
-    src.createOrReplaceTempView("src")
-    dv = spark.sql(_fastss_variants(tx.SPARK, "s_suppkey", "s_name"))
-    a = dv.select(
-        F.col("k").alias("a_key"), F.col("nm").alias("na"), "v"
+    ident = clus.filter(F.col("w") >= 2).select(
+        F.col("rep").alias("a_rep"),
+        F.col("rep").alias("b_rep"),
+        F.lit(0).cast("bigint").alias("edit_dist"),
+        F.expr("CAST(w * (w - 1) div 2 AS BIGINT)").alias("n_pairs"),
     )
-    b = dv.select(
-        F.col("k").alias("b_key"), F.col("nm").alias("nb"), F.col("v").alias("vb")
+    clus.select(F.col("rep"), F.col("s_name"), F.col("w")).createOrReplaceTempView(
+        "src"
+    )
+    dv = spark.sql(_fastss_variants(tx.SPARK, "rep", "s_name"))
+    dvw = dv.join(
+        clus.select(F.col("rep").alias("k"), "w"), "k"
+    )
+    a = dvw.select(
+        F.col("k").alias("a_rep"), F.col("nm").alias("na"),
+        F.col("w").alias("wa"), "v",
+    )
+    b = dvw.select(
+        F.col("k").alias("b_rep"), F.col("nm").alias("nb"),
+        F.col("w").alias("wb"), F.col("v").alias("vb"),
     )
     cand = (
-        a.join(b, (F.col("v") == F.col("vb")) & (F.col("a_key") < F.col("b_key")))
-        .select("a_key", "b_key", "na", "nb")
+        a.join(b, (F.col("v") == F.col("vb")) & (F.col("a_rep") < F.col("b_rep")))
+        .select("a_rep", "b_rep", "na", "nb", "wa", "wb")
         .distinct()
     )
-    return cand.filter(F.expr("levenshtein(na, nb) <= 1")).select(
-        "a_key",
-        "b_key",
-        F.expr("levenshtein(na, nb)").cast("bigint").alias("edit_dist"),
+    cross = cand.filter(F.expr("levenshtein(na, nb) = 1")).select(
+        "a_rep",
+        "b_rep",
+        F.lit(1).cast("bigint").alias("edit_dist"),
+        F.expr("CAST(wa * wb AS BIGINT)").alias("n_pairs"),
     )
+    return ident.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

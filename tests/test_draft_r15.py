@@ -84,28 +84,41 @@ def test_gkt_tau_bounds(spark):
 
 
 def test_edit_distance_equals_quadratic_truth(spark, duck):
-    """FastSS candidates + exact verify must equal the quadratic
-    all-pairs levenshtein ground truth EXACTLY (recall 1.0 by
-    construction), computed independently in DuckDB with no blocking."""
+    """FastSS candidates + exact verify must cover the quadratic
+    all-pairs levenshtein ground truth EXACTLY: the summed pair
+    multiplicities (analytic distance-0 clusters + weighted
+    distinct-name pairs) equal the record-level all-pairs count with
+    ed <= 1, and the distinct-name ed-1 pair SET equals the
+    blocking-free rep-level truth."""
     from pedri_analysis_spark.plans import draft_r15 as d
 
-    got = sorted(
-        (r["a_key"], r["b_key"], r["edit_dist"])
-        for r in d.QUERIES["edit_distance_near_dups"](spark, SF_DIR).collect()
+    rows = d.QUERIES["edit_distance_near_dups"](spark, SF_DIR).collect()
+    got_pairs = sum(r["n_pairs"] for r in rows)
+    got_set = sorted(
+        (r["a_rep"], r["b_rep"]) for r in rows if r["edit_dist"] == 1
     )
-    truth = sorted(
+    truth_total = duck.execute(
+        """
+        SELECT count(*) FROM supplier a JOIN supplier b
+          ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """
+    ).fetchone()[0]
+    truth_set = sorted(
         tuple(r)
         for r in duck.execute(
             """
-        SELECT a.s_suppkey, b.s_suppkey,
-               levenshtein(a.s_name, b.s_name)::BIGINT
-        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        WITH clus AS (
+          SELECT s_name, min(s_suppkey) AS rep FROM supplier GROUP BY s_name
+        )
+        SELECT a.rep, b.rep FROM clus a JOIN clus b ON a.rep < b.rep
+        WHERE levenshtein(a.s_name, b.s_name) = 1
         """
         ).fetchall()
     )
-    assert got == truth
-    assert got, "degenerate: no edit-distance-1 pairs at the test SF"
+    assert got_pairs == truth_total
+    assert got_set == truth_set
+    assert rows, "degenerate: no edit-distance<=1 pairs at the test SF"
 
 
 def test_kmv_small_cardinality_exact_and_error_bounded(spark):
