@@ -787,3 +787,216 @@ def q_seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("dow", "n_days", "seasonal_x7", "abs_remainder_x7")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (MOSS) + shared-fingerprint pairs
+# ---------------------------------------------------------------------------
+
+WIN_K = 3  # word k-grams hashed
+WIN_W = 4  # winnowing window (guarantee: any >= w+k-1-gram match is caught)
+WIN_TOPK = 50
+
+
+def _winnow_selected(dialect: str) -> str:
+    """The rightmost-minimum winnowing selection as pure lag/lead CASE
+    logic (window w={WIN_W} unrolled): position p is selected iff some
+    full in-document window [j, j+w-1] has h_p as its RIGHTMOST minimum
+    — equivalently, with a = consecutive predecessors >= h and
+    b = consecutive successors > h (both truncated at w-1),
+    max(1, p-a, p-{WIN_W - 1}) <= min(p, n-{WIN_W - 1}, p-{WIN_W - 1}+b)."""
+    a = (
+        "(CASE WHEN l1 IS NULL OR l1 < h THEN 0 "
+        "WHEN l2 IS NULL OR l2 < h THEN 1 "
+        "WHEN l3 IS NULL OR l3 < h THEN 2 ELSE 3 END)"
+    )
+    b = (
+        "(CASE WHEN r1 IS NULL OR r1 <= h THEN 0 "
+        "WHEN r2 IS NULL OR r2 <= h THEN 1 "
+        "WHEN r3 IS NULL OR r3 <= h THEN 2 ELSE 3 END)"
+    )
+    g = "greatest(1, p - {a}, p - 3)".format(a=a)
+    l_ = "least(p, n - 3, p - 3 + {b})".format(b=b)
+    return f"({g} <= {l_})"
+
+
+def _pos_grams(dialect: str, toks: str) -> str:
+    """POSITIONAL word {WIN_K}-gram sequence (duplicates KEPT, order
+    preserved) — word_shingles() is a distinct SET (and DuckDB's
+    list_distinct reorders), which would destroy exactly what winnowing
+    is about."""
+    if dialect == tx.SPARK:
+        joined = " , ".join(f"{toks}[i + {j}]" for j in range(WIN_K))
+        return (
+            f"CASE WHEN size({toks}) >= {WIN_K} THEN "
+            f"transform(sequence(0, size({toks}) - {WIN_K}), "
+            f"i -> concat_ws(' ', {joined})) "
+            f"ELSE array() END"
+        )
+    joined = " || ' ' || ".join(f"{toks}[i + {j + 1}]" for j in range(WIN_K))
+    return (
+        f"CASE WHEN len({toks}) >= {WIN_K} THEN "
+        f"list_transform(generate_series(0, len({toks}) - {WIN_K}), "
+        f"i -> {joined}) ELSE [] END"
+    )
+
+
+def _winnow_fp_sql(dialect: str) -> str:
+    """(doc_id, fph) fingerprint relation CTE body for either dialect —
+    over DISTINCT texts (rep = min doc_id per exact text): exact
+    duplicates collapse before fingerprinting (the fellegi_sunter /
+    edit_distance two-layer rule; exact-dup detection is dedup_exact's
+    job upstream, and replica-heavy corpora would otherwise make the
+    pair stage quadratic — measured 215 s at sf1.0synth pre-collapse)."""
+    toks = tx.tokens(dialect, "text")
+    sh = _pos_grams(dialect, "toks")
+    if dialect == tx.DUCK:
+        grams = f"""
+    reps AS (
+      SELECT min(doc_id) AS doc_id, any_value(text) AS text
+      FROM documents GROUP BY md5(text)
+    ),
+    g AS (
+      SELECT doc_id, u.i AS p,
+             {tx.seeded_hash64(tx.DUCK, "gs[u.i]", "winnow")} AS h
+      FROM (SELECT doc_id, {sh} AS gs
+            FROM (SELECT doc_id, {toks} AS toks FROM reps)),
+           unnest(generate_series(1, len(gs))) AS u(i)
+    )"""
+    else:
+        grams = f"""
+    g AS (
+      SELECT doc_id, p + 1 AS p, {tx.seeded_hash64(tx.SPARK, "gv", "winnow")} AS h
+      FROM (
+        SELECT doc_id, posexplode(gs) AS (p, gv)
+        FROM (SELECT doc_id, {sh.replace("toks", toks)} AS gs FROM documents)
+      )
+    )"""
+    return f"""{grams},
+    lagged AS (
+      SELECT doc_id, p, h,
+             lag(h, 1) OVER w AS l1, lag(h, 2) OVER w AS l2,
+             lag(h, 3) OVER w AS l3,
+             lead(h, 1) OVER w AS r1, lead(h, 2) OVER w AS r2,
+             lead(h, 3) OVER w AS r3,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM g
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, h AS fph
+      FROM lagged WHERE {_winnow_selected(dialect)}
+    )"""
+
+
+def _winnow_oracle() -> str:
+    from pedri_analysis_spark.plans.dedup_queries import MAX_BUCKET
+
+    return f"""
+    WITH {_winnow_fp_sql(tx.DUCK)},
+    bn AS (SELECT fph, count(*)::BIGINT AS bucket_n FROM fp GROUP BY fph)
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+    FROM fp a
+    JOIN bn ON bn.fph = a.fph AND bn.bucket_n <= {MAX_BUCKET}
+    JOIN fp b ON b.fph = a.fph AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY n_shared DESC, a ASC, b ASC
+    LIMIT {WIN_TOPK}
+    """
+
+
+def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, fph) fingerprint frame — factored out so the
+    brute-force cross-validation test can pin the SELECTION itself, not
+    just the end-to-end pair counts."""
+    toks = tx.tokens(tx.SPARK, "text")
+    sh = _pos_grams(tx.SPARK, "toks")
+    reps = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy(F.expr("md5(text)").alias("th"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value(F.col("text")).alias("text"),
+        )
+        .select("doc_id", "text")
+    )
+    grams = (
+        reps.select("doc_id", F.expr(toks).alias("toks"))
+        .select("doc_id", F.expr(sh).alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("p0", "gv"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.expr(tx.seeded_hash64(tx.SPARK, "gv", "winnow")).alias("h"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    wall = W.partitionBy("doc_id")
+    lagged = grams.select(
+        "doc_id",
+        "p",
+        "h",
+        F.lag("h", 1).over(w).alias("l1"),
+        F.lag("h", 2).over(w).alias("l2"),
+        F.lag("h", 3).over(w).alias("l3"),
+        F.lead("h", 1).over(w).alias("r1"),
+        F.lead("h", 2).over(w).alias("r2"),
+        F.lead("h", 3).over(w).alias("r3"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        lagged.filter(F.expr(_winnow_selected(tx.SPARK)))
+        .select("doc_id", F.col("h").alias("fph"))
+        .distinct()
+    )
+
+
+@_register("winnowing_fingerprints", _winnow_oracle())
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every word
+    {WIN_K}-gram, slide a window of {WIN_W} consecutive hashes, keep
+    each window's RIGHTMOST minimum — the fingerprint set whose
+    guarantee is that any shared run of >= {WIN_W + WIN_K - 1} tokens
+    between two documents shares at least one fingerprint.  Reported:
+    the top-{WIN_TOPK} document pairs by shared-fingerprint count, the
+    MOSS originality report.
+
+    The rightmost-minimum selection is expressed RELATIONALLY (no
+    per-document Python): with a = consecutive predecessors >= h and
+    b = consecutive successors > h (lag/lead unrolled for w={WIN_W}),
+    position p is selected iff a full in-document window exists with
+    p as rightmost min — max(1, p-a, p-3) <= min(p, n-3, p-3+b),
+    pinned against a brute-force Python winnower in
+    tests/test_draft_r15.py.
+
+    Determinism: seeded 60-bit gram hashes; ties between EQUAL hashes
+    (repeated grams) resolve by the rightmost rule itself, which is
+    position-based and total.
+
+    Scale: fingerprints run over DISTINCT texts (rep = min doc_id per
+    exact text — the fellegi_sunter/edit_distance two-layer rule;
+    measured 215 s -> ~2 s at sf1.0synth, where every doc has 10 exact
+    replicas); grams and the lag frame are one narrow per-document
+    window pass (document-sized partitions); the pair stage joins
+    fingerprint postings under the shared minhash drop cap
+    (dedup_queries.MAX_BUCKET — over-common fingerprints are stop-gram
+    noise by construction); TakeOrdered({WIN_TOPK}) caps the report.
+    Expected fingerprint density is 2/(w+1) of grams for distinct
+    hashes (Schleimer Thm 2) — higher here only where synthetic docs
+    repeat grams."""
+    from pedri_analysis_spark.plans.dedup_queries import MAX_BUCKET
+
+    fp = _winnow_fp_frame(spark, sf_dir).persist()
+    fp.count()  # feeds the bucket rollup and both join legs
+    bn = fp.groupBy("fph").agg(F.count(F.lit(1)).cast("bigint").alias("bucket_n"))
+    a = fp.select(F.col("doc_id").alias("a"), "fph")
+    b = fp.select(F.col("doc_id").alias("b"), F.col("fph").alias("fpb"))
+    return (
+        a.join(bn.filter(F.col("bucket_n") <= MAX_BUCKET), "fph")
+        .join(b, (F.col("fpb") == F.col("fph")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("a"), F.asc("b"))
+        .limit(WIN_TOPK)
+    )

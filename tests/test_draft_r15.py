@@ -188,3 +188,52 @@ def test_seasonal_decomposition_identities(spark):
     for r in rows:
         assert r["abs_remainder_x7"] >= 0
         assert r["n_days"] >= 1
+
+
+def test_winnowing_matches_bruteforce(spark, duck):
+    """The relational rightmost-minimum selection must equal a direct
+    Python implementation of Schleimer et al.'s winnowing on a sample
+    of documents: hash sequence -> for each full window of WIN_W
+    hashes, keep the rightmost minimum -> distinct (doc, hash)."""
+    import hashlib
+
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    sample_ids = [0, 1, 7, 42, 99]
+    docs = dict(
+        duck.execute(
+            f"SELECT doc_id, text FROM documents "
+            f"WHERE doc_id IN ({','.join(map(str, sample_ids))})"
+        ).fetchall()
+    )
+
+    def seeded_hash(s: str) -> int:
+        # seeded_hash64: first 15 hex chars of md5('winnow:' || s)
+        return int(hashlib.md5(f"winnow:{s}".encode()).hexdigest()[:15], 16)
+
+    def brute(text: str) -> set:
+        toks = [t for t in text.lower().strip().split() if t]
+        grams = [
+            " ".join(toks[i : i + d.WIN_K])
+            for i in range(len(toks) - d.WIN_K + 1)
+        ]
+        hs = [seeded_hash(g) for g in grams]
+        out = set()
+        for j in range(len(hs) - d.WIN_W + 1):
+            win = hs[j : j + d.WIN_W]
+            m = min(win)
+            # rightmost minimum
+            p = max(q for q in range(d.WIN_W) if win[q] == m)
+            out.add(hs[j + p])
+        return out
+
+    got = {}
+    for r in (
+        d._winnow_fp_frame(spark, SF_DIR)
+        .filter(f"doc_id IN ({','.join(map(str, sample_ids))})")
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], set()).add(r["fph"])
+    for did in sample_ids:
+        expected = brute(docs[did])
+        assert got.get(did, set()) == expected, f"doc {did}"
