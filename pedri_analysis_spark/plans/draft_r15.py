@@ -952,7 +952,9 @@ def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register("winnowing_fingerprints", _winnow_oracle())
-def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int | None = None
+) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local fingerprinting algorithm): hash every word
     {WIN_K}-gram, slide a window of {WIN_W} consecutive hashes, keep
@@ -987,13 +989,15 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat grams."""
     from pedri_analysis_spark.plans.dedup_queries import MAX_BUCKET
 
+    if max_bucket is None:  # explicit for tools/chunk_recall (ADVICE r11)
+        max_bucket = MAX_BUCKET
     fp = _winnow_fp_frame(spark, sf_dir).persist()
     fp.count()  # feeds the bucket rollup and both join legs
     bn = fp.groupBy("fph").agg(F.count(F.lit(1)).cast("bigint").alias("bucket_n"))
     a = fp.select(F.col("doc_id").alias("a"), "fph")
     b = fp.select(F.col("doc_id").alias("b"), F.col("fph").alias("fpb"))
     return (
-        a.join(bn.filter(F.col("bucket_n") <= MAX_BUCKET), "fph")
+        a.join(bn.filter(F.col("bucket_n") <= max_bucket), "fph")
         .join(b, (F.col("fpb") == F.col("fph")) & (F.col("a") < F.col("b")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))

@@ -237,3 +237,41 @@ def test_winnowing_matches_bruteforce(spark, duck):
     for did in sample_ids:
         expected = brute(docs[did])
         assert got.get(did, set()) == expected, f"doc {did}"
+
+
+def test_kmv_crossval_against_spark_hll(spark):
+    """Cross-validation against a REAL Spark mechanism (the zone-map /
+    watermark discipline): Spark's own approx_count_distinct (HLL++,
+    default rsd 0.05) must land within a combined band of our KMV
+    estimate on the same columns — two independent sketch families
+    agreeing pins that KMV's hash domain and k-th-minimum math measure
+    the quantity they claim."""
+    from pyspark.sql import functions as F
+
+    from pedri_analysis_spark.functions import textexpr as tx
+    from pedri_analysis_spark.plans import draft_r15 as d
+    from pedri_analysis_spark.sources.tables import load_table
+
+    kmv = {
+        r["col_name"]: r
+        for r in d.QUERIES["kmv_distinct_estimate"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    events = load_table(spark, "events", SF_DIR)
+    orders = load_table(spark, "orders", SF_DIR)
+    hll = {
+        "doc_tokens": docs.select(
+            F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("v")
+        )
+        .agg(F.approx_count_distinct("v"))
+        .collect()[0][0],
+        "event_users": events.agg(F.approx_count_distinct("user_id")).collect()[0][0],
+        "order_customers": orders.agg(
+            F.approx_count_distinct("o_custkey")
+        ).collect()[0][0],
+    }
+    for name, r in kmv.items():
+        # both sketches within a generous combined band of each other:
+        # KMV ~ 25% worst-case pinned above, HLL++ rsd 5% -> 35% total
+        lo, hi = 0.65 * r["kmv_estimate"], 1.35 * r["kmv_estimate"]
+        assert lo <= hll[name] <= hi, (name, r["kmv_estimate"], hll[name])

@@ -126,6 +126,18 @@ APPROX_PAST_CAP: dict[str, str] = {
         "2-agreement possible class, whose recall-preserving path is "
         "adding field-pair passes"
     ),
+    "winnowing_fingerprints": (
+        "r15 draft, pre-staged: fingerprints run over DISTINCT texts "
+        "(two-layer rule), so posting lists stay small and the shared "
+        "minhash drop cap (MAX_BUCKET=64) does NOT engage at any "
+        "measured scale (sf1.0synth: shipped == uncapped, top-50 "
+        "shared-mass identical); forcing cap 8 retains 0.574 of the "
+        "top-50 shared-fingerprint mass (1137/1982) — dropped buckets "
+        "are the most-shared fingerprints by construction, so the cap "
+        "degrades the REPORT toward rarer overlaps; the "
+        "recall-preserving alternative is raising the cap (postings "
+        "are distinct-text-bounded) or the exact prefix-filter join"
+    ),
     "semantic_dedup_prune": (
         "exact for nch==1 (every real SF); past the cap the prune set "
         "is computed per residue cell — MEASURED prune-set recall "
