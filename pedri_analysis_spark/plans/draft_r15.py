@@ -466,25 +466,18 @@ def _kmv_leg(dialect: str, col_label: str, value_sql: str) -> str:
       )"""
 
 
+# audited column -> its DuckDB value relation (the Spark side builds the
+# equivalent frames inline in the query function)
 _KMV_VALUES = {
-    "doc_tokens": (
-        "SELECT unnest({toks}) AS v FROM documents",
-        "SELECT explode({toks}) AS v FROM {{documents}}",
-    ),
-    "event_users": (
-        "SELECT user_id AS v FROM events",
-        "SELECT user_id AS v FROM {{events}}",
-    ),
-    "order_customers": (
-        "SELECT o_custkey AS v FROM orders",
-        "SELECT o_custkey AS v FROM {{orders}}",
-    ),
+    "doc_tokens": "SELECT unnest({toks}) AS v FROM documents",
+    "event_users": "SELECT user_id AS v FROM events",
+    "order_customers": "SELECT o_custkey AS v FROM orders",
 }
 
 
 def _kmv_oracle() -> str:
     legs = []
-    for label, (duck_sql, _) in _KMV_VALUES.items():
+    for label, duck_sql in _KMV_VALUES.items():
         legs.append(
             _kmv_leg(
                 tx.DUCK, label, duck_sql.format(toks=tx.tokens(tx.DUCK, "text"))
@@ -523,7 +516,7 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale KMV sketches MERGE by unioning hash sets and
     re-taking the k minimum (re-aggregatable like the HLL rollup)."""
     legs = []
-    for label, (_, spark_tpl) in _KMV_VALUES.items():
+    for label in _KMV_VALUES:
         table = {
             "doc_tokens": "documents",
             "event_users": "events",
