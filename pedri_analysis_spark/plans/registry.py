@@ -218,8 +218,9 @@ _CLOSURE_EXCLUDE = {
     f"{_REPO_PKG}.sources.tables",
     f"{_REPO_PKG}.session",
     f"{_REPO_PKG}.plans.registry",
-    f"{_REPO_PKG}.plans.relational",  # QueryFn alias import only; its
-    # QUERY functions hash their own closures
+    # plans.relational is NOT excluded: it exports semantics-bearing
+    # shared helpers (events_us, money, factor, dsum) whose edits must
+    # re-tier every caller — the exact gap this mechanism closes.
 }
 
 
