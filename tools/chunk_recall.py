@@ -333,6 +333,43 @@ def containment_recall(synth_dir: str, forced_cap: int = 16) -> dict:
     }
 
 
+
+
+def winnowing_capmass(synth_dir: str, forced_cap: int = 8) -> dict:
+    """Shipped- and forced-cap retention of winnowing_fingerprints'
+    top-k shared-fingerprint MASS (draft_r15).  The drop cap removes
+    over-full fingerprint postings entirely, and dropped buckets are by
+    construction the MOST-shared fingerprints, so the cap degrades the
+    MOSS report toward rarer overlaps — the retained fraction of the
+    uncapped top-k shared mass is the honest quality number (a straight
+    pair-set recall would be ill-defined on a top-k report)."""
+    from pedri_analysis_spark.plans import dedup_queries as dq
+    from pedri_analysis_spark.plans import draft_r15 as d15
+    from pedri_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-recall-winnow")
+
+    def mass(cap: int) -> int:
+        rows = d15.q_winnowing_fingerprints(
+            spark, synth_dir, max_bucket=cap
+        ).collect()
+        return sum(r["n_shared"] for r in rows)
+
+    exact = mass(1 << 40)
+    shipped = mass(dq.MAX_BUCKET)
+    forced = mass(forced_cap)
+    return {
+        "family": "winnowing_fingerprints",
+        "cap": dq.MAX_BUCKET,
+        "topk_mass_exact": int(exact),
+        "topk_mass_shipped_cap": int(shipped),
+        "shipped_cap_engages": shipped != exact,
+        "forced_cap": forced_cap,
+        "topk_mass_forced_cap": int(forced),
+        "forced_cap_mass_retention": round(forced / exact, 4) if exact else None,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -362,6 +399,12 @@ def main() -> int:
         action="store_true",
         help="also measure fellegi_sunter_parts' capped-vs-exact pair "
         "and match recall (starts a Spark session)",
+    )
+    p.add_argument(
+        "--winnow",
+        action="store_true",
+        help="also measure winnowing_fingerprints' shipped/forced-cap "
+        "top-k shared-mass retention (starts a Spark session)",
     )
     p.add_argument(
         "--containment",
@@ -447,6 +490,8 @@ def main() -> int:
         results.append(fellegi_sunter_recall(a.synth_dir))
     if a.containment:
         results.append(containment_recall(a.synth_dir))
+    if a.winnow:
+        results.append(winnowing_capmass(a.synth_dir))
 
     for r in results:
         print(json.dumps(r))
