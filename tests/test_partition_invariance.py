@@ -39,6 +39,9 @@ SAMPLE = [
     ("autocorr_daily_revenue", "draft_r14"),  # ordered day windows + lag joins
     ("mmr_diverse_topk", "draft_r14"),  # iterative double argmax (greatest chain)
     ("prefix_filter_jaccard_dups", "draft_r14"),  # rank-prefix blocking windows
+    # r15 staged drafts with merge-order-sensitive shapes
+    ("winnowing_fingerprints", "draft_r15"),  # lag/lead selection windows
+    ("edit_distance_near_dups", "draft_r15"),  # groupBy-min representatives
 ]
 
 
