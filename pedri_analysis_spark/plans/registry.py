@@ -138,6 +138,7 @@ def _modules():
         "pedri_profile_queries",
         "draft_r11",
         "draft_r12",
+        "draft_r13",
     ):
         try:
             mods.append(
@@ -426,11 +427,10 @@ def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
 
 # One-round hand-forced driver re-proofs (VERDICT r11 ask #5): the three
 # similarity queries whose MODULES were rewritten around them in r10/r11.
-# The new closure hashes prove their transitive helper closures are
-# byte-identical to the r08/r09 trees their green proofs came from (the
-# rewrites touched sibling functions only), but the verdict asked for a
-# fresh driver row regardless.  Clear this set once CORRECTNESS_r12 lands.
-_FORCE_REPROVE = {"cosine_topk_bruteforce", "ivf_topk", "sq_recall_at_k"}
+# Hand-forced re-proof slots.  CORRECTNESS_r12 delivered fresh green rows
+# for the three similarity re-proofs the r11 verdict demanded, so the set
+# is empty again; repopulate only when a verdict asks for a forced row.
+_FORCE_REPROVE: set[str] = set()
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

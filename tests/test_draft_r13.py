@@ -17,14 +17,15 @@ def _pairs():
     return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
 
 
-def test_drafts_are_not_registered():
+def test_drafts_are_registered():
+    """Flipped at r13 registration: the wave is now IN the registry
+    (one line in registry._modules), fully oracle-paired."""
     from pedri_analysis_spark.plans import draft_r13 as d
     from pedri_analysis_spark.plans import registry
 
     registered = set(registry.all_queries())
-    assert not (set(d.QUERIES) & registered), (
-        "r13 draft queries leaked into the registry early — they must not "
-        "displace the r12-draft first-contact / stale-drain window slots"
+    assert set(d.QUERIES) <= registered, (
+        "r13 wave missing from the registry after its registration round"
     )
     assert set(d.ORACLE_SQL) == set(d.QUERIES)
 
