@@ -856,9 +856,14 @@ def _ari_oracle() -> str:
       FROM pieces
     )
     SELECT idx AS sum_c2_cells, pa AS sum_c2_clusters, pb AS sum_c2_labels, t AS n_pairs,
-           (CASE WHEN idx >= e_floor THEN 1 ELSE -1 END
-            * {tx.floor_scaled_div(tx.DUCK, "abs(idx - e_floor)", "(pa + pb) // 2 - e_floor", 1_000_000)}
-           )::BIGINT AS ari_micro
+           -- max == E only when both partitions are trivial (everything in
+           -- one cluster AND one label) => perfect agreement, ARI := 1; the
+           -- unguarded division would ERROR here in DuckDB but return NULL
+           -- in Spark, so the engines must branch BEFORE dividing
+           (CASE WHEN (pa + pb) // 2 - e_floor <= 0 THEN 1000000
+            ELSE (CASE WHEN idx >= e_floor THEN 1 ELSE -1 END
+            * {tx.floor_scaled_div(tx.DUCK, "abs(idx - e_floor)", "(pa + pb) // 2 - e_floor", 1_000_000)})
+           END)::BIGINT AS ari_micro
     FROM norm
     """
 
@@ -928,9 +933,12 @@ def q_ari_clusters_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pb").alias("sum_c2_labels"),
         F.col("t").alias("n_pairs"),
         F.expr(
-            f"CAST((CASE WHEN idx >= e_floor THEN 1 ELSE -1 END) * "
+            # mirror of the oracle's degenerate-partition guard: ARI := 1
+            # when max == E (trivial partitions), never divide by zero
+            f"CAST(CASE WHEN (pa + pb) div 2 - e_floor <= 0 THEN 1000000 "
+            f"ELSE (CASE WHEN idx >= e_floor THEN 1 ELSE -1 END) * "
             f"{tx.floor_scaled_div(tx.SPARK, 'abs(idx - e_floor)', '(pa + pb) div 2 - e_floor', 1_000_000)}"
-            f" AS BIGINT)"
+            f" END AS BIGINT)"
         ).alias("ari_micro"),
     )
 

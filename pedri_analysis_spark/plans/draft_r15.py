@@ -210,8 +210,12 @@ def _gkt_oracle() -> str:
       SELECT n, cond_q, {marg} AS marg_q FROM condq, colm
     )
     SELECT n, cond_q, marg_q,
-           {fsd(tx.DUCK, "greatest(cond_q - marg_q, 0)", f"n * {GKT_SCALE} - marg_q", 1_000_000)}::BIGINT
-             AS tau_micro
+           -- marg_q = n*SCALE means zero marginal Gini error (all mass in
+           -- one column): tau := 0, and the guard must branch BEFORE the
+           -- division (DuckDB errors on /0 where Spark returns NULL)
+           (CASE WHEN n * {GKT_SCALE} - marg_q <= 0 THEN 0
+            ELSE {fsd(tx.DUCK, "greatest(cond_q - marg_q, 0)", f"n * {GKT_SCALE} - marg_q", 1_000_000)}
+            END)::BIGINT AS tau_micro
     FROM pieces
     """
 
@@ -278,12 +282,15 @@ def q_goodman_kruskal_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_q",
             "marg_q",
             F.expr(
-                tx.floor_scaled_div(
+                # mirror of the oracle's zero-marginal-error guard
+                f"CASE WHEN n * {GKT_SCALE} - marg_q <= 0 THEN 0 ELSE "
+                + tx.floor_scaled_div(
                     tx.SPARK,
                     "greatest(cond_q - marg_q, 0)",
                     f"n * {GKT_SCALE} - marg_q",
                     1_000_000,
                 )
+                + " END"
             )
             .cast("bigint")
             .alias("tau_micro"),
@@ -841,10 +848,14 @@ def _winnow_fp_sql(dialect: str) -> str:
     edit_distance two-layer rule; exact-dup detection is dedup_exact's
     job upstream, and replica-heavy corpora would otherwise make the
     pair stage quadratic — measured 215 s at sf1.0synth pre-collapse)."""
+    # DuckDB-only: the Spark side goes through _winnow_fp_frame (which
+    # applies the same reps collapse).  A Spark-dialect branch used to
+    # live here but was dead AND missing the collapse — divergent dead
+    # code is worse than no code (r12 advice), so it's gone.
+    assert dialect == tx.DUCK, "Spark side uses _winnow_fp_frame"
     toks = tx.tokens(dialect, "text")
     sh = _pos_grams(dialect, "toks")
-    if dialect == tx.DUCK:
-        grams = f"""
+    grams = f"""
     reps AS (
       SELECT min(doc_id) AS doc_id, any_value(text) AS text
       FROM documents GROUP BY md5(text)
@@ -855,15 +866,6 @@ def _winnow_fp_sql(dialect: str) -> str:
       FROM (SELECT doc_id, {sh} AS gs
             FROM (SELECT doc_id, {toks} AS toks FROM reps)),
            unnest(generate_series(1, len(gs))) AS u(i)
-    )"""
-    else:
-        grams = f"""
-    g AS (
-      SELECT doc_id, p + 1 AS p, {tx.seeded_hash64(tx.SPARK, "gv", "winnow")} AS h
-      FROM (
-        SELECT doc_id, posexplode(gs) AS (p, gv)
-        FROM (SELECT doc_id, {sh.replace("toks", toks)} AS gs FROM documents)
-      )
     )"""
     return f"""{grams},
     lagged AS (

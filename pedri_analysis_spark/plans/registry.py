@@ -234,26 +234,17 @@ def _node_source(module_text: str, node: ast.stmt) -> str:
     return "\n".join(lines[start - 1 : node.end_lineno])
 
 
-def _module_maps(module_text: str, module_name: str):
-    """(defs, from_imports, mod_aliases) for one module's top level.
-    defs: name -> stmt node; from_imports: local name -> absolute
-    source module + original name; mod_aliases: alias -> module."""
-    tree = ast.parse(module_text)
-    defs: dict[str, ast.stmt] = {}
-    from_imports: dict[str, tuple[str, str]] = {}
-    mod_aliases: dict[str, str] = {}
+def _collect_imports(
+    stmts,
+    module_name: str,
+    from_imports: dict[str, tuple[str, str]],
+    mod_aliases: dict[str, str],
+) -> None:
+    """Fold Import/ImportFrom statements into the two lookup maps.
+    Relative levels resolve against ``module_name``'s package."""
     pkg_parts = module_name.split(".")
-    for n in tree.body:
-        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            defs[n.name] = n
-        elif isinstance(n, ast.Assign):
-            for t in n.targets:
-                for sub in ast.walk(t):
-                    if isinstance(sub, ast.Name):
-                        defs[sub.id] = n
-        elif isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name):
-            defs[n.target.id] = n
-        elif isinstance(n, ast.Import):
+    for n in stmts:
+        if isinstance(n, ast.Import):
             for al in n.names:
                 mod_aliases[al.asname or al.name.split(".")[0]] = al.name
         elif isinstance(n, ast.ImportFrom):
@@ -264,7 +255,45 @@ def _module_maps(module_text: str, module_name: str):
                 src_mod = n.module or ""
             for al in n.names:
                 from_imports[al.asname or al.name] = (src_mod, al.name)
+
+
+def _module_maps(module_text: str, module_name: str):
+    """(defs, from_imports, mod_aliases) for one module's top level.
+    defs: name -> stmt node; from_imports: local name -> absolute
+    source module + original name; mod_aliases: alias -> module."""
+    tree = ast.parse(module_text)
+    defs: dict[str, ast.stmt] = {}
+    from_imports: dict[str, tuple[str, str]] = {}
+    mod_aliases: dict[str, str] = {}
+    for n in tree.body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[n.name] = n
+        elif isinstance(n, ast.Assign):
+            for t in n.targets:
+                for sub in ast.walk(t):
+                    if isinstance(sub, ast.Name):
+                        defs[sub.id] = n
+        elif isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name):
+            defs[n.target.id] = n
+    _collect_imports(tree.body, module_name, from_imports, mod_aliases)
     return defs, from_imports, mod_aliases
+
+
+def _local_imports(node: ast.stmt, module_name: str):
+    """Imports written INSIDE a def's body (the dominant style in the
+    draft modules: ``from .retrieval_queries import _tf`` at function
+    scope).  Without these the closure hash silently misses the helper
+    (r12 advice: editing draft_r13._perm_diff left its caller's hash
+    unchanged, defeating the re-tier-on-helper-edit guarantee)."""
+    from_imports: dict[str, tuple[str, str]] = {}
+    mod_aliases: dict[str, str] = {}
+    _collect_imports(
+        [s for s in ast.walk(node) if isinstance(s, (ast.Import, ast.ImportFrom))],
+        module_name,
+        from_imports,
+        mod_aliases,
+    )
+    return from_imports, mod_aliases
 
 
 def _referenced(node: ast.stmt):
@@ -318,6 +347,12 @@ def closure_fn_hash(
         if node is None:
             continue
         pieces[(mod, name)] = _node_source(text, node)
+        # references resolve through the def's own body-level imports
+        # first (they shadow module scope inside the function), then the
+        # module's top-level imports
+        n_fimps, n_malias = _local_imports(node, mod)
+        fimps = {**fimps, **n_fimps}
+        maliases = {**maliases, **n_malias}
         for base, attr in _referenced(node):
             if base in defs:
                 stack.append((mod, base))
@@ -346,12 +381,17 @@ def _disk_text_getter() -> Callable[[str], str | None]:
 
     def get_text(mod: str) -> str | None:
         if mod not in cache:
-            path = os.path.join(_REPO_ROOT, mod.replace(".", "/") + ".py")
-            try:
-                with open(path, encoding="utf-8") as f:
-                    cache[mod] = f.read()
-            except OSError:
-                cache[mod] = None
+            base = os.path.join(_REPO_ROOT, mod.replace(".", "/"))
+            cache[mod] = None
+            # package modules are backed by __init__.py (e.g.
+            # pedri_analysis_spark.operators defines spread() there)
+            for path in (base + ".py", os.path.join(base, "__init__.py")):
+                try:
+                    with open(path, encoding="utf-8") as f:
+                        cache[mod] = f.read()
+                    break
+                except OSError:
+                    continue
         return cache[mod]
 
     return get_text

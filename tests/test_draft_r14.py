@@ -272,3 +272,42 @@ def test_prefix_filter_equals_quadratic_truth(spark, duck):
     truth = sorted(tuple(r) for r in duck.execute(truth_sql).fetchall())
     assert got == truth
     assert got, "degenerate: no near-dup pairs at the test SF"
+
+
+def test_ari_degenerate_partitions_guarded(spark, duck, tmp_path):
+    """Perfectly-concentrated data (one cluster AND one label) makes the
+    ARI denominator max-E exactly 0; unguarded, DuckDB raises a
+    division-by-zero where Spark returns NULL — the engines must instead
+    BOTH take the guard branch and report ari_micro = 1000000 (the
+    trivial-partitions-agree convention).  r12 advice regression pin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.plans import draft_r14 as d
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    n = t.num_rows
+    first_emb = t.column("embedding")[0].as_py()
+    deg = pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "embedding": pa.array([first_emb] * n, type=t.schema.field("embedding").type),
+            "label": pa.array([0] * n, type=t.schema.field("label").type),
+        }
+    )
+    pq.write_table(deg, str(tmp_path / "embeddings.parquet"))
+
+    sdf = d.QUERIES["ari_clusters_vs_labels"](spark, str(tmp_path))
+    srow = sdf.collect()[0].asDict()
+    assert srow["ari_micro"] == 1_000_000, srow
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    drow = con.sql(d.ORACLE_SQL["ari_clusters_vs_labels"]).fetchall()[0]
+    dcols = list(con.sql(d.ORACLE_SQL["ari_clusters_vs_labels"]).columns)
+    con.close()
+    assert dict(zip(dcols, drow))["ari_micro"] == 1_000_000

@@ -275,3 +275,46 @@ def test_kmv_crossval_against_spark_hll(spark):
         # KMV ~ 25% worst-case pinned above, HLL++ rsd 5% -> 35% total
         lo, hi = 0.65 * r["kmv_estimate"], 1.35 * r["kmv_estimate"]
         assert lo <= hll[name] <= hi, (name, r["kmv_estimate"], hll[name])
+
+
+def test_gkt_degenerate_single_column_guarded(spark, duck, tmp_path):
+    """All events on ONE day-of-week drives the marginal Gini error (the
+    tau denominator n*SCALE - marg_q) to exactly 0; unguarded, DuckDB
+    errors while Spark NULLs.  Both engines must take the guard branch
+    and report tau_micro = 0 (no error left to reduce).  r12 advice
+    regression pin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.plans import draft_r15 as d
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = t.num_rows
+    first_ts = t.column("ts")[0].as_py()
+    deg = pa.table(
+        {
+            "event_id": t.column("event_id"),
+            "ts": pa.array([first_ts] * n, type=t.schema.field("ts").type),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "props": t.column("props"),
+        }
+    )
+    pq.write_table(deg, str(tmp_path / "events.parquet"))
+
+    sdf = d.QUERIES["goodman_kruskal_tau"](spark, str(tmp_path))
+    srow = sdf.collect()[0].asDict()
+    assert srow["marg_q"] == srow["n"] * d.GKT_SCALE, srow
+    assert srow["tau_micro"] == 0, srow
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    res = con.sql(d.ORACLE_SQL["goodman_kruskal_tau"])
+    drow = dict(zip(list(res.columns), res.fetchall()[0]))
+    con.close()
+    assert drow["tau_micro"] == 0 and drow["marg_q"] == drow["n"] * d.GKT_SCALE

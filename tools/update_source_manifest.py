@@ -120,7 +120,11 @@ def bootstrap() -> dict[str, dict]:
 
             def get_text(mod: str, _c=commit, _cache=cache):
                 if mod not in _cache:
-                    _cache[mod] = _git_show(_c, mod.replace(".", "/") + ".py")
+                    rel = mod.replace(".", "/")
+                    # package modules live in __init__.py (operators.spread)
+                    _cache[mod] = _git_show(_c, rel + ".py") or _git_show(
+                        _c, rel + "/__init__.py"
+                    )
                 return _cache[mod]
 
             getters[commit] = get_text
