@@ -29,6 +29,11 @@ SAMPLE = [
     ("bootstrap_ci_avg_order", "draft_r11"),  # digest-slice replicates
     ("embedding_dim_health", "draft_r13"),  # rounded-square DECIMAL sums
     ("hits_hubs_authorities", "draft_r13"),  # integer max-normalized graph
+    # r13 registrations with merge-order-sensitive rank/float reducers
+    # (VERDICT r12 ask #6)
+    ("spearman_corr_suppliers", None),  # avg-rank ties over hash splits
+    ("kendall_tau_daily", None),  # concordant-pair signs over self-join
+    ("ks_drift_doclen", None),  # running-max of CDF gaps via windows
     # r12 registrations with merge-order-sensitive exact reducers
     # (VERDICT r11 ask #6)
     ("power_iteration_top_pc", None),  # 6-dp quantized covariance sums
