@@ -459,3 +459,386 @@ def q_tv_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tv_micro").desc(), F.col("source").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV-sketch Jaccard between two sources' vocabularies, audited exact
+# ---------------------------------------------------------------------------
+
+KMVJ_K = 256
+KMVJ_SRC_A = "src0"
+KMVJ_SRC_B = "src1"
+
+
+def _kmvj_sql(dialect: str) -> str:
+    toks = tx.tokens(dialect, "text")
+    unnest = (
+        f"SELECT source, unnest({toks}) AS tok FROM documents"
+        if dialect == tx.DUCK
+        else f"SELECT source, explode({toks}) AS tok FROM documents"
+    )
+    h = tx.seeded_hash64(dialect, "tok", "kmvj")
+    fsd = tx.floor_scaled_div
+    return f"""
+    WITH tok AS ({unnest}),
+    th AS (
+      SELECT {h} AS h,
+             max(CASE WHEN source = '{KMVJ_SRC_A}' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN source = '{KMVJ_SRC_B}' THEN 1 ELSE 0 END) AS in_b
+      FROM tok
+      WHERE source IN ('{KMVJ_SRC_A}', '{KMVJ_SRC_B}')
+      GROUP BY {h}
+    ),
+    topk AS (SELECT in_a, in_b FROM th ORDER BY h ASC LIMIT {KMVJ_K}),
+    sk AS (
+      SELECT count(*) AS k_used,
+             sum(in_a * in_b) AS both_in_k
+      FROM topk
+    ),
+    ex AS (
+      SELECT count(*) AS union_n,
+             sum(in_a * in_b) AS inter_n,
+             sum(in_a) AS n_a, sum(in_b) AS n_b
+      FROM th
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(union_n AS BIGINT) AS union_n,
+           CAST(inter_n AS BIGINT) AS inter_n,
+           CAST(k_used AS BIGINT) AS k_used,
+           CAST({fsd(dialect, "inter_n", "union_n", 1_000_000)} AS BIGINT)
+             AS j_exact_ppm,
+           CAST({fsd(dialect, "both_in_k", "k_used", 1_000_000)} AS BIGINT)
+             AS j_kmv_ppm
+    FROM sk CROSS JOIN ex
+    """
+
+
+@_register("kmv_jaccard_sources", _kmvj_sql(tx.DUCK))
+def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of two sources' vocabularies estimated from a
+    k-minimum-values sketch (Bar-Yossef et al. 2002; the union /
+    intersection composition per Beyer et al. 2007) and AUDITED against
+    the exact Jaccard in the same row — the r15 KMV sketch generalized
+    from distinct counting to the set-operation algebra a dedup
+    pipeline actually needs ("how much does crawl B overlap crawl A"
+    without materializing either vocabulary).
+
+    The estimator is exact-by-construction on sketch membership: an
+    element of the union's k minima that belongs to set A is
+    necessarily among A's own k minima (A ⊆ A∪B preserves hash order),
+    so the indicator in_a·in_b over the union sketch IS the
+    intersection indicator — j_est = |union_k ∩ A ∩ B| / k.
+
+    Determinism: seeded_hash64 totally orders the hash domain
+    identically in both engines; the k minima come from ORDER BY h
+    LIMIT k (TakeOrderedAndProject in Spark — never a global sort);
+    small vocabularies degrade gracefully (k_used = |union| < k makes
+    the estimate exact).  Like the r15 KMV, the ESTIMATE ITSELF
+    hash-matches the oracle — a sketch the gate verifies, not bounds.
+
+    Scale: one (source-filtered) token explode + groupBy on the hash;
+    the sketch is k-bounded, the exact audit is one aggregate over the
+    distinct-hash frame.  Sketches MERGE by re-taking k minima of
+    unioned sketches (re-aggregatable)."""
+    toks = tx.tokens(tx.SPARK, "text")
+    h = tx.seeded_hash64(tx.SPARK, "tok", "kmvj")
+    d = load_table(spark, "documents", sf_dir)
+    th = (
+        d.filter(F.col("source").isin(KMVJ_SRC_A, KMVJ_SRC_B))
+        .select("source", F.explode(F.expr(toks)).alias("tok"))
+        .select(F.expr(h).alias("h"), "source")
+        .groupBy("h")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN source = '{KMVJ_SRC_A}' THEN 1 ELSE 0 END")
+            ).alias("in_a"),
+            F.max(
+                F.expr(f"CASE WHEN source = '{KMVJ_SRC_B}' THEN 1 ELSE 0 END")
+            ).alias("in_b"),
+        )
+    )
+    topk = th.orderBy(F.asc("h")).limit(KMVJ_K)
+    sk = topk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.expr("in_a * in_b")).alias("both_in_k"),
+    )
+    ex = th.agg(
+        F.count(F.lit(1)).alias("union_n"),
+        F.sum(F.expr("in_a * in_b")).alias("inter_n"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+    )
+    fsd = tx.floor_scaled_div
+    return sk.crossJoin(F.broadcast(ex)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("union_n").cast("bigint").alias("union_n"),
+        F.col("inter_n").cast("bigint").alias("inter_n"),
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.expr(fsd(tx.SPARK, "inter_n", "union_n", 1_000_000))
+        .cast("bigint")
+        .alias("j_exact_ppm"),
+        F.expr(fsd(tx.SPARK, "both_in_k", "k_used", 1_000_000))
+        .cast("bigint")
+        .alias("j_kmv_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier report over daily revenue
+# ---------------------------------------------------------------------------
+
+MAD_SCALE_MICRO = 1_482_600  # 1.4826 (normal-consistency constant), micro
+MAD_TOPK = 10
+
+
+def _mad_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    z = (
+        f"({h('dev')} * 1000000 * 1000000) "
+        f"{d} ({h(str(MAD_SCALE_MICRO))} * {h('mad')})"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST({cents} AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    med AS (
+      SELECT cents AS med_cents FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) {d} 2
+    ),
+    devs AS (
+      SELECT day, cents,
+             CASE WHEN cents >= med_cents THEN cents - med_cents
+                  ELSE med_cents - cents END AS dev,
+             med_cents
+      FROM daily CROSS JOIN med
+    ),
+    madr AS (
+      SELECT dev AS mad FROM (
+        SELECT dev, row_number() OVER (ORDER BY dev ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM devs
+      ) WHERE rn = (n + 1) {d} 2
+    )
+    SELECT day, cents, med_cents, CAST(mad AS BIGINT) AS mad_cents,
+           CAST(CASE WHEN mad = 0 THEN NULL ELSE {z} END AS BIGINT)
+             AS robust_z_micro
+    FROM devs CROSS JOIN madr
+    ORDER BY robust_z_micro DESC, day ASC
+    LIMIT {MAD_TOPK}
+    """
+
+
+@_register("mad_robust_outliers", _mad_sql(tx.DUCK))
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier report (Hampel 1974)
+    over the daily order-revenue series: robust_z = |x − med| /
+    (1.4826·MAD) — the breakdown-resistant companion to
+    anomaly_zscore_daily (one wild day cannot drag the mean/std it is
+    judged against; the median/MAD pair has a 50% breakdown point).
+
+    Determinism: both medians are LOWER medians selected by exact rank
+    (row_number = (n+1) div 2 with day-tiebroken total order) on the
+    day-domain frame; the z quantization is one 128-bit truncating
+    division (dev·10¹² // (1482600·mad) — HUGEINT / DECIMAL(38,0), no
+    fsd: the residue product would wrap BIGINT at den ~1.5e15); the
+    mad = 0 degenerate (half the days identical) returns NULL in BOTH
+    engines by an explicit branch, never a division error.
+
+    Scale: one day rollup with map-side combine; rank selections and
+    the top-k run on the calendar-bounded day frame (the repo's
+    domain-bounded single-partition contract); output is
+    TakeOrdered({MAD_TOPK})."""
+    dd = _IDIV[tx.SPARK]
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+                "AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    daily.createOrReplaceTempView("mad_daily")
+    h = lambda e: _hug(tx.SPARK, e)  # noqa: E731
+    z = (
+        f"({h('dev')} * 1000000 * 1000000) "
+        f"{dd} ({h(str(MAD_SCALE_MICRO))} * {h('mad')})"
+    )
+    return spark.sql(
+        f"""
+    WITH med AS (
+      SELECT cents AS med_cents FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM mad_daily
+      ) WHERE rn = (n + 1) {dd} 2
+    ),
+    devs AS (
+      SELECT day, cents,
+             CASE WHEN cents >= med_cents THEN cents - med_cents
+                  ELSE med_cents - cents END AS dev,
+             med_cents
+      FROM mad_daily CROSS JOIN med
+    ),
+    madr AS (
+      SELECT dev AS mad FROM (
+        SELECT dev, row_number() OVER (ORDER BY dev ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM devs
+      ) WHERE rn = (n + 1) {dd} 2
+    )
+    SELECT day, cents, med_cents, CAST(mad AS BIGINT) AS mad_cents,
+           CAST(CASE WHEN mad = 0 THEN NULL ELSE {z} END AS BIGINT)
+             AS robust_z_micro
+    FROM devs CROSS JOIN madr
+    ORDER BY robust_z_micro DESC, day ASC
+    LIMIT {MAD_TOPK}
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated harmonic centrality from high-degree seeds (copurchase graph)
+# ---------------------------------------------------------------------------
+
+HC_SEEDS = 8
+HC_MAX_HOPS = 3  # 1/d weights in sixths: 6, 3, 2 (lcm(1,2,3) = 6)
+
+
+def _hc_oracle() -> str:
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    return f"""
+    WITH {_copurchase_edges_sql()},
+    sym AS (
+      SELECT pa AS u, pb AS v FROM e
+      UNION ALL
+      SELECT pb AS u, pa AS v FROM e
+    ),
+    deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+    seeds AS (
+      SELECT node AS seed FROM deg ORDER BY deg DESC, node ASC LIMIT {HC_SEEDS}
+    ),
+    h1 AS (
+      SELECT DISTINCT s.seed, sym.v AS node
+      FROM seeds s JOIN sym ON sym.u = s.seed
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, sym.v AS node
+      FROM h1 JOIN sym ON sym.u = h1.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM h1 p WHERE p.seed = h1.seed AND p.node = sym.v
+      ) AND sym.v <> h1.seed
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.seed, sym.v AS node
+      FROM h2 JOIN sym ON sym.u = h2.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM h1 p WHERE p.seed = h2.seed AND p.node = sym.v
+      ) AND NOT EXISTS (
+        SELECT 1 FROM h2 p WHERE p.seed = h2.seed AND p.node = sym.v
+      ) AND sym.v <> h2.seed
+    ),
+    counts AS (
+      SELECT s.seed,
+             (SELECT count(*) FROM h1 WHERE h1.seed = s.seed) AS n1,
+             (SELECT count(*) FROM h2 WHERE h2.seed = s.seed) AS n2,
+             (SELECT count(*) FROM h3 WHERE h3.seed = s.seed) AS n3
+      FROM seeds s
+    )
+    SELECT seed::BIGINT AS seed, n1::BIGINT AS n1, n2::BIGINT AS n2,
+           n3::BIGINT AS n3,
+           (6 * n1 + 3 * n2 + 2 * n3)::BIGINT AS hc_sixths
+    FROM counts
+    ORDER BY seed ASC
+    """
+
+
+@_register("harmonic_centrality_seeds", _hc_oracle())
+def q_harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014) truncated at
+    {HC_MAX_HOPS} hops for the {HC_SEEDS} highest-degree nodes of the
+    copurchase graph: HC(s) = Σ_{{d(s,t)≤3}} 1/d(s,t), carried in exact
+    SIXTHS (lcm(1,2,3)) so 1/d never touches a float — the
+    "which hub items reach the catalog fastest" rollup, truncated
+    exactly the way large-graph HC is computed in practice (bounded
+    frontier instead of all-pairs shortest paths).
+
+    Determinism: the seed set is a TakeOrdered({HC_SEEDS}) total order
+    (degree DESC, node ASC); each hop-d set is DISTINCT nodes minus
+    all earlier frontiers (exact set algebra, no weights); the sixths
+    ladder is pure integers.
+
+    Scale: the frontier frames are (seeds × reached-nodes)-bounded —
+    {HC_SEEDS}·|V| worst case, never |V|²; each hop is one
+    shuffle-join against the symmetrized edge list plus an anti-join
+    dedup against the union of earlier hops (the standard distributed
+    BFS step, cf. pregel/graphframes' aggregate-messages shape).  At
+    cluster scale the edge list is partitioned by u and the frontier
+    broadcast while it fits — exactly what AQE picks here."""
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .persist()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), F.col("node").asc())
+        .limit(HC_SEEDS)
+        .select(F.col("node").alias("seed"))
+    )
+    h1 = (
+        seeds.join(sym, seeds["seed"] == sym["u"])
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .persist()
+    )
+    h2 = (
+        h1.join(sym, h1["node"] == sym["u"])
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .join(h1, ["seed", "node"], "left_anti")
+        .join(seeds.withColumnRenamed("seed", "node").withColumn(
+            "seed", F.col("node")), ["seed", "node"], "left_anti")
+        .persist()
+    )
+    h3 = (
+        h2.join(sym, h2["node"] == sym["u"])
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .join(h1, ["seed", "node"], "left_anti")
+        .join(h2, ["seed", "node"], "left_anti")
+        .join(seeds.withColumnRenamed("seed", "node").withColumn(
+            "seed", F.col("node")), ["seed", "node"], "left_anti")
+    )
+    n1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = h2.groupBy("seed").agg(F.count(F.lit(1)).alias("n2"))
+    n3 = h3.groupBy("seed").agg(F.count(F.lit(1)).alias("n3"))
+    out = (
+        seeds.join(n1, "seed", "left")
+        .join(n2, "seed", "left")
+        .join(n3, "seed", "left")
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.coalesce("n1", F.lit(0)).cast("bigint").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
+            F.coalesce("n3", F.lit(0)).cast("bigint").alias("n3"),
+        )
+        .withColumn(
+            "hc_sixths",
+            F.expr("CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT)"),
+        )
+        .orderBy("seed")
+    )
+    return out
