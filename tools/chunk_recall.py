@@ -254,6 +254,8 @@ def fellegi_sunter_recall(synth_dir: str, forced_cap: int = 16) -> dict:
         "n_pairs_exact": int(pairs_u),
         "shipped_cap_engages": pairs_s != pairs_u,
         "shipped_match_recall": round(match_s / match_u, 4) if match_u else None,
+        "n_possible_shipped_cap": int(poss_s),
+        "shipped_possible_recall": round(poss_s / poss_u, 4) if poss_u else None,
         "forced_cap": forced_cap,
         "n_pairs_forced_cap": int(pairs_f),
         "forced_pair_recall": round(pairs_f / pairs_u, 4) if pairs_u else None,

@@ -122,9 +122,15 @@ APPROX_PAST_CAP: dict[str, str] = {
         "uncapped covering pass), forced cap 16 match recall 0.914 and "
         "possible-class recall 0.676 (tools/chunk_recall.py --fs; was "
         "0.0153 match recall under the pre-redesign whole-block "
-        "1/nch law); past-cap losses concentrate in the "
-        "2-agreement possible class, whose recall-preserving path is "
-        "adding field-pair passes"
+        "1/nch law); r13 re-measured at sf2.0synth per the r12 verdict "
+        "watch: SHIPPED cap match recall 1.0 AND possible-class recall "
+        "1.0 (65.94M/65.94M possible pairs survive; the cap drops only "
+        "0.9% of raw candidate volume, all in the non-match class) — "
+        "the field-pair-pass extension stays unshipped until a decade "
+        "shows shipped-cap possible recall < 0.99; past-cap losses "
+        "under FORCED caps concentrate in the 2-agreement possible "
+        "class, whose recall-preserving path is adding field-pair "
+        "passes"
     ),
     "winnowing_fingerprints": (
         "r15 draft, pre-staged: fingerprints run over DISTINCT texts "
