@@ -34,10 +34,6 @@ Families and the public designs they implement:
   against the exact Jaccard in the same row — the mergeable-sketch
   set-operation story (the r15 KMV sketch generalized from distinct
   counting to set similarity).
-- mad_robust_outliers — median-absolute-deviation robust outlier
-  report over daily revenue (Hampel 1974): exact rank-selected
-  medians, micro-quantized robust z, the breakdown-resistant
-  companion to anomaly_zscore_daily.
 - harmonic_centrality_seeds — harmonic centrality (Boldi & Vigna
   2014) truncated at 3 hops from a deterministic high-degree seed
   set over the copurchase graph, exact 1/d in sixths.
@@ -585,127 +581,6 @@ def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MAD robust outlier report over daily revenue
-# ---------------------------------------------------------------------------
-
-MAD_SCALE_MICRO = 1_482_600  # 1.4826 (normal-consistency constant), micro
-MAD_TOPK = 10
-
-
-def _mad_sql(dialect: str) -> str:
-    d = _IDIV[dialect]
-    h = lambda e: _hug(dialect, e)  # noqa: E731
-    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
-    z = (
-        f"({h('dev')} * 1000000 * 1000000) "
-        f"{d} ({h(str(MAD_SCALE_MICRO))} * {h('mad')})"
-    )
-    return f"""
-    WITH daily AS (
-      SELECT o_orderdate AS day, CAST({cents} AS BIGINT) AS cents
-      FROM orders GROUP BY o_orderdate
-    ),
-    med AS (
-      SELECT cents AS med_cents FROM (
-        SELECT cents, row_number() OVER (ORDER BY cents ASC, day ASC) AS rn,
-               count(*) OVER () AS n
-        FROM daily
-      ) WHERE rn = (n + 1) {d} 2
-    ),
-    devs AS (
-      SELECT day, cents,
-             CASE WHEN cents >= med_cents THEN cents - med_cents
-                  ELSE med_cents - cents END AS dev,
-             med_cents
-      FROM daily CROSS JOIN med
-    ),
-    madr AS (
-      SELECT dev AS mad FROM (
-        SELECT dev, row_number() OVER (ORDER BY dev ASC, day ASC) AS rn,
-               count(*) OVER () AS n
-        FROM devs
-      ) WHERE rn = (n + 1) {d} 2
-    )
-    SELECT day, cents, med_cents, CAST(mad AS BIGINT) AS mad_cents,
-           CAST(CASE WHEN mad = 0 THEN NULL ELSE {z} END AS BIGINT)
-             AS robust_z_micro
-    FROM devs CROSS JOIN madr
-    ORDER BY robust_z_micro DESC, day ASC
-    LIMIT {MAD_TOPK}
-    """
-
-
-@_register("mad_robust_outliers", _mad_sql(tx.DUCK))
-def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median-absolute-deviation robust outlier report (Hampel 1974)
-    over the daily order-revenue series: robust_z = |x − med| /
-    (1.4826·MAD) — the breakdown-resistant companion to
-    anomaly_zscore_daily (one wild day cannot drag the mean/std it is
-    judged against; the median/MAD pair has a 50% breakdown point).
-
-    Determinism: both medians are LOWER medians selected by exact rank
-    (row_number = (n+1) div 2 with day-tiebroken total order) on the
-    day-domain frame; the z quantization is one 128-bit truncating
-    division (dev·10¹² // (1482600·mad) — HUGEINT / DECIMAL(38,0), no
-    fsd: the residue product would wrap BIGINT at den ~1.5e15); the
-    mad = 0 degenerate (half the days identical) returns NULL in BOTH
-    engines by an explicit branch, never a division error.
-
-    Scale: one day rollup with map-side combine; rank selections and
-    the top-k run on the calendar-bounded day frame (the repo's
-    domain-bounded single-partition contract); output is
-    TakeOrdered({MAD_TOPK})."""
-    dd = _IDIV[tx.SPARK]
-    daily = (
-        load_table(spark, "orders", sf_dir)
-        .groupBy(F.col("o_orderdate").alias("day"))
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
-                "AS BIGINT)) AS BIGINT)"
-            ).alias("cents")
-        )
-    )
-    daily.createOrReplaceTempView("mad_daily")
-    h = lambda e: _hug(tx.SPARK, e)  # noqa: E731
-    z = (
-        f"({h('dev')} * 1000000 * 1000000) "
-        f"{dd} ({h(str(MAD_SCALE_MICRO))} * {h('mad')})"
-    )
-    return spark.sql(
-        f"""
-    WITH med AS (
-      SELECT cents AS med_cents FROM (
-        SELECT cents, row_number() OVER (ORDER BY cents ASC, day ASC) AS rn,
-               count(*) OVER () AS n
-        FROM mad_daily
-      ) WHERE rn = (n + 1) {dd} 2
-    ),
-    devs AS (
-      SELECT day, cents,
-             CASE WHEN cents >= med_cents THEN cents - med_cents
-                  ELSE med_cents - cents END AS dev,
-             med_cents
-      FROM mad_daily CROSS JOIN med
-    ),
-    madr AS (
-      SELECT dev AS mad FROM (
-        SELECT dev, row_number() OVER (ORDER BY dev ASC, day ASC) AS rn,
-               count(*) OVER () AS n
-        FROM devs
-      ) WHERE rn = (n + 1) {dd} 2
-    )
-    SELECT day, cents, med_cents, CAST(mad AS BIGINT) AS mad_cents,
-           CAST(CASE WHEN mad = 0 THEN NULL ELSE {z} END AS BIGINT)
-             AS robust_z_micro
-    FROM devs CROSS JOIN madr
-    ORDER BY robust_z_micro DESC, day ASC
-    LIMIT {MAD_TOPK}
-    """
-    )
-
-
-# ---------------------------------------------------------------------------
 # Truncated harmonic centrality from high-degree seeds (copurchase graph)
 # ---------------------------------------------------------------------------
 
@@ -842,3 +717,318 @@ def q_harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout manifest over orders (the z-order alternative)
+# ---------------------------------------------------------------------------
+
+HB_BITS = 8  # per-dimension quantization (16-bit hilbert key), = Z_BITS
+HB_GRID = 1 << HB_BITS
+HB_BUCKETS = 64
+
+
+def _hb_levels(dialect: str) -> str:
+    """The unrolled xy2d Hilbert transform (Wikipedia's canonical
+    algorithm, reflection by GRID-1) as a chain of 8 level CTEs: each
+    consumes (x_i, y_i, d_i) and emits the rotated frame plus the
+    quadrant contribution s²·((3·rx) XOR ry), with the XOR written as
+    the branch-free CASE ladder rx=0→ry, rx=1→3−ry.  Pure integer
+    div/mod bit tests — no engine-specific bitwise operators."""
+    from pedri_analysis_spark.plans.layout_queries import _idiv
+
+    dl = "spark" if dialect == tx.SPARK else "duck"
+    out = []
+    for i in range(HB_BITS):
+        s = HB_GRID >> (i + 1)
+        rx = f"(({_idiv(dl, f'x{i}', s)}) % 2)"
+        ry = f"(({_idiv(dl, f'y{i}', s)}) % 2)"
+        out.append(
+            f"""
+    h{i + 1} AS (
+      SELECT qx, qy,
+             CASE WHEN {ry} = 1 THEN x{i}
+                  WHEN {rx} = 1 THEN {HB_GRID - 1} - y{i}
+                  ELSE y{i} END AS x{i + 1},
+             CASE WHEN {ry} = 1 THEN y{i}
+                  WHEN {rx} = 1 THEN {HB_GRID - 1} - x{i}
+                  ELSE x{i} END AS y{i + 1},
+             d{i} + {s * s} * (CASE WHEN {rx} = 0 THEN {ry}
+                               ELSE 3 - {ry} END) AS d{i + 1}
+      FROM h{i}
+    )"""
+        )
+    return ",".join(out)
+
+
+def _hilbert_sql(dialect: str) -> str:
+    from pedri_analysis_spark.plans.layout_queries import (
+        _epoch_day,
+        _idiv,
+        _quantize,
+    )
+
+    dl = "spark" if dialect == tx.SPARK else "duck"
+    day = _epoch_day(dl, "o_orderdate")
+    qx = _quantize(dl, "o_custkey", "b.min_ck", "b.max_ck")
+    qy = _quantize(dl, day, "b.min_day", "b.max_day")
+    bucket = _idiv(dl, f"d{HB_BITS}", (1 << (2 * HB_BITS)) // HB_BUCKETS)
+    cast_big = "CAST({} AS BIGINT)" if dl == "spark" else "({})::BIGINT"
+    return f"""
+    WITH b AS (
+      SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+             min({_epoch_day(dl, 'o_orderdate')}) AS min_day,
+             max({_epoch_day(dl, 'o_orderdate')}) AS max_day
+      FROM orders
+    ),
+    h0 AS (
+      SELECT qx, qy, qx AS x0, qy AS y0, 0 AS d0
+      FROM (SELECT {qx} AS qx, {qy} AS qy FROM orders CROSS JOIN b)
+    ),
+    {_hb_levels(dialect)}
+    SELECT {cast_big.format(bucket)} AS h_bucket,
+           {cast_big.format('count(*)')} AS n_orders,
+           {cast_big.format('min(qx)')} AS min_qx,
+           {cast_big.format('max(qx)')} AS max_qx,
+           {cast_big.format('min(qy)')} AS min_qy,
+           {cast_big.format('max(qy)')} AS max_qy,
+           {cast_big.format('(max(qx) - min(qx) + 1) * (max(qy) - min(qy) + 1)')}
+               AS covered_cells
+    FROM h{HB_BITS}
+    GROUP BY 1
+    """
+
+
+@_register("hilbert_layout_orders", _hilbert_sql(tx.DUCK))
+def q_hilbert_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout manifest over orders(o_custkey,
+    o_orderdate) — the locality-preserving space-filling curve (the
+    clustering Databricks ships as liquid clustering and Iceberg as a
+    sort-order transform) in the same bucket-rectangle audit shape as
+    zorder_layout_orders, so the two manifests compare directly: the
+    Hilbert curve never jumps (consecutive keys are always
+    grid-adjacent, pinned in tests/test_draft_r16.py for the WHOLE
+     65 536-cell grid), so its per-bucket (custkey × day) rectangles
+    are tighter than Morton's at the same bucket count — fewer files
+    overlap a point predicate.
+
+    Determinism: the unrolled 8-level xy2d transform is pure integer
+    div/mod/CASE generated from one template for both dialects; bucket
+    boundaries are exact integer division of the 16-bit key.
+
+    Scale: identical topology to zorder_layout_orders — a 1-row bounds
+    aggregate broadcast into a narrow per-row integer map (the 8-level
+    chain is ~40 integer ops/row, all inside whole-stage codegen), then
+    ONE shuffle on h_bucket for the rollup."""
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    o.createOrReplaceTempView("orders_hilbert")
+    return spark.sql(
+        _hilbert_sql(tx.SPARK).replace("FROM orders", "FROM orders_hilbert")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection distortion audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projection dimensions (64 -> 16)
+JL_Q = 1000  # component quantization: milli-units, exact BIGINT after
+
+
+def _jl_signs(j: int, dim: int) -> list[int]:
+    """Deterministic ±1 signs for projection row j — the sign pattern
+    of the shared LSH literal plane family (lshplanes.plane), so both
+    engines embed byte-identical constants."""
+    from pedri_analysis_spark.functions import lshplanes as lp
+
+    return [1 if v >= 0.0 else -1 for v in lp.plane(j, dim)]
+
+
+def _jl_sql(dialect: str) -> str:
+    from pedri_analysis_spark.plans.similarity_queries import EMB_DIM
+
+    idx = (lambda i: f"qd[{i + 1}]") if dialect == tx.DUCK else (
+        lambda i: f"qd[{i}]"
+    )
+    quant = "CAST(floor(CAST({v} AS DOUBLE) * {q} + 0.5) AS BIGINT)"
+    if dialect == tx.DUCK:
+        qd = (
+            f"list_transform(list_zip(a.embedding, b.embedding), "
+            f"t -> {quant.format(v='t[1]', q=JL_Q)} "
+            f"- {quant.format(v='t[2]', q=JL_Q)})"
+        )
+    else:
+        qd = (
+            f"zip_with(a.embedding, b.embedding, "
+            f"(x, y) -> {quant.format(v='x', q=JL_Q)} "
+            f"- {quant.format(v='y', q=JL_Q)})"
+        )
+    dx2 = " + ".join(f"{idx(i)} * {idx(i)}" for i in range(EMB_DIM))
+    y_terms = []
+    for j in range(JL_K):
+        signs = _jl_signs(j, EMB_DIM)
+        t = " + ".join(
+            (idx(i) if s > 0 else f"- {idx(i)}") for i, s in enumerate(signs)
+        )
+        y_terms.append(f"(({t}) * ({t}))")
+    dy2 = " + ".join(y_terms)
+    fsd = tx.floor_scaled_div(dialect, "dy2", f"{JL_K} * dx2", 1_000_000)
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS pa, {qd} AS qd
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+    ),
+    norms AS (
+      SELECT pa, ({dx2}) AS dx2, ({dy2}) AS dy2 FROM pairs
+    ),
+    ratios AS (
+      SELECT pa, CAST({fsd} AS BIGINT) AS ratio_ppm
+      FROM norms WHERE dx2 > 0
+    )
+    SELECT CAST(ratio_ppm {_IDIV[dialect]} 100000 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM ratios
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@_register("jl_projection_distortion", _jl_sql(tx.DUCK))
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sign-projection (Achlioptas 2003)
+    distance-distortion audit: project the 64-dim embeddings to
+    {JL_K} dims with deterministic ±1 rows (the sign patterns of the
+    shared LSH literal plane family) and report the squared-distance
+    ratio ||PΔ||²/(k·||Δ||²) over consecutive-id vector pairs as a
+    decile histogram in ppm — the measured "can we afford 4× cheaper
+    distance math" number for the ANN stack (E[ratio] = 1 under JL;
+    spread quantifies the k=16 distortion).
+
+    Determinism — quantize FIRST, then every downstream op is exact
+    integer arithmetic: components are floored to milli-units
+    (floor(v·1000 + 0.5), identical IEEE double op in both engines),
+    the projection is ±1-weighted integer sums (linearity lets it run
+    on the DIFF vector once), norms are integer squares, and the ratio
+    is one floor-scaled division.  Integer addition is associative, so
+    NO fold-order contract is needed anywhere — the HOF fold (Spark)
+    and unrolled sum (DuckDB) cannot diverge.  Zero-distance pairs
+    (identical embeddings) are filtered by an explicit dx2 > 0 branch
+    in both engines: no 0/0, and they carry no distortion signal.
+
+    Scale: the pair join is id-adjacent (one shuffle, 1:1), the
+    projection is a per-row map inside codegen; output is
+    decile-bounded (≤ ~20 rows)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("embeddings_jl")
+    return spark.sql(
+        _jl_sql(tx.SPARK).replace("FROM embeddings a", "FROM embeddings_jl a")
+        .replace("JOIN embeddings b", "JOIN embeddings_jl b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the BM25 and raw-TF top-10 rankings
+# ---------------------------------------------------------------------------
+
+RBO_DEPTH = 10
+RBO_P_NUM, RBO_P_DEN = 9, 10  # p = 0.9
+_RBO_LCM = 2520  # lcm(1..10)
+# exact integer weight of ov_d: (1-p)·p^(d-1)·(1/d) over the common
+# denominator LCM·DEN^DEPTH — w_d = DEN^(DEPTH-d)·NUM^(d-1)·(LCM/d)
+_RBO_W = [
+    (RBO_P_DEN ** (RBO_DEPTH - d)) * (RBO_P_NUM ** (d - 1)) * (_RBO_LCM // d)
+    for d in range(1, RBO_DEPTH + 1)
+]
+_RBO_DEN = _RBO_LCM * (RBO_P_DEN ** RBO_DEPTH)
+
+
+def _rbo_sql(dialect: str) -> str:
+    from pedri_analysis_spark.plans.retrieval_queries import (
+        BM25_TERMS,
+        _bm25_total,
+        _df_agg,
+        _tf,
+    )
+
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    d = _IDIV[dialect]
+    dfs = ", ".join(
+        f"{_df_agg(dialect, t)} AS df_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    tf_sum = " + ".join(_tf(dialect, t) for t in BM25_TERMS)
+    toks = tx.tokens(dialect, "text")
+    ov_terms = " + ".join(
+        f"{w} * sum(CASE WHEN md <= {dd} THEN 1 ELSE 0 END)"
+        for dd, w in zip(range(1, RBO_DEPTH + 1), _RBO_W)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks, {"len" if dialect == tx.DUCK else "size"}(toks)
+             {"::BIGINT" if dialect == tx.DUCK else ""} AS dl FROM toks),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl, {dfs}
+      FROM t2
+    ),
+    scored AS (
+      SELECT doc_id, ({_bm25_total(dialect)}) AS bm25,
+             ({tf_sum}) AS tf_sum
+      FROM t2 CROSS JOIN stats
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+      FROM (SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id ASC LIMIT {RBO_DEPTH})
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf_sum DESC, doc_id ASC) AS r
+      FROM (SELECT doc_id, tf_sum FROM scored
+            ORDER BY tf_sum DESC, doc_id ASC LIMIT {RBO_DEPTH})
+    ),
+    md AS (
+      SELECT CASE WHEN ra.r >= rb.r THEN ra.r ELSE rb.r END AS md
+      FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+    ),
+    acc AS (
+      SELECT coalesce({ov_terms}, 0) AS wsum,
+             coalesce(sum(CASE WHEN md <= {RBO_DEPTH} THEN 1 ELSE 0 END), 0)
+               AS n_overlap
+      FROM md
+    )
+    SELECT CAST(n_overlap AS BIGINT) AS n_overlap_top{RBO_DEPTH},
+           CAST(({h('wsum')} * 1000000) {d} {_RBO_DEN} AS BIGINT)
+             AS rbo_p9_micro
+    FROM acc
+    """
+
+
+@_register("rbo_rankings_eval", _rbo_sql(tx.DUCK))
+def q_rbo_rankings_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    BM25 top-{RBO_DEPTH} and the raw term-frequency top-{RBO_DEPTH}
+    for the same fixed query terms — the top-weighted "how much does
+    idf actually change the ranking" agreement audit, and the
+    ranking-comparison primitive an eval pipeline reuses for any two
+    rankers (truncated RBO_min: depths beyond {RBO_DEPTH} contribute
+    nothing; no extrapolation term).
+
+    Determinism: with p = 9/10, every weight (1−p)·p^(d−1)/d is an
+    exact rational over LCM(1..10)·10^{RBO_DEPTH}; the per-depth
+    overlaps ov_d = #{{doc : max(rank_A, rank_B) ≤ d}} are exact
+    integers from the joined rank pairs, so RBO is ONE 128-bit
+    truncating division at the end.  Both rankings are total orders
+    (score DESC, doc_id ASC), and both scores are already-quantized
+    integers (bm25r micros; raw tf counts).
+
+    Scale: one corpus scan scores both rankers (the BM25 stats frame
+    broadcasts, same plan as bm25_topk_docs); both top-10s are
+    TakeOrdered; everything after runs on ≤ {RBO_DEPTH} rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("documents_rbo")
+    return spark.sql(
+        _rbo_sql(tx.SPARK).replace("FROM documents", "FROM documents_rbo")
+    )

@@ -47,6 +47,10 @@ SAMPLE = [
     # r15 staged drafts with merge-order-sensitive shapes
     ("winnowing_fingerprints", "draft_r15"),  # lag/lead selection windows
     ("edit_distance_near_dups", "draft_r15"),  # groupBy-min representatives
+    # r16 staged drafts with merge-order-sensitive shapes
+    ("mann_whitney_u_values", "draft_r16"),  # value-grid cumulative window
+    ("harmonic_centrality_seeds", "draft_r16"),  # iterative frontier joins
+    ("rbo_rankings_eval", "draft_r16"),  # two tie-broken top-k rankings
 ]
 
 

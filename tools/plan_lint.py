@@ -113,6 +113,14 @@ _BNLJ_ALLOWED = {
     "lagged_spearman_ccf",  # 7-row literal lag frame against the daily rollup
     "permutation_test_segments",  # 1-row observed-statistic frame
     "mrr_bm25_phrases",  # 1-row corpus-stats frame (bm25 precedent) x4 legs
+    # r16 drafts (plans/draft_r16.py — staged r13, facts pinned by
+    # tests/test_draft_r16.py)
+    "mann_whitney_u_values",  # 1-row sums/stat frames chained
+    "cliffs_delta_values",  # 1-row sums/stat frames chained
+    "tv_distance_sources",  # 1-row corpus token-total frame crossed twice
+    "kmv_jaccard_sources",  # 1-row sketch + 1-row exact-audit frames crossed
+    "hilbert_layout_orders",  # 1-row quantization-bounds frame (zorder precedent)
+    "rbo_rankings_eval",  # 1-row corpus-stats frame (bm25 precedent)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
