@@ -1,0 +1,584 @@
+"""Draft queries staged for r17 registration (NOT in the registry).
+
+Staged-draft protocol (established r10→r16): fully implemented,
+oracle-paired, plan-invariant-pinned and proven green by
+tests/test_draft_r17.py under the driver-identical comparison in the
+round that stages them; registering later is one line in
+``registry._modules`` (see COVERAGE.md "Registration-window plan").
+
+Every query follows the determinism discipline (integer / DECIMAL /
+HUGEINT arithmetic, total orders on every rank, quantization via
+integer cross-multiplication — never libm) and the scale discipline
+(pair stages blocked or domain-bounded; single-partition frames only
+when domain-bounded).
+
+Families and the public designs they implement:
+- range_frame_trailing_30d — gap-correct trailing 30-day revenue via an
+  integer RANGE window frame (the engine surface ROWS frames cannot
+  express when the series has missing days).
+- setops_bag_orders — INTERSECT ALL / EXCEPT ALL bag semantics between
+  two years' order-priority multisets: exercises Spark's
+  intersectAll/exceptAll physical operators, with the multiplicity
+  identities (min / clamped difference of counts) pinned in tests.
+- clustering_coefficient_degree — local clustering coefficient
+  (Watts & Strogatz 1998) rolled up by degree bucket over the
+  copurchase graph: the triangles-over-wedges texture number next to
+  the global triangle count.
+- rfm_customer_segments — classic RFM (recency / frequency / monetary)
+  quintile segmentation, each metric scored by the DISTRIBUTED exact
+  ntile (the equidepth banded-rank pattern: no global sort anywhere).
+- seasonal_residual_outliers — the r15 additive decomposition's
+  remainder series screened with the median/MAD robust rule: "which
+  days deviate after removing trend AND weekday shape" (STL-style
+  residual anomaly detection, libm-free).
+
+Reference parity: none of these exist in the reference engine — they
+extend the training-data-pipeline / analytics surface per SURVEY.md
+§2's "beyond the reference" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+_IDIV = {tx.DUCK: "//", tx.SPARK: "div"}
+
+
+def _hug(dialect: str, expr: str) -> str:
+    """128-bit exact integer widening (HUGEINT / DECIMAL(38,0)); both
+    engines' integer division TRUNCATES on these types."""
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+# ---------------------------------------------------------------------------
+# Gap-correct trailing 30-day revenue: integer RANGE window frame
+# ---------------------------------------------------------------------------
+
+TRAIL_DAYS = 30
+
+
+def _trail_sql(dialect: str) -> str:
+    ed = tx.epoch_day(dialect, "o_orderdate")
+    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day, {ed} AS ed,
+             CAST({cents} AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS trail30_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_days_present
+    FROM daily
+    WINDOW w AS (ORDER BY ed
+                 RANGE BETWEEN {TRAIL_DAYS - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """
+
+
+@_register("range_frame_trailing_30d", _trail_sql(tx.DUCK))
+def q_range_frame_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {TRAIL_DAYS}-day revenue per day via an integer RANGE
+    window frame over the epoch day — the frame kind a ROWS window gets
+    WRONG whenever the series has gaps (29 PRECEDING rows can reach
+    back months; 29 PRECEDING day-VALUES cannot), and an engine surface
+    (RangeFrame with a numeric ORDER BY key) nothing else in the
+    catalog exercises.  n_days_present in the same frame makes the gap
+    handling auditable row by row.
+
+    Determinism: daily sums are exact DECIMAL->BIGINT cents; the frame
+    is defined by integer day arithmetic (epoch_day dispatches the
+    events-style encoding portably); no division at all.
+
+    Scale: one day rollup with map-side combine; the RANGE window runs
+    on the calendar-bounded day frame (the repo's domain-bounded
+    single-partition contract — at 100 TB this frame is still ~36.5k
+    rows per century)."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    o.createOrReplaceTempView("orders_trail")
+    return spark.sql(
+        _trail_sql(tx.SPARK).replace("FROM orders", "FROM orders_trail")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+BAG_YEAR_A = 1995
+BAG_YEAR_B = 1996
+
+
+def _bag_sql(dialect: str) -> str:
+    yr = (
+        (lambda y: f"year(o_orderdate) = {y}")
+        if dialect == tx.SPARK
+        else (lambda y: f"date_part('year', o_orderdate) = {y}")
+    )
+    return f"""
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE {yr(BAG_YEAR_A)}),
+    b AS (SELECT o_orderpriority AS p FROM orders WHERE {yr(BAG_YEAR_B)}),
+    inter AS (
+      SELECT p, count(*) AS n FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+      GROUP BY p
+    ),
+    diff AS (
+      SELECT p, count(*) AS n FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+      GROUP BY p
+    ),
+    ca AS (SELECT p, count(*) AS n FROM a GROUP BY p),
+    cb AS (SELECT p, count(*) AS n FROM b GROUP BY p)
+    SELECT ca.p AS priority,
+           CAST(ca.n AS BIGINT) AS n_{BAG_YEAR_A},
+           CAST(coalesce(cb.n, 0) AS BIGINT) AS n_{BAG_YEAR_B},
+           CAST(coalesce(inter.n, 0) AS BIGINT) AS n_intersect_all,
+           CAST(coalesce(diff.n, 0) AS BIGINT) AS n_except_all
+    FROM ca
+    LEFT JOIN cb ON cb.p = ca.p
+    LEFT JOIN inter ON inter.p = ca.p
+    LEFT JOIN diff ON diff.p = ca.p
+    ORDER BY priority
+    """
+
+
+@_register("setops_bag_orders", _bag_sql(tx.DUCK))
+def q_setops_bag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set algebra between the {BAG_YEAR_A} and
+    {BAG_YEAR_B} order-priority MULTISETS: INTERSECT ALL keeps
+    min(c_a, c_b) copies of each value and EXCEPT ALL keeps
+    max(c_a − c_b, 0) — the duplicate-preserving semantics
+    (SQL:2003) that the DISTINCT set ops in setops_nations erase, and
+    the engine surface (Spark's intersectAll / exceptAll physical
+    operators) nothing else in the catalog executes.  The multiplicity
+    identities are pinned against plain count arithmetic in
+    tests/test_draft_r17.py, so the operators themselves are
+    cross-validated, not just the counts.
+
+    Scale: both set ops hash-partition on the value — one shuffle each
+    at any scale; the priority domain bounds every later frame."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_orderpriority")
+    a = o.filter(F.expr(f"year(o_orderdate) = {BAG_YEAR_A}")).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = o.filter(F.expr(f"year(o_orderdate) = {BAG_YEAR_B}")).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    inter = a.intersectAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("ni"))
+    diff = a.exceptAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("nd"))
+    ca = a.groupBy("p").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy("p").agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        ca.join(cb, "p", "left")
+        .join(inter, "p", "left")
+        .join(diff, "p", "left")
+        .select(
+            F.col("p").alias("priority"),
+            F.col("na").cast("bigint").alias(f"n_{BAG_YEAR_A}"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias(f"n_{BAG_YEAR_B}"),
+            F.coalesce("ni", F.lit(0)).cast("bigint").alias("n_intersect_all"),
+            F.coalesce("nd", F.lit(0)).cast("bigint").alias("n_except_all"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient by degree bucket (copurchase graph)
+# ---------------------------------------------------------------------------
+
+CC_MAX_BUCKET = 1024
+
+
+def _cc_bucket(dialect: str, deg: str) -> str:
+    """Largest power of two <= deg, clamped at {CC_MAX_BUCKET} — a
+    branch ladder (no log2, no bit intrinsics)."""
+    cases = " ".join(
+        f"WHEN {deg} >= {1 << k} THEN {1 << k}"
+        for k in range(CC_MAX_BUCKET.bit_length() - 1, 0, -1)
+    )
+    return f"(CASE {cases} ELSE 1 END)"
+
+
+def _cc_oracle() -> str:
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    fsd = tx.floor_scaled_div
+    cc = fsd(tx.DUCK, "2 * t_v", "deg * (deg - 1)", 1_000_000)
+    return f"""
+    WITH {_copurchase_edges_sql()},
+    sym AS (
+      SELECT pa AS u, pb AS v FROM e
+      UNION ALL
+      SELECT pb AS u, pa AS v FROM e
+    ),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pb
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tnode AS (
+      SELECT node, count(*)::BIGINT AS t_v
+      FROM (
+        SELECT unnest([a, b, c]) AS node FROM tri
+      ) GROUP BY node
+    ),
+    cc AS (
+      SELECT d.node, d.deg, coalesce(t.t_v, 0) AS t_v,
+             {cc.replace('t_v', 'coalesce(t.t_v, 0)')} AS cc_ppm
+      FROM deg d LEFT JOIN tnode t ON t.node = d.node
+      WHERE d.deg >= 2
+    )
+    SELECT {_cc_bucket(tx.DUCK, 'deg')}::BIGINT AS deg_bucket,
+           count(*)::BIGINT AS n_nodes,
+           sum(t_v)::BIGINT AS sum_triangles,
+           sum(deg * (deg - 1) {_IDIV[tx.DUCK]} 2)::BIGINT AS sum_wedges,
+           {fsd(tx.DUCK, "sum(cc_ppm)", "count(*)", 1)}::BIGINT AS avg_cc_ppm
+    FROM cc
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@_register("clustering_coefficient_degree", _cc_oracle())
+def q_clustering_coefficient_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) of the
+    copurchase graph, rolled up by power-of-two degree bucket:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — "are my neighbours also
+    each other's neighbours", the graph-texture number the global
+    triangle count cannot localize (hub assortativity, community
+    structure vs hairball).
+
+    Determinism: triangles enumerate once through the ordered-edge
+    double join (a<b<c, each triangle exactly once — the
+    triangle_count_copurchase topology) and are distributed to their
+    three corners with ONE explode (the k-truss lineage lesson: never
+    three union legs over the same join); cc quantizes to ppm with one
+    floor per node, bucket averages with one floor per bucket;
+    deg < 2 nodes are excluded by an explicit branch in both engines
+    (wedges = 0 — no division).
+
+    Scale: same pair topology as triangle_count_copurchase (in-order
+    self-joins, never corpus × corpus); the per-node rollup and the
+    ≤ {CC_MAX_BUCKET.bit_length()}-row bucket ladder are one shuffle
+    each."""
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
+    sym = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tnode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_v"))
+    )
+    fsd = tx.floor_scaled_div
+    cc = (
+        deg.join(tnode, "node", "left")
+        .withColumn("t_v", F.coalesce("t_v", F.lit(0)).cast("bigint"))
+        .filter(F.col("deg") >= 2)
+        .withColumn(
+            "cc_ppm",
+            F.expr(fsd(tx.SPARK, "2 * t_v", "deg * (deg - 1)", 1_000_000)),
+        )
+    )
+    return (
+        cc.groupBy(
+            F.expr(_cc_bucket(tx.SPARK, "deg")).cast("bigint").alias("deg_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("t_v").cast("bigint").alias("sum_triangles"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("sum_wedges"),
+            F.expr(fsd(tx.SPARK, "sum(cc_ppm)", "count(1)", 1))
+            .cast("bigint")
+            .alias("avg_cc_ppm"),
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: distributed exact quintiles, no global sort
+# ---------------------------------------------------------------------------
+
+RFM_K = 5
+RFM_MONETARY_BAND = 100_000  # $1000 bands: the monetary rank's shuffle key
+
+
+def _ntile_expr(dialect: str, rank: str, n: str, k: int) -> str:
+    """Standard-SQL ntile from an exact global rank: the first n%k
+    tiles take ceil(n/k) rows, the rest floor(n/k) — the
+    equidepth_price_bins arithmetic, shared text in both dialects."""
+    d = _IDIV[dialect]
+    return (
+        f"CAST(CASE WHEN {rank} <= ({n} % {k}) * (({n} {d} {k}) + 1) "
+        f"THEN ({rank} - 1) {d} (({n} {d} {k}) + 1) + 1 "
+        f"ELSE ({n} % {k}) "
+        f"  + ({rank} - ({n} % {k}) * (({n} {d} {k}) + 1) - 1) "
+        f"    {d} ({n} {d} {k}) + 1 END AS BIGINT)"
+    )
+
+
+def _rfm_oracle() -> str:
+    ed = tx.epoch_day(tx.DUCK, "o_orderdate")
+    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    return f"""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             max({ed}) AS last_ed,
+             count(*)::BIGINT AS freq,
+             CAST({cents} AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(last_ed) AS max_ed FROM cust),
+    m AS (
+      SELECT ck, (mx.max_ed - last_ed) AS recency, freq, cents
+      FROM cust CROSS JOIN mx
+    ),
+    scored AS (
+      SELECT ck, cents,
+             ntile({RFM_K}) OVER (ORDER BY recency ASC, ck ASC) AS r_score,
+             ntile({RFM_K}) OVER (ORDER BY freq ASC, ck ASC) AS f_score,
+             ntile({RFM_K}) OVER (ORDER BY cents ASC, ck ASC) AS m_score
+      FROM m
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS monetary_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+
+
+def _banded_quintile(
+    m: DataFrame, metric: str, band_expr: str, n_total_col: str, out: str
+) -> DataFrame:
+    """Exact distributed ntile score for one metric — the
+    equidepth_price_bins banded-rank pattern: per-band counts give
+    prefix offsets on a band-domain frame; row_number runs WITHIN each
+    band (one hash shuffle, never a global sort); offset + row_number
+    is the exact global rank because the band is a monotone function
+    of (metric, ck)."""
+    d = m.withColumn("band", F.expr(band_expr).cast("bigint"))
+    bandc = d.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+    wb = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offs = bandc.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wr = W.partitionBy("band").orderBy(metric, "ck")
+    ranked = (
+        d.join(F.broadcast(offs), "band")
+        .withColumn("rank", (F.row_number().over(wr) + F.col("off")).cast("bigint"))
+    )
+    return ranked.select(
+        "ck",
+        F.expr(_ntile_expr(tx.SPARK, "rank", n_total_col, RFM_K)).alias(out),
+    )
+
+
+@_register("rfm_customer_segments", _rfm_oracle())
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation (Hughes 1994): every customer scored
+    1–{RFM_K} on Recency (days since last order), Frequency (order
+    count) and Monetary (lifetime cents) by EXACT quintile, rolled up
+    to the ≤ {RFM_K}³ segment grid — the standard CRM / campaign-
+    targeting rollup, and the catalog's demonstration that exact
+    population quantile SCORING (not just binning one column —
+    equidepth_price_bins — but three joined per-entity scores) runs
+    without any global sort.
+
+    The oracle is three ntile windows; the Spark plan computes each
+    score with the equidepth banded-rank pattern: recency and
+    frequency band on their own domain-bounded values, monetary on
+    $1000 bands ({RFM_MONETARY_BAND} cents), so every fact-table-sized
+    window is PARTITIONED by band (one hash shuffle) and only
+    band-domain frames see an unpartitioned prefix window.  Ties break
+    on custkey — both engines rank the identical total order.
+
+    Scale: one orders rollup; three banded rank passes over the
+    customer frame; two broadcast joins reassemble the scores; output
+    is the ≤ 125-row segment grid."""
+    ed = tx.epoch_day(tx.SPARK, "o_orderdate")
+    cust = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(F.expr(ed)).cast("bigint").alias("last_ed"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.expr(
+                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+                "AS BIGINT)) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    mx = cust.agg(
+        F.max("last_ed").alias("max_ed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    m = cust.crossJoin(F.broadcast(mx)).select(
+        "ck",
+        (F.col("max_ed") - F.col("last_ed")).cast("bigint").alias("recency"),
+        "freq",
+        "cents",
+        "n_total",
+    ).persist()
+    r = _banded_quintile(m, "recency", "recency", "n_total", "r_score")
+    f_ = _banded_quintile(m, "freq", "freq", "n_total", "f_score")
+    mo = _banded_quintile(
+        m, "cents", f"cents div {RFM_MONETARY_BAND}", "n_total", "m_score"
+    )
+    return (
+        m.select("ck", "cents")
+        .join(r, "ck")
+        .join(f_, "ck")
+        .join(mo, "ck")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual robust outliers (decompose -> remainder -> MAD)
+# ---------------------------------------------------------------------------
+
+SRO_UNIT_DIV = 1000  # daily revenue in $10 quanta (the r15 convention)
+SRO_W = 7
+SRO_MAD_SCALE = 1_482_600
+SRO_TOPK = 8
+
+
+def _sro_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    ed = tx.epoch_day(dialect, "o_orderdate")
+    fsd = tx.floor_scaled_div
+    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    seas_mean = (
+        f"(CASE WHEN sum(dx7) >= 0 THEN {fsd(dialect, 'sum(dx7)', 'count(*)', 1)} "
+        f"ELSE -{fsd(dialect, '-sum(dx7)', 'count(*)', 1)} END)"
+    )
+    z = f"({h('adev')} * 1000000 * 1000000) {d} ({h(str(SRO_MAD_SCALE))} * {h('mad')})"
+    # the median frames are 1-row by construction (rank-selected), but
+    # unlike a bare aggregate the planner cannot SEE that, so the Spark
+    # dialect hints the broadcast — otherwise the cross joins plan as
+    # CartesianProduct (lint-banned)
+    hint_med = "/*+ BROADCAST(med) */ " if dialect == tx.SPARK else ""
+    hint_mad = "/*+ BROADCAST(madr) */ " if dialect == tx.SPARK else ""
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day, {ed} AS edd,
+             CAST(({cents}) {d} {SRO_UNIT_DIV} AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    ma AS (
+      SELECT day, edd, v,
+             sum(v) OVER w AS trend_x7,
+             count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT day, (edd + 4) % 7 AS dow, {SRO_W} * v - trend_x7 AS dx7, v
+      FROM ma WHERE wn = {SRO_W}
+    ),
+    seas AS (
+      SELECT dow, {seas_mean} AS seasonal_x7
+      FROM detr GROUP BY dow
+    ),
+    resid AS (
+      SELECT d2.day, d2.v, d2.dx7 - s.seasonal_x7 AS rx7
+      FROM detr d2 JOIN seas s ON s.dow = d2.dow
+    ),
+    med AS (
+      SELECT rx7 AS med_rx7 FROM (
+        SELECT rx7, row_number() OVER (ORDER BY rx7 ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM resid
+      ) WHERE rn = (n + 1) {d} 2
+    ),
+    devs AS (
+      SELECT {hint_med}day, v, rx7,
+             CASE WHEN rx7 >= med_rx7 THEN rx7 - med_rx7
+                  ELSE med_rx7 - rx7 END AS adev
+      FROM resid CROSS JOIN med
+    ),
+    madr AS (
+      SELECT adev AS mad FROM (
+        SELECT adev, row_number() OVER (ORDER BY adev ASC, day ASC) AS rn,
+               count(*) OVER () AS n
+        FROM devs
+      ) WHERE rn = (n + 1) {d} 2
+    )
+    SELECT {hint_mad}day, CAST(v AS BIGINT) AS v_units, CAST(rx7 AS BIGINT) AS rx7,
+           CAST(CASE WHEN mad = 0 THEN NULL ELSE {z} END AS BIGINT)
+             AS robust_z_micro
+    FROM devs CROSS JOIN madr
+    ORDER BY robust_z_micro DESC, day ASC
+    LIMIT {SRO_TOPK}
+    """
+
+
+@_register("seasonal_residual_outliers", _sro_sql(tx.DUCK))
+def q_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style residual anomaly screen over daily revenue: remove the
+    centered {SRO_W}-day trend and the day-of-week seasonal means (the
+    r15 seasonal_decomposition_daily arithmetic, x7-scaled exact
+    integers), then flag the days whose REMAINDER deviates by the
+    median/MAD robust rule — "this Tuesday was wild even for a
+    Tuesday", which a raw z-score over the undecomposed series cannot
+    say (the weekday shape dominates its variance).
+
+    Determinism: the decomposition is the proven r15 integer ladder
+    (one documented floor per dow mean); both medians are exact
+    rank-selected LOWER medians with day tie-breaks; the robust z is
+    one 128-bit truncating division, and the mad = 0 degenerate
+    returns NULL by the same explicit branch in both engines.
+
+    Scale: one day rollup, then every window and rank selection runs
+    on the calendar-bounded day frame; output is
+    TakeOrdered({SRO_TOPK})."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    o.createOrReplaceTempView("orders_sro")
+    return spark.sql(
+        _sro_sql(tx.SPARK).replace("FROM orders GROUP BY", "FROM orders_sro GROUP BY")
+    )

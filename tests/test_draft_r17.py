@@ -1,0 +1,174 @@
+"""The r17-staged draft queries (plans/draft_r17.py) must already pass
+the driver-identical oracle comparison — registration in r17 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules``: the r14–r16 windows are spoken for (COVERAGE.md
+"Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r17 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered), (
+        "r17 draft queries leaked into the registry early — they must not "
+        "displace the r14–r16 first-contact / stale-drain window slots"
+    )
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, (
+            f"{name}: Python boundary without a pre-staged Arrow-kernel entry"
+        )
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without a pre-staged allowlist entry"
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame: gap correctness cross-validated against Python
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_range_frame_matches_python(spark, duck):
+    """Recompute the trailing-30-day sums from the raw daily series in
+    Python (value-based day arithmetic) — the RANGE frame must agree on
+    every day, including across gaps where a ROWS frame would diverge."""
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = d.QUERIES["range_frame_trailing_30d"](spark, SF_DIR).collect()
+    daily = duck.sql(
+        """
+        SELECT o_orderdate AS day,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS ed,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2 ORDER BY 2
+        """
+    ).fetchall()
+    by_ed = {ed: cents for _, ed, cents in daily}
+    eds = sorted(by_ed)
+    want = {}
+    for ed in eds:
+        span = [e for e in eds if ed - (d.TRAIL_DAYS - 1) <= e <= ed]
+        want[ed] = (sum(by_ed[e] for e in span), len(span))
+    got = {}
+    ed_of_day = {day: ed for day, ed, _ in daily}
+    for r in rows:
+        got[ed_of_day[r["day"]]] = (r["trail30_cents"], r["n_days_present"])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bag set ops: the multiplicity identities pin the engine operators
+# ---------------------------------------------------------------------------
+
+
+def test_bag_setops_multiplicity_identities(spark):
+    """INTERSECT ALL must keep min(c_a, c_b) copies and EXCEPT ALL
+    max(c_a − c_b, 0) — checked value by value against the plain
+    counts in the SAME result row, so Spark's intersectAll/exceptAll
+    physical operators are cross-validated against count arithmetic."""
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = d.QUERIES["setops_bag_orders"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        na, nb = r[f"n_{d.BAG_YEAR_A}"], r[f"n_{d.BAG_YEAR_B}"]
+        assert r["n_intersect_all"] == min(na, nb), r
+        assert r["n_except_all"] == max(na - nb, 0), r
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient: corner-sum identity vs the global count
+# ---------------------------------------------------------------------------
+
+
+def test_cc_corner_sum_is_three_triangles(spark, duck):
+    """Every triangle has exactly 3 corners, so Σ_v T(v) = 3·T — with
+    T recomputed independently in DuckDB from the same edge CTE.  Also
+    cc ≤ 1 (ppm) per bucket."""
+    from pedri_analysis_spark.plans import draft_r17 as d
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    rows = d.QUERIES["clustering_coefficient_degree"](spark, SF_DIR).collect()
+    assert rows
+    corner_sum = sum(r["sum_triangles"] for r in rows)
+    t_global = duck.sql(
+        f"""
+        WITH {_copurchase_edges_sql()}
+        SELECT count(*) FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        """
+    ).fetchone()[0]
+    # deg < 2 nodes are excluded from the rollup but a triangle corner
+    # always has deg >= 2, so the identity holds exactly
+    assert corner_sum == 3 * t_global
+    for r in rows:
+        assert 0 <= r["avg_cc_ppm"] <= 1_000_000
+        assert r["sum_triangles"] * 1 <= r["sum_wedges"] * 1 or r["sum_wedges"] == 0
+
+
+# ---------------------------------------------------------------------------
+# RFM: quintile balance and population conservation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_quintiles_balanced(spark, duck):
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = d.QUERIES["rfm_customer_segments"](spark, SF_DIR).collect()
+    n_cust = duck.sql("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in rows:
+            marg[r[axis]] = marg.get(r[axis], 0) + r["n_customers"]
+        assert set(marg) <= set(range(1, d.RFM_K + 1)), (axis, sorted(marg))
+        lo, hi = n_cust // d.RFM_K, n_cust // d.RFM_K + (n_cust % d.RFM_K > 0)
+        for score, cnt in marg.items():
+            assert lo <= cnt <= hi, (axis, score, cnt, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal residual outliers: report shape and ordering
+# ---------------------------------------------------------------------------
+
+
+def test_sro_report_ordered(spark):
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = d.QUERIES["seasonal_residual_outliers"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= d.SRO_TOPK
+    zs = [r["robust_z_micro"] for r in rows]
+    assert all(z is not None and z >= 0 for z in zs)
+    assert zs == sorted(zs, reverse=True)

@@ -51,6 +51,10 @@ SAMPLE = [
     ("mann_whitney_u_values", "draft_r16"),  # value-grid cumulative window
     ("harmonic_centrality_seeds", "draft_r16"),  # iterative frontier joins
     ("rbo_rankings_eval", "draft_r16"),  # two tie-broken top-k rankings
+    # r17 staged drafts with merge-order-sensitive shapes
+    ("rfm_customer_segments", "draft_r17"),  # three banded-rank ntile passes
+    ("seasonal_residual_outliers", "draft_r17"),  # MA windows + rank medians
+    ("range_frame_trailing_30d", "draft_r17"),  # integer RANGE frame sums
 ]
 
 

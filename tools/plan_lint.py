@@ -121,6 +121,10 @@ _BNLJ_ALLOWED = {
     "kmv_jaccard_sources",  # 1-row sketch + 1-row exact-audit frames crossed
     "hilbert_layout_orders",  # 1-row quantization-bounds frame (zorder precedent)
     "rbo_rankings_eval",  # 1-row corpus-stats frame (bm25 precedent)
+    # r17 drafts (plans/draft_r17.py — staged r13, facts pinned by
+    # tests/test_draft_r17.py)
+    "rfm_customer_segments",  # 1-row max/total frame + band-domain offset frames
+    "seasonal_residual_outliers",  # 1-row median and 1-row MAD frames crossed
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
