@@ -1,0 +1,117 @@
+"""The r18-staged draft queries (plans/draft_r18.py) must already pass
+the driver-identical oracle comparison — registration in r18 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules`` (COVERAGE.md "Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r18 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered)
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without allowlist entry"
+
+
+def test_shapley_efficiency_axiom(spark, duck):
+    """Σ_c φ_c = v(N) − v(∅) holds exactly for Shapley weights on ANY
+    value function; with the per-coalition ppm floors and per-channel
+    div-24 truncation the identity holds within 4 ppm (one truncated
+    unit per channel)."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    rows = d.QUERIES["shapley_attribution_exact"](spark, SF_DIR).collect()
+    assert len(rows) == len(d.SHAP_CHANNELS)
+    total = sum(r["shapley_ppm"] for r in rows)
+    ch_cases = " + ".join(
+        f"(CASE WHEN max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) = 1 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(d.SHAP_CHANNELS)
+    )
+    full = (1 << len(d.SHAP_CHANNELS)) - 1
+    v = duck.sql(
+        f"""
+        WITH usr AS (
+          SELECT user_id, ({ch_cases}) AS mask,
+                 max(CASE WHEN event_type = '{d.SHAP_CONVERT}' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id
+        )
+        SELECT
+          coalesce((sum(CASE WHEN mask = {full} AND conv = 1 THEN 1 ELSE 0 END) * 1000000)
+            // nullif(sum(CASE WHEN mask = {full} THEN 1 ELSE 0 END), 0), 0) AS vN,
+          coalesce((sum(CASE WHEN mask = 0 AND conv = 1 THEN 1 ELSE 0 END) * 1000000)
+            // nullif(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END), 0), 0) AS v0
+        FROM usr
+        """
+    ).fetchone()
+    want = v[0] - v[1]
+    assert abs(total - want) <= len(d.SHAP_CHANNELS), (total, want)
+
+
+def test_selfjoin_estimate_consistency(spark, duck):
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    r = d.QUERIES["selfjoin_cardinality_estimate"](spark, SF_DIR).collect()[0]
+    exact = duck.sql(
+        "SELECT sum(c * c) FROM (SELECT count(*) AS c FROM events GROUP BY user_id)"
+    ).fetchone()[0]
+    assert r["exact_pairs"] == exact
+    assert r["n_sampled"] <= r["n_keys"]
+    assert r["est_pairs"] >= 0
+    assert r["err_ppm"] == abs(r["est_pairs"] - r["exact_pairs"]) * 1_000_000 // r["exact_pairs"]
+
+
+def test_bloom_semijoin_bounds(spark, duck):
+    """The bloom pass set must CONTAIN the true match set (no false
+    negatives — the Bloom guarantee) and stay within the fact count;
+    the true-match count is re-derived independently."""
+    from pedri_analysis_spark.plans import draft_r13 as d13
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    r = d.QUERIES["bloom_semijoin_reduction"](spark, SF_DIR).collect()[0]
+    truth = duck.sql(
+        f"""
+        SELECT count(*) FROM orders o
+        JOIN (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = '{d13.BLOOM_BUILD_SEG}') b
+          ON b.c_custkey = o.o_custkey
+        """
+    ).fetchone()[0]
+    assert r["n_true_match"] == truth
+    assert r["n_true_match"] <= r["n_pass_bloom"] <= r["n_fact"]
+    assert r["n_false_pass"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert 0 <= r["false_pass_ppm"] <= 1_000_000

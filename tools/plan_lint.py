@@ -125,6 +125,9 @@ _BNLJ_ALLOWED = {
     # tests/test_draft_r17.py)
     "rfm_customer_segments",  # 1-row max/total frame + band-domain offset frames
     "seasonal_residual_outliers",  # 1-row median and 1-row MAD frames crossed
+    # r18 drafts (plans/draft_r18.py — staged r13, facts pinned by
+    # tests/test_draft_r18.py)
+    "bloom_semijoin_reduction",  # four 1-row count frames crossed together
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
