@@ -55,6 +55,9 @@ SAMPLE = [
     ("rfm_customer_segments", "draft_r17"),  # three banded-rank ntile passes
     ("seasonal_residual_outliers", "draft_r17"),  # MA windows + rank medians
     ("range_frame_trailing_30d", "draft_r17"),  # integer RANGE frame sums
+    # r19 staged drafts with merge-order-sensitive shapes
+    ("average_precision_value", "draft_r19"),  # desc grid window + explode
+    ("brown_forsythe_value", "draft_r19"),  # interpolated group percentiles
 ]
 
 
