@@ -1,0 +1,264 @@
+"""Draft queries staged for r20 registration (NOT in the registry).
+
+Staged-draft protocol (established r10→r19): fully implemented,
+oracle-paired, plan-invariant-pinned and proven green by
+tests/test_draft_r20.py under the driver-identical comparison in the
+round that stages them; registering later is one line in
+``registry._modules`` (see COVERAGE.md "Registration-window plan").
+
+Families and the public designs they implement:
+- cohort_ltv_cents — cohort lifetime-value triangle: cumulative revenue
+  per first-order-month cohort by month offset, the MONEY companion to
+  cohort_retention's user counts (the pair every growth dashboard
+  shows side by side).
+- session_bigram_support — session-bounded sequential pattern support
+  (the length-2 core of GSP / PrefixSpan): which event-type
+  transitions happen INSIDE a 30-minute session, supported by how many
+  distinct sessions — markov_transition_probs without the
+  session-boundary leakage.
+- page_hinkley_drift — Page-Hinkley cumulative drift statistic (Page
+  1954; Hinkley 1971) over daily revenue: m_t = Σ(x_i − x̄_i) against
+  its running minimum — the sequential mean-shift detector that flags
+  WHERE the series departed from its own history, complementing
+  cusum_changepoint_daily's fixed-mean CUSUM.
+
+Reference parity: none of these exist in the reference engine — they
+extend the training-data-pipeline / analytics surface per SURVEY.md
+§2's "beyond the reference" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.plans.relational import QueryFn
+from pedri_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+_IDIV = {tx.DUCK: "//", tx.SPARK: "div"}
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value triangle (revenue per cohort x month offset)
+# ---------------------------------------------------------------------------
+
+LTV_MAX_OFFSET = 12
+
+
+def _ltv_sql(dialect: str) -> str:
+    if dialect == tx.DUCK:
+        mi = "(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) - 1)"
+    else:
+        mi = "(year(o_orderdate) * 12 + month(o_orderdate) - 1)"
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS ck, {mi} AS mi, {cents} AS cents FROM orders
+    ),
+    coh AS (SELECT ck, min(mi) AS cmi FROM o GROUP BY ck),
+    j AS (
+      SELECT c.cmi AS cohort_mi, o.mi - c.cmi AS off, o.ck, o.cents
+      FROM o JOIN coh c ON c.ck = o.ck
+      WHERE o.mi - c.cmi <= {LTV_MAX_OFFSET}
+    ),
+    cell AS (
+      SELECT cohort_mi, off,
+             CAST(count(DISTINCT ck) AS BIGINT) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM j GROUP BY cohort_mi, off
+    )
+    SELECT CAST(cohort_mi AS BIGINT) AS cohort_mi, CAST(off AS BIGINT) AS off,
+           n_active, revenue_cents,
+           CAST(sum(revenue_cents) OVER (PARTITION BY cohort_mi ORDER BY off
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+    FROM cell
+    ORDER BY cohort_mi, off
+    """
+
+
+@_register("cohort_ltv_cents", _ltv_sql(tx.DUCK))
+def q_cohort_ltv_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue summed per month offset 0..{LTV_MAX_OFFSET} and
+    accumulated along the offset axis — the MONEY half of the classic
+    growth dashboard whose user-count half is cohort_retention (an LTV
+    curve that flattens while retention holds means shrinking basket
+    sizes, which neither query shows alone).
+
+    Determinism: month index = year·12 + month − 1, exact integers in
+    both engines; money is exact DECIMAL→BIGINT cents; the cumulative
+    window is integer sums over a calendar-bounded frame.
+
+    Scale: the cohort min and the order join both hash on o_custkey
+    (one reused exchange — the cohort_retention plan shape); the cell
+    rollup shuffles (cohort, offset) pairs only, and the cumulative
+    window runs on the months × {LTV_MAX_OFFSET + 1} frame."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    o.createOrReplaceTempView("orders_ltv")
+    return spark.sql(
+        _ltv_sql(tx.SPARK).replace("FROM orders", "FROM orders_ltv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-bounded bigram support (GSP length-2 over 30-min sessions)
+# ---------------------------------------------------------------------------
+
+
+def _sbs_sql(dialect: str) -> str:
+    from pedri_analysis_spark.plans.draft_r13 import SESSION_GAP_US
+
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "events_sbs"
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, {ts_us} AS t FROM {src}
+    ),
+    g AS (
+      SELECT user_id, event_id, event_type, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    big AS (
+      SELECT user_id, sid, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY t, event_id) AS b
+      FROM s
+    ),
+    occ AS (
+      SELECT a, b, user_id, sid, count(*) AS n
+      FROM big WHERE b IS NOT NULL
+      GROUP BY a, b, user_id, sid
+    )
+    SELECT a, b,
+           CAST(count(*) AS BIGINT) AS support_sessions,
+           CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM occ
+    GROUP BY a, b
+    ORDER BY support_sessions DESC, n_occurrences DESC, a ASC, b ASC
+    """
+
+
+@_register("session_bigram_support", _sbs_sql(tx.DUCK))
+def q_session_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-bounded sequential patterns — the length-2 core of GSP /
+    PrefixSpan sequence mining: consecutive event-type transitions
+    INSIDE a 30-minute session (the sessionization_gap_stats spine),
+    each bigram supported by how many distinct sessions and how many
+    raw occurrences.  markov_transition_probs computes transition
+    PROBABILITIES over the unsegmented stream; this query refuses to
+    count the overnight "error → signup" pseudo-transition at all —
+    session support is the number sequence-mining thresholds on.
+
+    Determinism: the in-session order is totalized by (ts_us,
+    event_id) exactly as in sessionization_gap_stats; support is a
+    two-level exact count (per-(bigram, session) rollup first, never a
+    corpus count(DISTINCT)); the final order is total.
+
+    Scale: every window and both rollups partition by user/session —
+    ONE user_id shuffle end to end, then the ≤|types|² output frame."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    ev.createOrReplaceTempView("events_sbs")
+    return spark.sql(_sbs_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift statistic over daily revenue
+# ---------------------------------------------------------------------------
+
+PH_UNIT_DIV = 1000  # daily revenue in $10 quanta (the r15 convention)
+PH_TOPK = 8
+
+
+def _ph_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    fsd = tx.floor_scaled_div
+    cents = "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(({cents}) {d} {PH_UNIT_DIV} AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    pre AS (
+      SELECT day, v,
+             CAST(sum(v) OVER w AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+      SELECT day, v,
+             s * 1000000 - CAST(sum({fsd(dialect, "s", "i", 1_000_000)})
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m_q
+      FROM pre
+    ),
+    ph AS (
+      SELECT day, v, m_q,
+             m_q - CAST(min(m_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS ph_q
+      FROM m
+    )
+    SELECT day, v AS v_units, CAST(m_q AS BIGINT) AS m_q,
+           CAST(ph_q AS BIGINT) AS ph_q
+    FROM ph
+    ORDER BY ph_q DESC, day ASC
+    LIMIT {PH_TOPK}
+    """
+
+
+@_register("page_hinkley_drift", _ph_sql(tx.DUCK))
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift statistic (Page 1954; Hinkley 1971)
+    over daily revenue: m_t = Σ_{{i≤t}} (x_i − x̄_i) with x̄_i the
+    RUNNING prefix mean, and PH_t = m_t − min_{{j≤t}} m_j — the
+    sequential detector that flags where the series departs from its
+    own history, complementing cusum_changepoint_daily (fixed global
+    mean) and binseg (single retrospective split).  δ = 0 (report the
+    raw statistic; a deployment thresholds it).
+
+    Determinism: the only fractions are the prefix means S_i/i, each
+    quantized with ONE documented floor to micro units (the Shapley
+    v(S) discipline); everything else — prefix sums, running minimum,
+    the final top-k — is exact BIGINT arithmetic with day tie-breaks.
+
+    BIGINT bound (wave convention): S_t·10⁶ wraps past ~9e12 revenue
+    units (~$9e14); coarser PH_UNIT_DIV or DECIMAL(38,0) is the escape
+    hatch.
+
+    Scale: one day rollup; three stacked windows on the
+    calendar-bounded day frame (the repo's domain-bounded
+    single-partition contract); output is TakeOrdered({PH_TOPK})."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    o.createOrReplaceTempView("orders_ph")
+    return spark.sql(
+        _ph_sql(tx.SPARK).replace("FROM orders GROUP BY", "FROM orders_ph GROUP BY")
+    )

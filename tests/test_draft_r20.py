@@ -1,0 +1,142 @@
+"""The r20-staged draft queries (plans/draft_r20.py) must already pass
+the driver-identical oracle comparison — registration in r20 is then a
+registry toggle, not new risk.  The module is intentionally NOT in
+``registry._modules`` (COVERAGE.md "Registration-window plan")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _pairs():
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
+
+
+def test_drafts_are_not_registered():
+    from pedri_analysis_spark.plans import draft_r20 as d
+    from pedri_analysis_spark.plans import registry
+
+    registered = set(registry.all_queries())
+    assert not (set(d.QUERIES) & registered)
+    assert set(d.ORACLE_SQL) == set(d.QUERIES)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_matches_oracle(spark, duck, name, qfn, sql):
+    assert_query_matches_oracle(spark, duck, qfn, sql)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_draft_plan_invariants(spark, name, qfn, sql):
+    from tools.plan_lint import _BNLJ_ALLOWED, _PYTHON_ALLOWED, lint_plan
+
+    facts = lint_plan(
+        qfn(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not facts["cartesian"]
+    if facts["python"]:
+        assert name in _PYTHON_ALLOWED
+    if facts["bnlj"]:
+        assert name in _BNLJ_ALLOWED, f"{name}: BNLJ without allowlist entry"
+
+
+def test_ltv_consistent_with_retention_population(spark, duck):
+    """Offset-0 active counts must equal each cohort's size (every
+    customer is active in their own first month), and the cumulative
+    column must telescope exactly."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = d.QUERIES["cohort_ltv_cents"](spark, SF_DIR).collect()
+    assert rows
+    coh_size = dict(
+        duck.sql(
+            """
+            SELECT cmi, count(*) FROM (
+              SELECT min(date_part('year', o_orderdate) * 12
+                         + date_part('month', o_orderdate) - 1) AS cmi
+              FROM orders GROUP BY o_custkey
+            ) GROUP BY cmi
+            """
+        ).fetchall()
+    )
+    cum = {}
+    for r in rows:
+        if r["off"] == 0:
+            assert r["n_active"] == coh_size[r["cohort_mi"]], r
+        prev = cum.get(r["cohort_mi"], 0)
+        assert r["cum_revenue_cents"] == prev + r["revenue_cents"], r
+        cum[r["cohort_mi"]] = r["cum_revenue_cents"]
+
+
+def test_session_bigrams_never_cross_sessions(spark, duck):
+    """Total bigram occurrences must equal Σ_sessions (len − 1) — the
+    exact count of in-session adjacencies, proving no transition leaks
+    across a session boundary (the defect this query exists to avoid)."""
+    from pedri_analysis_spark.plans import draft_r13 as d13
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = d.QUERIES["session_bigram_support"](spark, SF_DIR).collect()
+    total_occ = sum(r["n_occurrences"] for r in rows)
+    want = duck.sql(
+        f"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        g AS (
+          SELECT user_id,
+                 CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {d13.SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s,
+                 t, event_id
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT sum(n - 1) FROM (
+          SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+        )
+        """
+    ).fetchone()[0]
+    assert total_occ == want
+    for r in rows:
+        assert 1 <= r["support_sessions"] <= r["n_occurrences"]
+
+
+def test_page_hinkley_matches_python(spark, duck):
+    """Recompute the PH ladder in pure Python with the same one-floor-
+    per-step quantization and require the same top rows."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = d.QUERIES["page_hinkley_drift"](spark, SF_DIR).collect()
+    daily = duck.sql(
+        f"""
+        SELECT o_orderdate AS day,
+               (sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                // {d.PH_UNIT_DIV})::BIGINT AS v
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    s = 0
+    frac = 0
+    m = {}
+    for i, (day, v) in enumerate(daily, start=1):
+        s += v
+        frac += s * 1_000_000 // i
+        m[day] = s * 1_000_000 - frac
+    run_min = None
+    ph = {}
+    for day, _ in daily:
+        run_min = m[day] if run_min is None else min(run_min, m[day])
+        ph[day] = m[day] - run_min
+    want = sorted(ph.items(), key=lambda t: (-t[1], t[0]))[: d.PH_TOPK]
+    got = [(r["day"], r["ph_q"]) for r in rows]
+    assert got == [(day, phq) for day, phq in want]
