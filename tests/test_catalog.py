@@ -291,6 +291,71 @@ def lonely():
     )
 
 
+def test_closure_hash_sees_function_local_imports():
+    """r12 ADVICE regression pin: helpers reached via imports written
+    INSIDE a def's body (the dominant draft style) must enter the
+    closure — before the fix, editing such a helper left the caller's
+    hash unchanged, silently defeating re-tier-on-helper-edit."""
+    from pedri_analysis_spark.plans import registry
+
+    pkg = registry._REPO_PKG
+    caller_text = f'''
+def q_main(spark, sf):
+    from {pkg}.plans.fake_helpers import body_helper
+    from {pkg}.functions import fake_ops as fo
+
+    return body_helper(spark) + fo.op(sf)
+'''
+    helpers_text = '''
+def body_helper(spark):
+    return 1
+'''
+    # a PACKAGE module: resolvable only through the __init__.py getter
+    ops_init_text = '''
+def op(sf):
+    return 2
+'''
+    texts = {
+        f"{pkg}.plans.fake": caller_text,
+        f"{pkg}.plans.fake_helpers": helpers_text,
+        f"{pkg}.functions.fake_ops": ops_init_text,
+    }
+
+    def hash_with(**edits):
+        t = dict(texts)
+        for mod, (old, new) in edits.items():
+            assert old in t[mod]
+            t[mod] = t[mod].replace(old, new)
+        return registry.closure_fn_hash(
+            f"{pkg}.plans.fake", "q_main", lambda m: t.get(m), {}
+        )
+
+    base = hash_with()
+    assert base is not None
+    # editing the from-import helper's BODY re-tiers the caller
+    assert (
+        hash_with(**{f"{pkg}.plans.fake_helpers": ("return 1", "return 11")})
+        != base
+    )
+    # editing the module-alias helper's body re-tiers too
+    assert (
+        hash_with(**{f"{pkg}.functions.fake_ops": ("return 2", "return 22")})
+        != base
+    )
+
+
+def test_disk_text_getter_reads_package_init():
+    """r12 ADVICE regression pin: package modules backed by __init__.py
+    (pedri_analysis_spark.operators defines spread() there) must be
+    readable by the disk getter, else their defs silently drop out of
+    every closure."""
+    from pedri_analysis_spark.plans import registry
+
+    get_text = registry._disk_text_getter()
+    text = get_text("pedri_analysis_spark.operators")
+    assert text is not None and "def spread" in text
+
+
 def test_stamp_latest_promotes_rewritten_query_back_to_green(tmp_path, monkeypatch):
     """End-to-end tier transition: a green query whose source changed
     sits in the rewritten tier until --stamp-latest records the newly
