@@ -21,6 +21,10 @@ Families and the public designs they implement:
   its running minimum — the sequential mean-shift detector that flags
   WHERE the series departed from its own history, complementing
   cusum_changepoint_daily's fixed-mean CUSUM.
+- cvm_drift_doclen — two-sample Cramér-von Mises drift per source
+  pair: the integral-norm companion to ks_drift_doclen's sup-norm,
+  catching broad low-amplitude CDF shifts a single worst-gap misses;
+  pinned coherent with KS (zero-KS ⇒ zero-CvM, CvM ≤ KS²).
 
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
@@ -261,4 +265,99 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.createOrReplaceTempView("orders_ph")
     return spark.sql(
         _ph_sql(tx.SPARK).replace("FROM orders GROUP BY", "FROM orders_ph GROUP BY")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises drift on binned document lengths
+# ---------------------------------------------------------------------------
+
+CVM_BIN = 64  # same n_chars bin width as ks_drift_doclen
+
+
+def _hug(dialect: str, expr: str) -> str:
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+def _cvm_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    diff = "(cum1 * n_b - cum2 * n_a)"
+    num = f"sum({h(diff)} * {h(diff)} * {h('(c1 + c2)')})"
+    den = f"({h('n_a + n_b')} * {h('n_a * n_b')} * {h('n_a * n_b')})"
+    return f"""
+    WITH c AS (
+      SELECT source, (n_chars {d} {CVM_BIN}) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, (n_chars {d} {CVM_BIN})
+    ),
+    tot AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    sides AS (
+      SELECT p.src_a, p.src_b, c.bin, c.cnt AS c1, CAST(0 AS BIGINT) AS c2
+      FROM pairs p JOIN c ON c.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, c.bin, CAST(0 AS BIGINT), c.cnt
+      FROM pairs p JOIN c ON c.source = p.src_b
+    ),
+    g AS (
+      SELECT src_a, src_b, bin,
+             CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2
+      FROM sides GROUP BY src_a, src_b, bin
+    ),
+    cum AS (
+      SELECT src_a, src_b, c1, c2,
+             CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER w AS BIGINT) AS cum2
+      FROM g
+      WINDOW w AS (PARTITION BY src_a, src_b ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    stat AS (
+      SELECT c.src_a, c.src_b, p.n_a, p.n_b,
+             {num} AS num
+      FROM cum c
+      JOIN pairs p ON p.src_a = c.src_a AND p.src_b = c.src_b
+      GROUP BY c.src_a, c.src_b, p.n_a, p.n_b
+    )
+    SELECT src_a, src_b, n_a, n_b,
+           CAST((num * 1000000) {d} {den} AS BIGINT) AS cvm_micro
+    FROM stat
+    ORDER BY cvm_micro DESC, src_a ASC, src_b ASC
+    """
+
+
+@_register("cvm_drift_doclen", _cvm_sql(tx.DUCK))
+def q_cvm_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift over the binned document-length
+    CDFs of every source pair: the INTEGRAL-norm companion to
+    ks_drift_doclen's sup-norm — KS sees only the single worst CDF gap,
+    CvM integrates (F_a − F_b)² against the pooled mass and so catches
+    broad low-amplitude distribution shifts a one-point spike hides.
+    Statistic (documented quantized objective, the binseg discipline):
+    cvm = Σ_bins (c1+c2)·(F_a − F_b)² / (n_a + n_b), with the CDF
+    difference carried as the exact integer cross product
+    cum1·n_b − cum2·n_a over the common denominator n_a·n_b.
+
+    Determinism: identical bin/cumulative spine as the registered KS
+    query (value-bounded bin domain); the squared sum accumulates in
+    HUGEINT / DECIMAL(38,0) — diff² is corpus⁴ magnitude, far past
+    BIGINT (the brown_forsythe lesson applied at design time) — and the
+    single division is 128-bit truncating in both engines.
+
+    Scale: one (source, bin) rollup; the pair expansion is
+    |sources|²-bounded; cumulative windows run per pair over the
+    value-bounded bin domain."""
+    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    docs.createOrReplaceTempView("documents_cvm")
+    return spark.sql(
+        _cvm_sql(tx.SPARK).replace("FROM documents GROUP BY", "FROM documents_cvm GROUP BY")
     )

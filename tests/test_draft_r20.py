@@ -140,3 +140,30 @@ def test_page_hinkley_matches_python(spark, duck):
     want = sorted(ph.items(), key=lambda t: (-t[1], t[0]))[: d.PH_TOPK]
     got = [(r["day"], r["ph_q"]) for r in rows]
     assert got == [(day, phq) for day, phq in want]
+
+
+def test_cvm_and_ks_agree_on_extremes(spark, duck):
+    """CvM and KS measure the same CDF discrepancy in different norms:
+    a pair with ZERO KS distance must have zero CvM, and the CvM
+    statistic is bounded by the KS sup-norm squared (∫(F1−F2)²dH ≤
+    D_KS² since the integrand never exceeds the sup)."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+    from pedri_analysis_spark.plans import draft_r13 as d13
+    from pedri_analysis_spark.plans import registry
+
+    cvm = {
+        (r["src_a"], r["src_b"]): r["cvm_micro"]
+        for r in d.QUERIES["cvm_drift_doclen"](spark, SF_DIR).collect()
+    }
+    ks = {
+        (r["src_a"], r["src_b"]): r["ks_micro"]
+        for r in registry.all_queries()["ks_drift_doclen"](spark, SF_DIR).collect()
+    }
+    assert set(cvm) == set(ks)
+    for pair, c in cvm.items():
+        k = ks[pair]
+        if k == 0:
+            assert c == 0, pair
+        # c (micro of the integral) <= micro(D^2) + quantization slack:
+        # D^2 in micro is k^2 / 1e6
+        assert c <= (k * k) // 1_000_000 + 2, (pair, c, k)

@@ -128,6 +128,9 @@ _BNLJ_ALLOWED = {
     # r18 drafts (plans/draft_r18.py — staged r13, facts pinned by
     # tests/test_draft_r18.py)
     "bloom_semijoin_reduction",  # four 1-row count frames crossed together
+    # r20 drafts (plans/draft_r20.py — staged r13, facts pinned by
+    # tests/test_draft_r20.py)
+    "cvm_drift_doclen",  # source-pair build: |sources|^2 non-equi (ks precedent)
     # r19 drafts (plans/draft_r19.py — staged r13, facts pinned by
     # tests/test_draft_r19.py)
     "average_precision_value",  # 1-row negative-total scalar subquery
