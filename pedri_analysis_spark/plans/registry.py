@@ -470,6 +470,10 @@ def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
 # Hand-forced re-proof slots.  CORRECTNESS_r12 delivered fresh green rows
 # for the three similarity re-proofs the r11 verdict demanded, so the set
 # is empty again; repopulate only when a verdict asks for a forced row.
+# SCHEDULED (COVERAGE.md "r14 window allocation", decided r13): at r14
+# round-start set this to the 16 pedri §2 queries so the core reference
+# contract re-proves exactly at its freshness deadline — the r14 window
+# then fits 12 draft_r14 first-contacts + 16 forced + 22 LRU drains.
 _FORCE_REPROVE: set[str] = set()
 
 
