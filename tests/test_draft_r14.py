@@ -1,8 +1,8 @@
 """The r14-staged draft queries (plans/draft_r14.py) must already pass
 the driver-identical oracle comparison — registration in r14 is then a
-registry toggle, not new risk.  The module is intentionally NOT in
-``registry._modules``: the r13 window is spoken for (21 r13 drafts +
-the r08 stale drain — COVERAGE.md "Registration-window plan")."""
+registry toggle, not new risk.  Registered at r14 round-start per the
+COVERAGE.md "r14 window allocation" plan (12 first-contacts + 16 pedri
+forced re-proofs + 22 LRU drains)."""
 
 from __future__ import annotations
 
@@ -17,14 +17,15 @@ def _pairs():
     return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
 
 
-def test_drafts_are_not_registered():
+def test_drafts_are_registered():
+    """Flipped at r14 registration: the wave is now IN the registry
+    (one line in registry._modules), fully oracle-paired."""
     from pedri_analysis_spark.plans import draft_r14 as d
     from pedri_analysis_spark.plans import registry
 
     registered = set(registry.all_queries())
-    assert not (set(d.QUERIES) & registered), (
-        "r14 draft queries leaked into the registry early — they must not "
-        "displace the r13-wave first-contact / stale-drain window slots"
+    assert set(d.QUERIES) <= registered, (
+        "r14 wave missing from the registry after its registration round"
     )
     assert set(d.ORACLE_SQL) == set(d.QUERIES)
 
