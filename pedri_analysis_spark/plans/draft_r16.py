@@ -137,18 +137,37 @@ def _mwu_final(dialect: str) -> str:
     """The closed-form tie-corrected z² from the spine's sums — one
     row of exact integer arithmetic, 128-bit widened (diff2² · 3n(n−1)
     reaches ~3e27 at sf0.1 scale, far past BIGINT).
-    z² = 3·(2U−n1n2)²·n(n−1) / (n1·n2·(n(n²−1) − T)), T = Σ(t³−t)."""
+    z² = 3·(2U−n1n2)²·n(n−1) / (n1·n2·(n(n²−1) − T)), T = Σ(t³−t).
+
+    The ·10⁶ micro-scaling goes through a RESIDUE DECOMPOSITION
+    (q = num div den; z2_micro = q·10⁶ + (rem·10⁶) div den — exactly
+    equal to (num·10⁶) div den for non-negative operands under the
+    truncating 128-bit div both engines share) so the largest
+    intermediate is num = 3·diff2²·n(n−1) ≈ 3n⁶/16 rather than 10⁶×
+    that: the 128-bit ceiling sits at ~3.1M filtered purchase+click
+    rows (~sf10synth) instead of ~310k (~sf1.0).  Past it both engines
+    fail LOUDLY (Spark ANSI decimal overflow / DuckDB HUGEINT error),
+    never a silent cross-engine divergence — bound (wave convention).
+
+    T = Σ(t³−t) is widened to 128-bit INSIDE the sum (a single tied
+    value group above ~2.1M rows overflows tv³ in BIGINT); only the
+    reported tie_term OUTPUT column casts back to BIGINT, a loud ANSI/
+    HUGEINT cast error past Σ(t³−t) ≥ 2⁶³ — bound (wave convention)."""
     d = _IDIV[dialect]
     h = lambda e: _hug(dialect, e)  # noqa: E731
     # widen BEFORE squaring: diff2 is row-count-squared magnitude, so
     # diff2*diff2 in BIGINT would wrap first at scale
     num = f"({h('diff2')} * {h('diff2')} * {h('3 * n * (n - 1)')})"
-    den = f"({h('n1 * n2')} * {h('n * (n * n - 1) - tie_t')})"
+    # n(n²−1) widened factor-by-factor: in BIGINT it wraps at n>2.1M
+    den = (
+        f"({h('n1 * n2')} * "
+        f"({h('n')} * {h('n')} * {h('n')} - {h('n')} - tie_t))"
+    )
     return f"""
     sums AS (
       SELECT sum(n1v) AS n1, sum(n2v) AS n2, sum(n1v + n2v) AS n,
              sum(n1v * (2 * c_before + tv + 1)) AS r1x2,
-             sum(tv * tv * tv - tv) AS tie_t
+             sum({h('tv')} * tv * tv - tv) AS tie_t
       FROM cum
     ),
     stat AS (
@@ -156,15 +175,29 @@ def _mwu_final(dialect: str) -> str:
              r1x2 - n1 * (n1 + 1) AS u1x2,
              r1x2 - n1 * (n1 + 1) - n1 * n2 AS diff2
       FROM sums
+    ),
+    quot AS (
+      SELECT n1, n2, u1x2, tie_t, {num} AS numw, {den} AS denw
+      FROM stat
+    ),
+    res AS (
+      SELECT n1, n2, u1x2, tie_t, denw,
+             CASE WHEN denw <= 0 THEN {h('0')}
+                  ELSE numw {d} denw END AS q,
+             CASE WHEN denw <= 0 THEN {h('0')}
+                  ELSE numw - (numw {d} denw) * denw END AS rem
+      FROM quot
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(u1x2 AS BIGINT) AS u1_x2, CAST(tie_t AS BIGINT) AS tie_term,
-           CAST(CASE WHEN {den} <= 0 THEN 0
-                ELSE ({num} * 1000000) {d} {den} END AS BIGINT) AS z2_micro,
-           CAST(CASE WHEN {den} > 0
-                     AND ({num} * 1000000) {d} {den} >= {MWU_CHI2_CRIT_MICRO}
+           CAST(CASE WHEN denw <= 0 THEN 0
+                ELSE q * 1000000 + (rem * 1000000) {d} denw
+                END AS BIGINT) AS z2_micro,
+           CAST(CASE WHEN denw > 0
+                     AND q * 1000000 + (rem * 1000000) {d} denw
+                         >= {MWU_CHI2_CRIT_MICRO}
                 THEN 1 ELSE 0 END AS BIGINT) AS significant
-    FROM stat"""
+    FROM res"""
 
 
 @_register(

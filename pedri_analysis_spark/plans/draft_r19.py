@@ -104,9 +104,11 @@ def _ap_sql(dialect: str) -> str:
       FROM per_pos
     )
     SELECT n_pos,
-           (SELECT CAST(sum(nn) AS BIGINT) FROM g) AS n_neg,
-           sum_prec_ppm,
-           CAST({fsd(dialect, "sum_prec_ppm", "n_pos", 1)} AS BIGINT) AS ap_ppm
+           (SELECT CAST(coalesce(sum(nn), 0) AS BIGINT) FROM g) AS n_neg,
+           coalesce(sum_prec_ppm, 0) AS sum_prec_ppm,
+           CASE WHEN n_pos > 0
+                THEN CAST({fsd(dialect, "sum_prec_ppm", "n_pos", 1)} AS BIGINT)
+                ELSE 0 END AS ap_ppm
     FROM s
     """
 

@@ -349,28 +349,48 @@ def closure_fn_hash(
             continue
         pieces[(mod, name)] = _node_source(text, node)
         # references resolve through the def's own body-level imports
-        # first (they shadow module scope inside the function), then the
+        # first (they shadow module scope inside the function — including
+        # a same-named top-level def, so the local maps must be consulted
+        # BEFORE ``defs``; r13 advice), then module-level defs, then the
         # module's top-level imports
         n_fimps, n_malias = _local_imports(node, mod)
-        fimps = {**fimps, **n_fimps}
-        maliases = {**maliases, **n_malias}
+        def _via_from_import(base: str, attr, imap) -> bool:
+            if base not in imap:
+                return False
+            smod, sname = imap[base]
+            if not smod.startswith(_REPO_PKG):
+                return True
+            sm = maps(smod)
+            if sm is not None and sname in sm[1]:
+                stack.append((smod, sname))
+            elif attr is not None and maps(f"{smod}.{sname}") is not None:
+                # `from pkg.sub import module as alias` + alias.attr
+                stack.append((f"{smod}.{sname}", attr))
+            return True
+
+        def _via_mod_alias(base: str, attr, amap) -> bool:
+            if base not in amap or attr is None:
+                return False
+            amod = amap[base]
+            if amod.startswith(_REPO_PKG):
+                stack.append((amod, attr))
+            return True
+
         for base, attr in _referenced(node):
+            # A name's binding is position-dependent within the node:
+            # the BODY sees function-local imports (which shadow module
+            # scope, incl. a same-named top-level def — r13 advice),
+            # while the DECORATOR / default expressions see module scope
+            # only.  _referenced() is position-blind, so resolve through
+            # EVERY map the name could bind to and hash the superset —
+            # over-inclusion can only force a spurious re-proof, never
+            # trust a stale proof.
+            _via_from_import(base, attr, n_fimps)
+            _via_mod_alias(base, attr, n_malias)
             if base in defs:
                 stack.append((mod, base))
-            elif base in fimps:
-                smod, sname = fimps[base]
-                if not smod.startswith(_REPO_PKG):
-                    continue
-                sm = maps(smod)
-                if sm is not None and sname in sm[1]:
-                    stack.append((smod, sname))
-                elif attr is not None and maps(f"{smod}.{sname}") is not None:
-                    # `from pkg.sub import module as alias` + alias.attr
-                    stack.append((f"{smod}.{sname}", attr))
-            elif base in maliases and attr is not None:
-                amod = maliases[base]
-                if amod.startswith(_REPO_PKG):
-                    stack.append((amod, attr))
+            elif not _via_from_import(base, attr, fimps):
+                _via_mod_alias(base, attr, maliases)
     blob = "\n\n".join(
         f"# {m}:{n}\n{src}" for (m, n), src in sorted(pieces.items())
     )

@@ -344,6 +344,61 @@ def op(sf):
     )
 
 
+def test_closure_hash_local_import_shadows_module_def():
+    """r13 ADVICE regression pin: a body-level ``from .x import name``
+    that SHADOWS a same-named top-level def must hash the imported
+    source (Python scoping: the local import wins inside the body) —
+    before the fix, ``if base in defs`` preceded the local-import
+    lookup, so editing the imported helper left the caller's hash
+    unchanged.  The module-level def stays in the closure TOO (the
+    superset rule: a decorator or default expression sees module scope
+    — pedri_zone_metrics' oracle SQL uses pedri_queries._cnt while its
+    body uses pedri_pipeline._cnt, both real dependencies)."""
+    from pedri_analysis_spark.plans import registry
+
+    pkg = registry._REPO_PKG
+    caller_text = '''
+def helper():
+    return "module-level"
+
+
+def q_main(spark, sf):
+    from {pkg}.plans.fake_helpers import helper
+
+    return helper()
+'''.replace("{pkg}", pkg)
+    helpers_text = '''
+def helper():
+    return "imported"
+'''
+    texts = {
+        f"{pkg}.plans.fake": caller_text,
+        f"{pkg}.plans.fake_helpers": helpers_text,
+    }
+
+    def hash_with(**edits):
+        t = dict(texts)
+        for mod, (old, new) in edits.items():
+            assert old in t[mod]
+            t[mod] = t[mod].replace(old, new)
+        return registry.closure_fn_hash(
+            f"{pkg}.plans.fake", "q_main", lambda m: t.get(m), {}
+        )
+
+    base = hash_with()
+    assert base is not None
+    # editing the SHADOWING imported helper re-tiers (the r13 fix)
+    assert (
+        hash_with(**{f"{pkg}.plans.fake_helpers": ('"imported"', '"edited"')})
+        != base
+    )
+    # editing the shadowed module-level def ALSO re-tiers (superset)
+    assert (
+        hash_with(**{f"{pkg}.plans.fake": ('"module-level"', '"edited"')})
+        != base
+    )
+
+
 def test_disk_text_getter_reads_package_init():
     """r12 ADVICE regression pin: package modules backed by __init__.py
     (pedri_analysis_spark.operators defines spread() there) must be

@@ -131,3 +131,38 @@ def test_wav_haar_matches_python_pyramid(spark):
             want[(mid, k)] = (len(dd), sum(x * x for x in dd))
             s = [x + y for x, y in zip(a, b)]
     assert got == want
+
+
+def test_ap_zero_positives_guarded(spark, duck, tmp_path):
+    """A corpus with ZERO 'purchase' events makes n_pos = 0; unguarded,
+    DuckDB raises division-by-zero where Spark returns NULL.  Both
+    engines must take the guard branch: ap_ppm = 0, sum_prec_ppm = 0.
+    r13 advice regression pin (the ARI/GKT zero-denominator class)."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    deg = t.filter(pc.not_equal(t.column("event_type"), "purchase"))
+    assert deg.num_rows > 0
+    pq.write_table(deg, str(tmp_path / "events.parquet"))
+
+    srow = (
+        d.QUERIES["average_precision_value"](spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    assert srow["n_pos"] == 0 and srow["ap_ppm"] == 0, srow
+    assert srow["sum_prec_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    q = con.sql(d.ORACLE_SQL["average_precision_value"])
+    drow = dict(zip(list(q.columns), q.fetchall()[0]))
+    con.close()
+    assert drow["n_pos"] == 0 and drow["ap_ppm"] == 0, drow
