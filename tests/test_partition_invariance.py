@@ -40,10 +40,14 @@ SAMPLE = [
     ("split_conformal_coverage", None),  # rank thresholds over hash splits
     ("kcenter_coreset", None),  # iterative argmax with total-order ties
     ("fellegi_sunter_parts", None),  # weighted pair counts via hash chunks
-    # r14 staged drafts with merge-order-sensitive shapes
-    ("autocorr_daily_revenue", "draft_r14"),  # ordered day windows + lag joins
-    ("mmr_diverse_topk", "draft_r14"),  # iterative double argmax (greatest chain)
-    ("prefix_filter_jaccard_dups", "draft_r14"),  # rank-prefix blocking windows
+    # r14 registrations with merge-order-sensitive rank/float reducers
+    # (VERDICT r13 ask #5; registered r14)
+    ("autocorr_daily_revenue", None),  # ordered day windows + lag joins
+    ("mmr_diverse_topk", None),  # iterative double argmax (greatest chain)
+    ("prefix_filter_jaccard_dups", None),  # rank-prefix blocking windows
+    ("benjamini_hochberg_fdr", None),  # rank-ordered p-value thresholds
+    ("map_bm25_eval", None),  # per-query ranked AP over tie-broken top-k
+    ("ari_clusters_vs_labels", None),  # contingency pair sums over splits
     # r15 staged drafts with merge-order-sensitive shapes
     ("winnowing_fingerprints", "draft_r15"),  # lag/lead selection windows
     ("edit_distance_near_dups", "draft_r15"),  # groupBy-min representatives
