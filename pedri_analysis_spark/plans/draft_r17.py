@@ -582,3 +582,247 @@ def q_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _sro_sql(tx.SPARK).replace("FROM orders GROUP BY", "FROM orders_sro GROUP BY")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across ALL event-type value distributions (added r14)
+# ---------------------------------------------------------------------------
+
+# chi^2_{df, 0.05} in micro units for df = 1..12 (literal constants,
+# the mcnemar/mwu discipline); event_type cardinality is domain-small,
+# df outside the table yields NULL significance (loud, never wrong)
+KW_CHI2_CRIT_MICRO = {
+    1: 3_841_459,
+    2: 5_991_465,
+    3: 7_814_728,
+    4: 9_487_729,
+    5: 11_070_498,
+    6: 12_591_587,
+    7: 14_067_140,
+    8: 15_507_313,
+    9: 16_918_978,
+    10: 18_307_038,
+    11: 19_675_138,
+    12: 21_026_070,
+}
+
+
+def _kw_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    # per-group floor of 3e6 * s2^2 / (n(n+1) ng) via the residue
+    # decomposition: the intermediate is 3*s2^2 (~12 n^2 ng^2, 128-bit
+    # safe to n ~ 3e9 rows) rather than 1e6x that
+    term = tx.floor_scaled_div(
+        dialect,
+        f"(3 * {h('s2')} * {h('s2')})",
+        f"({h('n')} * (n + 1) * ng)",
+        1_000_000,
+    )
+    crit = " ".join(
+        f"WHEN k - 1 = {df} THEN {c}" for df, c in KW_CHI2_CRIT_MICRO.items()
+    )
+    return f"""
+    WITH pt AS (
+      SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY value, event_type
+    ),
+    cum AS (
+      SELECT value, tvn,
+             CAST(coalesce(sum(tvn) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS c_before
+      FROM (SELECT value, CAST(sum(cnt) AS BIGINT) AS tvn
+            FROM pt GROUP BY value) tv
+    ),
+    pj AS (
+      SELECT p.event_type, p.cnt, c.tvn, c.c_before,
+             row_number() OVER (PARTITION BY p.value
+                                ORDER BY p.event_type) AS rn_v
+      FROM pt p JOIN cum c ON c.value = p.value
+    ),
+    rg AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS ng,
+             CAST(sum(cnt * (2 * c_before + tvn + 1)) AS BIGINT) AS s2,
+             sum(CASE WHEN rn_v = 1
+                 THEN {h('tvn')} * tvn * tvn - tvn ELSE {h('0')} END) AS tie_g
+      FROM pj GROUP BY event_type
+    ),
+    rg2 AS (
+      SELECT ng, s2,
+             CAST(sum(ng) OVER () AS BIGINT) AS n,
+             sum(tie_g) OVER () AS tie_t
+      FROM rg
+    ),
+    tot AS (
+      SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS k,
+             max(tie_t) AS tie_t,
+             CAST(sum(CAST({term} AS BIGINT)) AS BIGINT) AS term_sum
+      FROM rg2
+    ),
+    stat AS (
+      SELECT n, k, term_sum - 3 * (n + 1) * 1000000 AS h_micro,
+             {h('n')} * {h('n')} * {h('n')} - {h('n')} - tie_t AS tc_den,
+             tie_t
+      FROM tot
+    )
+    SELECT n, k AS k_groups, CAST(tie_t AS BIGINT) AS tie_term,
+           CAST(h_micro AS BIGINT) AS h_micro,
+           CAST(CASE WHEN n >= 2 AND tc_den > 0
+                THEN ({h('h_micro')} * ({h('n')} * {h('n')} * {h('n')} - {h('n')}))
+                     {d} tc_den
+                ELSE h_micro END AS BIGINT) AS h_tc_micro,
+           CAST(CASE WHEN k < 2 OR k > 13 THEN NULL
+                WHEN (CASE WHEN n >= 2 AND tc_den > 0
+                      THEN ({h('h_micro')} * ({h('n')} * {h('n')} * {h('n')} - {h('n')}))
+                           {d} tc_den
+                      ELSE h_micro END)
+                     >= (CASE {crit} END) THEN 1 ELSE 0 END AS BIGINT)
+             AS significant
+    FROM stat
+    """
+
+
+@_register("kruskal_wallis_h_values", _kw_sql(tx.DUCK))
+def q_kruskal_wallis_h_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H rank test (1952) across ALL event-type ``value``
+    distributions at once — the k-group generalization of the staged
+    Mann-Whitney U (draft_r16): "do ANY of the event populations pay
+    differently", the one-way ANOVA-on-ranks with no normality
+    assumption and no libm.
+
+    Determinism: doubled average ranks (2*avgrank = 2*c_before + t + 1,
+    exact integers for any tie group) give exact doubled rank sums s2_g
+    per group; H = [3/(n(n+1))] * sum_g s2_g^2/n_g - 3(n+1) floors each
+    group term to micro via the overflow-safe residue decomposition
+    (<= k documented per-term floors, the AP@10 convention), and the
+    tie correction H' = H*(n^3-n)/(n^3-n - sum(t^3-t)) is one exact
+    128-bit division.  Degenerate guards mirrored in both dialects:
+    all-values-tied (tc_den = 0) skips the correction; df = k-1 outside
+    the literal chi-square table yields NULL significance.
+
+    Scale: one (value, event_type) groupBy reduces corpus rows to the
+    domain-bounded 2-decimal grid; the ordered cumulative window runs
+    on the per-value rollup of THAT frame (the adjudicated score-domain
+    single-partition pattern, see mann_whitney_u_values) and the rest
+    is a k-row aggregate.  128-bit ceilings: 3*s2^2 saturates DECIMAL38
+    / HUGEINT around n ~ 3e9 valued rows — loud ANSI/HUGEINT failure,
+    never silent divergence (wave convention)."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    ev.createOrReplaceTempView("kw_events")
+    return spark.sql(
+        _kw_sql(tx.SPARK).replace("FROM events WHERE", "FROM kw_events WHERE")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t^2 (unequal-variance mean test) purchase vs click (added r14)
+# ---------------------------------------------------------------------------
+
+WELCH_GROUP_A = "purchase"
+WELCH_GROUP_B = "click"
+# z^2 ~ chi^2_1 at 0.05 in micro units (the MWU/McNemar normal-approx
+# convention; Welch df is large for these group sizes)
+WELCH_CHI2_CRIT_MICRO = 3_841_459
+
+
+def _welch_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    # |s1*n2 - s2*n1| and its sign handled by branch (truncating div on
+    # negatives would diverge: DuckDB floors, Spark truncates toward 0)
+    mdnum = f"({h('s1')} * n2 - {h('s2')} * n1)"
+    mdabs = f"(CASE WHEN {mdnum} >= 0 THEN {mdnum} ELSE -{mdnum} END)"
+    md = f"(({mdabs} * 1000) {d} ({h('n1')} * n2))"
+    vm = lambda a, dn: (  # noqa: E731
+        f"(({h(a)} * 1000000) {d} ({h(dn)} * {dn} * ({dn} - 1)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('{WELCH_GROUP_A}', '{WELCH_GROUP_B}')
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN c ELSE 0 END) AS BIGINT) AS s1,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN {h('c')} * c ELSE {h('0')} END) AS q1,
+        CAST(sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN c ELSE 0 END) AS BIGINT) AS s2,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN {h('c')} * c ELSE {h('0')} END) AS q2
+      FROM e
+    ),
+    a AS (
+      SELECT n1, s1, n2, s2,
+             {h('n1')} * q1 - {h('s1')} * s1 AS a1,
+             {h('n2')} * q2 - {h('s2')} * s2 AS a2
+      FROM s
+    ),
+    q AS (
+      SELECT n1, n2,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CASE WHEN {mdnum} >= 0 THEN {md} ELSE -({md}) END
+             ELSE {h('0')} END AS md_milli,
+             CASE WHEN n1 >= 2 THEN {vm("a1", "n1")} ELSE {h('0')} END
+               + CASE WHEN n2 >= 2 THEN {vm("a2", "n2")} ELSE {h('0')} END
+               AS vm_sum_q
+      FROM a
+    )
+    SELECT n1, n2, CAST(md_milli AS BIGINT) AS mean_diff_milli,
+           CAST(vm_sum_q AS BIGINT) AS var_mean_sum_micro,
+           CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND vm_sum_q > 0
+                THEN ({h('md_milli')} * md_milli * 1000000) {d} vm_sum_q
+                ELSE 0 END AS BIGINT) AS t2_micro,
+           CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND vm_sum_q > 0
+                     AND ({h('md_milli')} * md_milli * 1000000) {d} vm_sum_q
+                         >= {WELCH_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM q
+    """
+
+
+@_register("welch_t2_values", _welch_sql(tx.DUCK))
+def q_welch_t2_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test in SQUARED form (t^2, Welch 1947)
+    between the purchase and click ``value`` means — the mean-shift
+    companion to mann_whitney_u_values (location on ranks) and
+    brown_forsythe_value (spread): t^2 = (m1-m2)^2 / (v1/n1 + v2/n2)
+    needs no sqrt and compares against chi^2_1 under the large-sample
+    normal approximation (documented, the MWU convention).
+
+    Determinism: exact cents sums S, Q = sum(c^2) widened to 128-bit
+    INSIDE the sum; three documented quantizations — the mean
+    difference floors to MILLI-cents via (|S1 n2 - S2 n1| * 1000) div
+    (n1 n2) with the sign branched BEFORE the division (truncating div
+    on negatives diverges: DuckDB floors, Spark truncates toward 0),
+    each group's variance-of-mean floors to MICRO-cents^2 via
+    (n_i Q_i - S_i^2) * 1e6 div (n_i^2 (n_i-1)), and the final t^2
+    floors to micro.  Units cancel exactly: md_milli^2 is 1e-6 cents^2,
+    matching vm's micro-cents^2, so t2_micro = md^2 * 1e6 div vm_sum.
+    Guards mirrored in both dialects: n_i < 2 or zero variance-of-mean
+    branch BEFORE dividing.
+
+    Scale: one narrow scan, ONE 6-sum aggregate row, zero joins and
+    zero windows — the cheapest shape in the catalog.  128-bit ceiling:
+    n_i*Q_i ~ n^2 c_max^2 saturates around n ~ 1e9 valued rows per
+    group (loud, wave convention)."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(WELCH_GROUP_A, WELCH_GROUP_B)
+        )
+        .select("event_type", "value")
+    )
+    ev.createOrReplaceTempView("welch_events")
+    return spark.sql(
+        _welch_sql(tx.SPARK).replace("FROM events", "FROM welch_events")
+    )

@@ -172,3 +172,102 @@ def test_sro_report_ordered(spark):
     zs = [r["robust_z_micro"] for r in rows]
     assert all(z is not None and z >= 0 for z in zs)
     assert zs == sorted(zs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis / Welch: cross-validated against independent Python (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_python_reference(spark, duck):
+    """Recompute tie-corrected H from the raw rows in pure Python
+    (average ranks via sorting — an independent path from the SQL's
+    doubled-rank grid algebra) and require agreement within the
+    documented per-group micro floors."""
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = duck.sql(
+        "SELECT event_type, value FROM events WHERE value IS NOT NULL"
+    ).fetchall()
+    vals = sorted(set(v for _, v in rows))
+    # average rank per distinct value (1-based)
+    from collections import Counter
+
+    tv = Counter(v for _, v in rows)
+    avg_rank, c = {}, 0
+    for v in vals:
+        avg_rank[v] = c + (tv[v] + 1) / 2.0
+        c += tv[v]
+    n = len(rows)
+    groups: dict[str, list[float]] = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(avg_rank[v])
+    h = (12.0 / (n * (n + 1))) * sum(
+        (sum(r) ** 2) / len(r) for r in groups.values()
+    ) - 3 * (n + 1)
+    tie_t = sum(t**3 - t for t in tv.values())
+    h_tc = h / (1 - tie_t / (n**3 - n)) if tie_t < n**3 - n else h
+
+    got = d.QUERIES["kruskal_wallis_h_values"](spark, SF_DIR).collect()[0]
+    assert got["n"] == n and got["k_groups"] == len(groups)
+    assert got["tie_term"] == tie_t
+    # k per-group floors + 1 final floor of slack
+    assert abs(got["h_micro"] - h * 1e6) <= len(groups) + 2
+    assert abs(got["h_tc_micro"] - h_tc * 1e6) <= len(groups) + 4
+
+
+def test_welch_t2_matches_python_reference(spark, duck):
+    """Welch t^2 recomputed from raw cents in float Python; the SQL's
+    three documented quantizations (milli-cent mean diff, micro-cent^2
+    variance-of-mean, final micro floor) bound the divergence."""
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    rows = duck.sql(
+        "SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) "
+        "FROM events WHERE value IS NOT NULL "
+        f"AND event_type IN ('{d.WELCH_GROUP_A}', '{d.WELCH_GROUP_B}')"
+    ).fetchall()
+    a = [c for g, c in rows if g == d.WELCH_GROUP_A]
+    b = [c for g, c in rows if g == d.WELCH_GROUP_B]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    md = sum(a) / len(a) - sum(b) / len(b)
+    vm = var(a) / len(a) + var(b) / len(b)
+    t2 = md * md / vm
+
+    got = d.QUERIES["welch_t2_values"](spark, SF_DIR).collect()[0]
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["mean_diff_milli"] - md * 1e3) <= 1
+    # quantization slack: vm_sum floors twice (one per group); t2 is a
+    # ratio of quantized terms — allow 0.1% relative plus 2 micro
+    assert abs(got["t2_micro"] - t2 * 1e6) <= max(2, 0.001 * t2 * 1e6)
+
+
+def test_welch_degenerate_single_group_guarded(spark, duck, tmp_path):
+    """Zero click rows: both engines must take the n2 < 2 guard branch
+    (t2_micro = 0, significant = 0) instead of dividing by zero."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    deg = t.filter(pc.not_equal(t.column("event_type"), d.WELCH_GROUP_B))
+    pq.write_table(deg, str(tmp_path / "events.parquet"))
+
+    srow = d.QUERIES["welch_t2_values"](spark, str(tmp_path)).collect()[0]
+    assert srow["n2"] == 0 and srow["t2_micro"] == 0 and srow["significant"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    q = con.sql(d.ORACLE_SQL["welch_t2_values"])
+    drow = dict(zip(list(q.columns), q.fetchall()[0]))
+    con.close()
+    assert drow["n2"] == 0 and drow["t2_micro"] == 0 and drow["significant"] == 0
