@@ -342,3 +342,319 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE 0 END AS BIGINT)"
         ).alias("false_pass_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ERR@10: Expected Reciprocal Rank of BM25 under graded gold (added r14)
+# ---------------------------------------------------------------------------
+
+ERR_K = 10
+ERR_LCM = 2520  # lcm(1..10) — the MAP@10 exact-fraction denominator
+ERR_GMAX_POW = 4  # 2^g_max with grades g in {0,1,2}: R = (2^g - 1)/4
+# common denominator of the exact cascade: lcm(1..10) * 4^10
+ERR_DEN = ERR_LCM * ERR_GMAX_POW**ERR_K
+ERR_SHARDS = 16  # stage-1 local top-k shards (the map_bm25_eval pattern)
+
+# 4^z and 3^o for prefix exponents z, o <= 9 — literal ladders, exact
+_ERR_POW4 = " ".join(f"WHEN {z} THEN {4**z}" for z in range(ERR_K))
+_ERR_POW3 = " ".join(f"WHEN {o} THEN {3**o}" for o in range(ERR_K))
+
+
+def _err_gain_term(k_col: str, g_col: str, z_col: str, o_col: str) -> str:
+    """One cascade term in the exact integer rationalization: term_r =
+    (LCM/r) * (2^g - 1) * 4^(K-r) * 4^z * 3^o, where z/o count the
+    grade-0/grade-1 docs ranked BEFORE r (prefix of the continuation
+    product).  IDENTICAL text in both dialects."""
+    pow_kr = " ".join(f"WHEN {k} THEN {4 ** (ERR_K - k)}" for k in range(1, ERR_K + 1))
+    lcm_r = " ".join(f"WHEN {k} THEN {ERR_LCM // k}" for k in range(1, ERR_K + 1))
+    gain = f"(CASE {g_col} WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)"
+    return (
+        f"(CASE {k_col} {lcm_r} END) * {gain} * (CASE {k_col} {pow_kr} END)"
+        f" * (CASE {z_col} {_ERR_POW4} ELSE 0 END)"
+        f" * (CASE {o_col} {_ERR_POW3} ELSE 0 END)"
+    )
+
+
+def _err_oracle() -> str:
+    from pedri_analysis_spark.plans.draft_r13 import MRR_PHRASES
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+
+    df_cols = []
+    legs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, t2 = ph.split(" ")
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t1}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}a"
+        )
+        df_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t2}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}b"
+        )
+        score = (
+            f"({_term_micros(_tf(tx.DUCK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.DUCK, t2), f'df_{i}b')})"
+        )
+        legs.append(
+            f"""      SELECT '{ph}' AS phrase, doc_id, {score} AS score,
+             CASE WHEN list_contains({tx.word_shingles(tx.DUCK, "toks", 2)}, '{ph}')
+                  THEN 2
+                  WHEN list_contains(toks, '{t1}') AND list_contains(toks, '{t2}')
+                  THEN 1 ELSE 0 END AS grade
+      FROM t2, stats"""
+        )
+    scored_legs = "\n      UNION ALL\n".join(legs)
+    term = _err_gain_term("k", "grade", "z_pre", "o_pre")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.tokens(tx.DUCK, "text")} AS toks FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM toks),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+             {", ".join(df_cols)}
+      FROM t2
+    ),
+    scored AS (
+{scored_legs}
+    ),
+    topk AS (
+      SELECT phrase, grade,
+             row_number() OVER (PARTITION BY phrase
+                                ORDER BY score DESC, doc_id ASC) AS k
+      FROM scored
+      QUALIFY k <= {ERR_K}
+    ),
+    pre AS (
+      SELECT phrase, k, grade,
+             CAST(coalesce(sum(CASE WHEN grade = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY phrase ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS z_pre,
+             CAST(coalesce(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY phrase ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS o_pre
+      FROM topk
+    )
+    SELECT phrase,
+           CAST(sum(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_grade2,
+           CAST(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_grade1,
+           CAST(sum({term}) AS BIGINT) AS err_num,
+           CAST((sum({term}) * CAST(1000000 AS BIGINT))
+                // CAST({ERR_DEN} AS BIGINT) AS BIGINT) AS err_micro
+    FROM pre
+    GROUP BY phrase
+    """
+
+
+@_register("err_rankings_eval", _err_oracle())
+def q_err_rankings_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@{ERR_K} — Expected Reciprocal Rank (Chapelle et al., CIKM
+    2009), the cascade-model ranking metric that completes the
+    MRR/NDCG/MAP/RBO/AP eval family: a user scans down, stops at a
+    relevant doc with probability R_r = (2^g - 1)/2^g_max, and ERR =
+    sum_r (1/r) R_r prod_(i<r) (1 - R_i) — unlike NDCG, a perfect doc
+    at rank 1 SHIELDS everything below it.
+
+    Graded gold (deterministic, data-derived): grade 2 = the exact
+    bigram phrase occurs; grade 1 = both terms occur (bag match);
+    grade 0 otherwise — the graded refinement of mrr/map's binary gold.
+
+    Determinism: the whole cascade is ONE exact integer fraction over
+    the literal denominator {ERR_LCM} * 4^{ERR_K}: each continuation
+    (1 - R_i) = a_i/4 with a_i in (4, 3, 1), so the prefix product is
+    4^z * 3^o with z/o cumulative counts of grade-0/grade-1 docs above
+    rank r — two integer window sums and literal power ladders, zero
+    nested quantization; err_micro is the single final floor.
+
+    Scale: reuses the mrr/map scoring spine (one tokenize pass,
+    broadcast 1-row stats, |phrases| flat legs); the per-phrase
+    top-{ERR_K} is the two-stage sharded pattern (local row_number in
+    {ERR_SHARDS} bounded shards, then a global window over <=
+    {ERR_SHARDS}*{ERR_K} survivors) — never a corpus-sized single
+    window partition."""
+    from pedri_analysis_spark.plans.draft_r13 import MRR_PHRASES
+    from pedri_analysis_spark.plans.retrieval_queries import _term_micros, _tf
+    from pyspark.sql import Window as W
+
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    )
+    t2 = toks.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
+    ).persist()
+    t2.count()
+    df_aggs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{t1}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}a")
+        )
+        df_aggs.append(
+            F.expr(f"SUM(CASE WHEN array_contains(toks, '{tb}') THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{i}b")
+        )
+    stats = t2.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"), *df_aggs
+    )
+    legs = []
+    for i, ph in enumerate(MRR_PHRASES):
+        t1, tb = ph.split(" ")
+        score = (
+            f"({_term_micros(_tf(tx.SPARK, t1), f'df_{i}a')}"
+            f" + {_term_micros(_tf(tx.SPARK, tb), f'df_{i}b')})"
+        )
+        legs.append(
+            t2.crossJoin(F.broadcast(stats)).select(
+                F.lit(ph).alias("phrase"),
+                "doc_id",
+                F.expr(score).alias("score"),
+                F.expr(
+                    f"CASE WHEN array_contains("
+                    f"{tx.word_shingles(tx.SPARK, 'toks', 2)}, '{ph}') THEN 2 "
+                    f"WHEN array_contains(toks, '{t1}') "
+                    f"AND array_contains(toks, '{tb}') THEN 1 ELSE 0 END"
+                ).alias("grade"),
+            )
+        )
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionAll(leg)
+    order = [F.desc("score"), F.asc("doc_id")]
+    w_local = W.partitionBy(
+        "phrase", F.expr(f"pmod(doc_id, {ERR_SHARDS})")
+    ).orderBy(*order)
+    w_global = W.partitionBy("phrase").orderBy(*order)
+    topk = (
+        scored.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= ERR_K)
+        .withColumn("k", F.row_number().over(w_global))
+        .filter(F.col("k") <= ERR_K)
+    )
+    wpre = (
+        W.partitionBy("phrase").orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = topk.select(
+        "phrase",
+        "k",
+        "grade",
+        F.coalesce(
+            F.sum(F.when(F.col("grade") == 0, 1).otherwise(0)).over(wpre),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("z_pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("grade") == 1, 1).otherwise(0)).over(wpre),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("o_pre"),
+    )
+    term = _err_gain_term("k", "grade", "z_pre", "o_pre")
+    return pre.groupBy("phrase").agg(
+        F.sum(F.when(F.col("grade") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_grade2"),
+        F.sum(F.when(F.col("grade") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_grade1"),
+        F.sum(F.expr(term)).cast("bigint").alias("err_num"),
+        F.expr(
+            f"CAST((sum({term}) * CAST(1000000 AS BIGINT)) "
+            f"div CAST({ERR_DEN} AS BIGINT) AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resource-Allocation link prediction over the copurchase graph (added r14)
+# ---------------------------------------------------------------------------
+
+RA_TOP = 20
+
+
+def _ra_oracle() -> str:
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges_sql
+
+    return f"""
+    WITH {_copurchase_edges_sql()},
+    adj AS (
+      SELECT pa AS node, pb AS nb FROM e
+      UNION ALL
+      SELECT pb AS node, pa AS nb FROM e
+    ),
+    deg AS (SELECT node, count(*)::BIGINT AS dg FROM adj GROUP BY node),
+    wedge AS (
+      SELECT a1.nb AS x, a2.nb AS y, a1.node AS z
+      FROM adj a1 JOIN adj a2 ON a2.node = a1.node AND a1.nb < a2.nb
+    ),
+    pred AS (
+      SELECT w.x, w.y,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(1000000 AS BIGINT) // d.dg) AS BIGINT) AS ra_ppm
+      FROM wedge w
+      JOIN deg d ON d.node = w.z
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.y
+      )
+      GROUP BY w.x, w.y
+    )
+    SELECT x, y, n_common, ra_ppm
+    FROM pred
+    ORDER BY ra_ppm DESC, x ASC, y ASC
+    LIMIT {RA_TOP}
+    """
+
+
+@_register("resource_allocation_links", _ra_oracle())
+def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lu & Zhang, EPJ B
+    2009): for every NON-edge (x, y) of the copurchase graph, RA(x,y) =
+    sum over common neighbours z of 1/deg(z) — the libm-free index that
+    beat Adamic-Adar (1/log deg) in Zhou's benchmarks, here the exact
+    rational complement to link_prediction_jaccard's set-overlap view
+    (RA weights RARE hubs highest; Jaccard normalizes by union size).
+    Top-{RA_TOP} predicted links with a total-order tie-break.
+
+    Determinism: each common-neighbour term floors once to ppm
+    (1e6 div deg(z), the documented per-term quantization — deg >= 2
+    for any wedge centre, no guard needed); (ra_ppm DESC, x, y) is a
+    total order.
+
+    Scale: the wedge fan-out is the triangle_count/clustering_coef
+    topology (sum deg(z)^2 bounded, never corpus x corpus) on the
+    co_n >= threshold sparsified graph; existing edges leave via a
+    hash ANTI join on the ordered pair (x < y matches the e
+    representation directly); the top-{RA_TOP} is one
+    TakeOrderedAndProject."""
+    from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
+    adj = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionByName(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    a1 = adj.select(F.col("node").alias("z"), F.col("nb").alias("x"))
+    a2 = adj.select(F.col("node").alias("z"), F.col("nb").alias("y"))
+    wedge = a1.join(a2, "z").filter(F.col("x") < F.col("y"))
+    pred = (
+        wedge.join(
+            e.select(F.col("pa").alias("x"), F.col("pb").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .join(deg.withColumnRenamed("node", "z"), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) div dg"))
+            .cast("bigint")
+            .alias("ra_ppm"),
+        )
+    )
+    return pred.orderBy(
+        F.desc("ra_ppm"), F.asc("x"), F.asc("y")
+    ).limit(RA_TOP)

@@ -115,3 +115,73 @@ def test_bloom_semijoin_bounds(spark, duck):
     assert r["n_true_match"] <= r["n_pass_bloom"] <= r["n_fact"]
     assert r["n_false_pass"] == r["n_pass_bloom"] - r["n_true_match"]
     assert 0 <= r["false_pass_ppm"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# ERR / RA: independent cross-checks (r14 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_err_matches_python_cascade(spark, duck):
+    """Recompute ERR@10 from each phrase's ranked grades with the float
+    cascade formula (an independent path from the SQL's integer
+    rationalization) — the exact fraction must match within 1 micro."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+    from pedri_analysis_spark.plans.draft_r13 import MRR_PHRASES
+
+    got = {
+        r["phrase"]: r
+        for r in d.QUERIES["err_rankings_eval"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(MRR_PHRASES)
+    # independent ranked grades via the oracle's own spine, re-derived
+    # per phrase from the full oracle (already proven equal to Spark) —
+    # here we only validate the CASCADE math from (err_num -> err_micro)
+    # and against the float formula using n_grade counts is insufficient,
+    # so pull ranked grades from DuckDB directly:
+    import re
+
+    sql = d.ORACLE_SQL["err_rankings_eval"]
+    spine = sql[: sql.index("pre AS (")] + (
+        "sel AS (SELECT phrase, k, grade FROM topk) "
+        "SELECT phrase, k, grade FROM sel ORDER BY phrase, k"
+    )
+    rows = duck.sql(spine).fetchall()
+    by_phrase: dict[str, list[int]] = {}
+    for ph, k, g in rows:
+        by_phrase.setdefault(ph, []).append(g)
+    for ph, grades in by_phrase.items():
+        p_cont, err = 1.0, 0.0
+        for r, g in enumerate(grades, start=1):
+            rr = (2**g - 1) / 4.0
+            err += p_cont * rr / r
+            p_cont *= 1.0 - rr
+        assert abs(got[ph]["err_micro"] - err * 1e6) <= 1, ph
+        assert 0 <= got[ph]["err_micro"] <= 1_000_000
+
+
+def test_ra_links_are_nonedges_with_exact_terms(spark, duck):
+    """Every predicted link must be a NON-edge with >= 1 common
+    neighbour; ra_ppm must equal the Python recomputation (exact
+    per-term floors) on the independently rebuilt DuckDB graph."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+    from pedri_analysis_spark.plans.resolution_queries import (
+        _copurchase_edges_sql,
+    )
+
+    got = d.QUERIES["resource_allocation_links"](spark, SF_DIR).collect()
+    assert got, "degenerate: no predicted links at the test SF"
+    edges = duck.sql(
+        f"WITH {_copurchase_edges_sql()} SELECT pa, pb FROM e"
+    ).fetchall()
+    eset = set(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in got:
+        x, y = r["x"], r["y"]
+        assert x < y and (x, y) not in eset
+        common = adj.get(x, set()) & adj.get(y, set())
+        assert len(common) == r["n_common"] >= 1
+        assert r["ra_ppm"] == sum(1_000_000 // len(adj[z]) for z in common)

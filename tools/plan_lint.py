@@ -65,6 +65,7 @@ _BNLJ_ALLOWED = {
     "pmi_top_cooccurrence",  # 1-row corpus doc-count frame (PMI denominator)
     "ari_clusters_vs_labels",  # four 1-row combinatorics frames crossed
     "map_bm25_eval",  # 1-row corpus-stats frame per scoring leg (as mrr)
+    "err_rankings_eval",  # 1-row corpus-stats frame per scoring leg (as mrr/map)
     "personalized_pagerank",  # 1-row seed-count frame (as pagerank)
     "goodman_kruskal_tau",  # 1-row column-margin frame crossed
     "pedri_radar_percentiles",  # 1-row league-means frame
