@@ -403,3 +403,189 @@ def q_wav_haar_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
     return mm.wav_haar_energy(spread(ids)).orderBy("media_id", "level")
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q over three correlated document quality flags (added r14)
+# ---------------------------------------------------------------------------
+
+CQ_NCHARS_MIN = 306  # literal threshold (~median at every SF)
+CQ_TOKENS = ("the", "spark")  # presence flags 2 and 3
+CQ_CHI2_CRIT_MICRO = 5_991_465  # chi^2_{2, 0.05} micro (df = k-1 = 2)
+
+
+def _cq_hug(dialect: str, expr: str) -> str:
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+def _cq_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _cq_hug(dialect, e)  # noqa: E731
+    has = "list_contains" if dialect == tx.DUCK else "array_contains"
+    t1, t2 = CQ_TOKENS
+    num = (
+        f"(2 * (3 * ({h('c1')} * c1 + {h('c2')} * c2 + {h('c3')} * c3)"
+        f" - {h('c1 + c2 + c3')} * (c1 + c2 + c3)))"
+    )
+    den = f"(3 * rs - rs2)"
+    return f"""
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= {CQ_NCHARS_MIN} THEN 1 ELSE 0 END AS f1,
+             CASE WHEN {has}(toks, '{t1}') THEN 1 ELSE 0 END AS f2,
+             CASE WHEN {has}(toks, '{t2}') THEN 1 ELSE 0 END AS f3
+      FROM (SELECT n_chars, {tx.tokens(dialect, "text")} AS toks
+            FROM documents) tk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(f1) AS BIGINT) AS c1,
+             CAST(sum(f2) AS BIGINT) AS c2,
+             CAST(sum(f3) AS BIGINT) AS c3,
+             CAST(sum(f1 + f2 + f3) AS BIGINT) AS rs,
+             CAST(sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS rs2
+      FROM f
+    )
+    SELECT n, c1, c2, c3,
+           CAST(CASE WHEN {den} > 0
+                THEN ({num} * 1000000) {d} {den} ELSE 0 END AS BIGINT)
+             AS q_micro,
+           CAST(CASE WHEN {den} > 0
+                     AND ({num} * 1000000) {d} {den} >= {CQ_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM s
+    """
+
+
+@_register("cochrans_q_flags", _cq_sql(tx.DUCK))
+def q_cochrans_q_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (1950) across three CORRELATED binary document
+    quality flags — "do the k flag criteria fire at different rates on
+    the SAME documents", the k >= 3 generalization of the registered
+    McNemar pair test (and the within-subjects complement to the
+    independence chi-square): Q = (k-1)[k sum C_j^2 - (sum C_j)^2] /
+    [k sum R_i - sum R_i^2] ~ chi^2_(k-1), with C_j the per-flag totals
+    and R_i each document's flag count.
+
+    Flags (deterministic literals): n_chars >= {CQ_NCHARS_MIN}
+    (~median), token '{CQ_TOKENS[0]}' present, token '{CQ_TOKENS[1]}'
+    present — all three derived from the one tokenize pass.
+
+    Determinism: pure integer counting; the single division floors to
+    micro with the numerator 128-bit widened (C_j^2 is corpus-squared);
+    the all-rows-degenerate case (every R_i = 0 or k, denominator 0)
+    branches BEFORE dividing in both dialects.
+
+    Scale: one scan, ONE 6-sum aggregate row — no joins, no windows;
+    the cheapest shape in the catalog.  128-bit ceiling ~1e18 docs
+    (loud, wave convention)."""
+    docs = load_table(spark, "documents", sf_dir).select("n_chars", "text")
+    docs.createOrReplaceTempView("cq_documents")
+    return spark.sql(
+        _cq_sql(tx.SPARK).replace("FROM documents) tk", "FROM cq_documents) tk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W concordance of three document-size rankers (added r14)
+# ---------------------------------------------------------------------------
+
+KW_M = 3  # rankers: n_chars, token count, distinct-token count
+
+
+def _kw_rank_cte(dialect: str, j: int, key: str) -> str:
+    """Distributed exact rank under the strict total order ({key},
+    doc_id): prefix counts over the domain-bounded value grid (the MWU
+    c_before pattern) plus row_number INSIDE each value group — never a
+    corpus-sized single window partition."""
+    return f"""
+    g{j} AS (SELECT {key} AS k{j}, CAST(count(*) AS BIGINT) AS cnt
+             FROM m GROUP BY {key}),
+    c{j} AS (
+      SELECT k{j},
+             CAST(coalesce(sum(cnt) OVER (ORDER BY k{j}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb
+      FROM g{j}
+    ),
+    r{j} AS (
+      SELECT m.doc_id,
+             c{j}.cb + row_number() OVER (PARTITION BY m.{key}
+                                          ORDER BY m.doc_id) AS r
+      FROM m JOIN c{j} ON c{j}.k{j} = m.{key}
+    )"""
+
+
+def _kww_sql(dialect: str) -> str:
+    h = lambda e: _cq_hug(dialect, e)  # noqa: E731
+    fsd = tx.floor_scaled_div
+    uniq = "list_distinct" if dialect == tx.DUCK else "array_distinct"
+    ln = "len" if dialect == tx.DUCK else "size"
+    # sum d2^2 = 4*sum(rsum^2) - 9*n*(n+1)^2 (sum(rsum) = 3n(n+1)/2
+    # identically), so no per-row n is ever needed
+    ssum = f"(4 * q - 9 * {h('n')} * (n + 1) * (n + 1))"
+    wden = f"(3 * ({h('n')} * {h('n')} * {h('n')} - {h('n')}))"
+    return f"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CAST({ln}(toks) AS BIGINT) AS n_toks,
+             CAST({ln}({uniq}(toks)) AS BIGINT) AS n_uniq
+      FROM (SELECT doc_id, n_chars, {tx.tokens(dialect, "text")} AS toks
+            FROM documents) tk
+    ),
+    {_kw_rank_cte(dialect, 1, "n_chars").lstrip()},
+    {_kw_rank_cte(dialect, 2, "n_toks").lstrip()},
+    {_kw_rank_cte(dialect, 3, "n_uniq").lstrip()},
+    j AS (
+      SELECT r1.r + r2.r + r3.r AS rsum
+      FROM r1
+      JOIN r2 ON r2.doc_id = r1.doc_id
+      JOIN r3 ON r3.doc_id = r1.doc_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum({h('rsum')} * rsum) AS q
+      FROM j
+    )
+    SELECT n,
+           CAST({KW_M} AS BIGINT) AS m_rankers,
+           CAST({ssum} AS BIGINT) AS sum_d2_sq,
+           CAST(CASE WHEN n >= 2
+                THEN {fsd(dialect, ssum, wden, 1_000_000)}
+                ELSE 0 END AS BIGINT) AS w_micro
+    FROM s
+    """
+
+
+@_register("kendalls_w_rankers", _kww_sql(tx.DUCK))
+def q_kendalls_w_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W coefficient of concordance (1939) across {KW_M}
+    document-size rankers — chars, tokens, distinct tokens: "do the
+    size criteria agree on the corpus ordering" (W = 1 perfect
+    agreement, 0 none), the m-ranker generalization of the registered
+    pairwise kendall_tau_daily and the ranking-stability audit next to
+    rbo_rankings_eval (which compares two EXTERNAL rankings top-k).
+
+    Determinism: each ranker is the STRICT total order (metric ASC,
+    doc_id ASC) — row_number semantics, no ties by construction, so
+    the no-tie W formula is exact; with doubled deviations d2_i =
+    2*rsum_i - 3(n+1), sum d2^2 = 4*sum(rsum^2) - 9n(n+1)^2 follows
+    from sum(rsum) = 3n(n+1)/2 identically — ONE widened power sum,
+    no per-row n, and w_micro is a single overflow-safe floor via the
+    residue decomposition.
+
+    Scale: the three global ranks use the distributed-exact pattern
+    (the MWU/zipf band discipline): per-metric value grids are
+    domain-bounded (chars/token counts), prefix counts ride the grid
+    window, and row_number runs only INSIDE value groups — never a
+    corpus-sized single window partition; then two hash joins on
+    doc_id and one 2-sum aggregate.  128-bit ceiling: sum(rsum^2) ~
+    9n^3 saturates around n ~ 3e11 docs (loud, wave convention)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars", "text"
+    )
+    docs.createOrReplaceTempView("kww_documents")
+    return spark.sql(
+        _kww_sql(tx.SPARK).replace("FROM documents) tk", "FROM kww_documents) tk")
+    )

@@ -166,3 +166,60 @@ def test_ap_zero_positives_guarded(spark, duck, tmp_path):
     drow = dict(zip(list(q.columns), q.fetchall()[0]))
     con.close()
     assert drow["n_pos"] == 0 and drow["ap_ppm"] == 0, drow
+
+
+def test_cochrans_q_matches_python_reference(spark, duck):
+    """Recompute Q from the raw flag matrix in float Python — the SQL's
+    single micro floor must agree within 1 micro."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    t1, t2 = d.CQ_TOKENS
+    rows = duck.sql(
+        rf"""SELECT CASE WHEN n_chars >= {d.CQ_NCHARS_MIN} THEN 1 ELSE 0 END,
+             CASE WHEN list_contains(list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), _t -> _t <> ''), '{t1}')
+               THEN 1 ELSE 0 END,
+             CASE WHEN list_contains(list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), _t -> _t <> ''), '{t2}')
+               THEN 1 ELSE 0 END
+        FROM documents"""
+    ).fetchall()
+    k = 3
+    cs = [sum(r[j] for r in rows) for j in range(k)]
+    rsums = [sum(r) for r in rows]
+    num = (k - 1) * (k * sum(c * c for c in cs) - sum(cs) ** 2)
+    den = k * sum(rsums) - sum(x * x for x in rsums)
+    got = d.QUERIES["cochrans_q_flags"](spark, SF_DIR).collect()[0]
+    assert [got["c1"], got["c2"], got["c3"]] == cs
+    assert den > 0
+    assert abs(got["q_micro"] - num * 1e6 / den) <= 1
+
+
+def test_kendalls_w_matches_python_reference(spark, duck):
+    """Recompute W with explicit Python sorts (the textbook ranks-then-
+    deviations path, independent of the SQL's power-sum identity)."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    rows = duck.sql(
+        r"""SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 _t -> _t <> '')),
+             len(list_distinct(list_filter(string_split_regex(
+                 trim(lower(text)), '\s+'), _t -> _t <> '')))
+        FROM documents"""
+    ).fetchall()
+    n, m = len(rows), 3
+    rank_sum = {r[0]: 0 for r in rows}
+    for j in (1, 2, 3):
+        for rk, row in enumerate(
+            sorted(rows, key=lambda r: (r[j], r[0])), start=1
+        ):
+            rank_sum[row[0]] += rk
+    mean = m * (n + 1) / 2.0
+    s = sum((v - mean) ** 2 for v in rank_sum.values())
+    w = 12.0 * s / (m * m * (n**3 - n))
+    got = d.QUERIES["kendalls_w_rankers"](spark, SF_DIR).collect()[0]
+    assert got["n"] == n and got["m_rankers"] == m
+    assert got["sum_d2_sq"] == int(round(4 * s))
+    assert abs(got["w_micro"] - w * 1e6) <= 1
+    assert 0 <= got["w_micro"] <= 1_000_000
