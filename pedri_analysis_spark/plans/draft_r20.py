@@ -361,3 +361,98 @@ def q_cvm_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _cvm_sql(tx.SPARK).replace("FROM documents GROUP BY", "FROM documents_cvm GROUP BY")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier user-churn survival curve via RECURSIVE CTE (added r14)
+# ---------------------------------------------------------------------------
+
+KM_DAY_US = 86_400_000_000
+KM_CENSOR_DAYS = 7  # last activity within this window of corpus end => censored
+KM_MAX_STEPS = 95  # defensive, mirrored cap under Spark's default
+#                    cteRecursionLevelLimit=100; the day-granular grid is
+#                    calendar-bounded (~30 at every SF)
+
+
+def _km_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "km_events"
+    return f"""
+    WITH RECURSIVE u AS (
+      SELECT user_id,
+             min({ts_us}) {d} {KM_DAY_US} AS first_d,
+             max({ts_us}) {d} {KM_DAY_US} AS last_d
+      FROM {src}
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT CAST(last_d - first_d AS BIGINT) AS life_d,
+             CASE WHEN last_d > (SELECT max(last_d) FROM u) - {KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS censored
+      FROM u
+    ),
+    grid0 AS (
+      SELECT life_d,
+             CAST(sum(1 - censored) AS BIGINT) AS d_t,
+             CAST(sum(censored) AS BIGINT) AS c_t
+      FROM lab GROUP BY life_d
+    ),
+    grid AS (
+      SELECT life_d, d_t, c_t,
+             CAST(row_number() OVER (ORDER BY life_d) AS BIGINT) AS idx,
+             CAST((SELECT count(*) FROM lab) AS BIGINT)
+               - CAST(coalesce(sum(d_t + c_t) OVER (ORDER BY life_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+      FROM grid0
+    ),
+    km AS (
+      SELECT idx, life_d, n_risk, d_t, c_t,
+             CAST((1000000 * (n_risk - d_t)) {d} n_risk AS BIGINT) AS s_ppm
+      FROM grid WHERE idx = 1
+      UNION ALL
+      SELECT g.idx, g.life_d, g.n_risk, g.d_t, g.c_t,
+             CAST((km.s_ppm * (g.n_risk - g.d_t)) {d} g.n_risk AS BIGINT)
+      FROM km JOIN grid g ON g.idx = km.idx + 1
+      WHERE km.idx < {KM_MAX_STEPS}
+    )
+    SELECT life_d AS lifetime_days, n_risk, d_t AS n_churned,
+           c_t AS n_censored, s_ppm AS survival_ppm
+    FROM km
+    ORDER BY lifetime_days
+    """
+
+
+@_register("kaplan_meier_churn", _km_sql(tx.DUCK))
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (1958) of user
+    LIFETIMES (days between first and last event): users whose last
+    activity falls within {KM_CENSOR_DAYS} days of the corpus end are
+    right-CENSORED (still alive — they leave the risk set without a
+    churn event), everyone else churned at their observed lifetime —
+    the estimator retention analytics is built on, and the first
+    catalog query on Spark 4's RECURSIVE CTE surface (the product
+    chain S(t) = S(t-) * (n_t - d_t)/n_t is inherently sequential;
+    recursion expresses it exactly where window algebra cannot without
+    libm log/exp).
+
+    Determinism: day-granular lifetimes are exact integers off the
+    shared epoch-µs spine (events_us / epoch_us — both parquet ts
+    encodings); each product step floors once to ppm (per-step
+    quantization, documented — the monotone non-increasing staircase
+    survives flooring since (n-d)/n <= 1); n_risk comes from prefix
+    sums on the grid, so Σ(d+c) telescopes to the user count exactly.
+
+    Scale: the corpus reduces to ONE per-user min/max aggregate; the
+    lifetime grid is CALENDAR-bounded (~30 day-values at every SF —
+    the recursion depth is structural, never corpus-sized; capped at
+    {KM_MAX_STEPS} in BOTH dialects under Spark's default recursion
+    limit of 100, mirrored so a hypothetical longer calendar truncates
+    identically and loudly in the parity gate).  Each recursive step
+    is one 1-row join against the bounded grid."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("user_id", "ts_us")
+    ev.createOrReplaceTempView("km_events")
+    return spark.sql(_km_sql(tx.SPARK))

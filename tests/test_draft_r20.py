@@ -167,3 +167,41 @@ def test_cvm_and_ks_agree_on_extremes(spark, duck):
         # c (micro of the integral) <= micro(D^2) + quantization slack:
         # D^2 in micro is k^2 / 1e6
         assert c <= (k * k) // 1_000_000 + 2, (pair, c, k)
+
+
+def test_kaplan_meier_matches_python_reference(spark, duck):
+    """Recompute the KM staircase sequentially in Python (integer
+    per-step ppm floors, the documented quantization) from raw per-user
+    lifetimes — bit-identical to the recursive-CTE result."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = duck.sql(
+        f"""SELECT min(epoch_us(ts)) // {d.KM_DAY_US},
+                   max(epoch_us(ts)) // {d.KM_DAY_US}
+            FROM events GROUP BY user_id"""
+    ).fetchall()
+    horizon = max(l for _, l in rows) - d.KM_CENSOR_DAYS
+    from collections import Counter
+
+    dcnt, ccnt = Counter(), Counter()
+    for f, l in rows:
+        if l > horizon:
+            ccnt[l - f] += 1
+        else:
+            dcnt[l - f] += 1
+    got = d.QUERIES["kaplan_meier_churn"](spark, SF_DIR).collect()
+    grid = sorted(set(dcnt) | set(ccnt))[: d.KM_MAX_STEPS]
+    assert [r["lifetime_days"] for r in got] == grid
+    n_risk, s = len(rows), 1_000_000
+    prev = None
+    for r, t in zip(got, grid):
+        assert r["n_risk"] == n_risk
+        assert r["n_churned"] == dcnt.get(t, 0)
+        assert r["n_censored"] == ccnt.get(t, 0)
+        s = (s * (n_risk - dcnt.get(t, 0))) // n_risk
+        assert r["survival_ppm"] == s
+        if prev is not None:
+            assert r["survival_ppm"] <= prev  # monotone staircase
+        prev = r["survival_ppm"]
+        n_risk -= dcnt.get(t, 0) + ccnt.get(t, 0)
+    assert got[-1]["survival_ppm"] >= 0
