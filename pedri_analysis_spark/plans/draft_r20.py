@@ -456,3 +456,112 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("user_id", "ts_us")
     ev.createOrReplaceTempView("km_events")
     return spark.sql(_km_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: purchaser vs non-purchaser churn curves (added r14)
+# ---------------------------------------------------------------------------
+
+LR_CHI2_CRIT_MICRO = 3_841_459  # chi^2_{1, 0.05} micro
+
+
+def _lr_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "lr_events"
+    e1 = f"(({h('d_t')} * n1 * 1000000) {d} (n1 + n2))"
+    v = (
+        f"(({h('d_t')} * n1 * n2 * (n1 + n2 - d_t) * 1000000)"
+        f" {d} ({h('n1 + n2')} * (n1 + n2) * (n1 + n2 - 1)))"
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             min({ts_us}) {d} {KM_DAY_US} AS first_d,
+             max({ts_us}) {d} {KM_DAY_US} AS last_d,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS coh1
+      FROM {src}
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT CAST(last_d - first_d AS BIGINT) AS life_d, coh1,
+             CASE WHEN last_d > (SELECT max(last_d) FROM u) - {KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS censored
+      FROM u
+    ),
+    grid0 AS (
+      SELECT life_d,
+             CAST(sum(coh1 * (1 - censored)) AS BIGINT) AS d1,
+             CAST(sum(coh1 * censored) AS BIGINT) AS c1,
+             CAST(sum((1 - coh1) * (1 - censored)) AS BIGINT) AS d2,
+             CAST(sum((1 - coh1) * censored) AS BIGINT) AS c2
+      FROM lab GROUP BY life_d
+    ),
+    grid AS (
+      SELECT life_d, d1, d2, d1 + d2 AS d_t,
+             CAST(sum(d1 + c1) OVER () AS BIGINT) AS t1,
+             CAST(sum(d2 + c2) OVER () AS BIGINT) AS t2,
+             CAST(sum(d1 + c1) OVER () AS BIGINT)
+               - CAST(coalesce(sum(d1 + c1) OVER (ORDER BY life_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n1,
+             CAST(sum(d2 + c2) OVER () AS BIGINT)
+               - CAST(coalesce(sum(d2 + c2) OVER (ORDER BY life_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n2
+      FROM grid0
+    ),
+    terms AS (
+      SELECT t1, t2,
+             CASE WHEN n1 + n2 > 0
+                  THEN d1 * 1000000 - CAST({e1} AS BIGINT) ELSE 0 END AS oe,
+             CASE WHEN n1 + n2 > 1 AND d_t > 0
+                  THEN CAST({v} AS BIGINT) ELSE 0 END AS v_micro
+      FROM grid
+    ),
+    s AS (
+      SELECT max(t1) AS n_users1, max(t2) AS n_users2,
+             CAST(sum(oe) AS BIGINT) AS oe_micro,
+             CAST(sum(v_micro) AS BIGINT) AS v_sum_micro
+      FROM terms
+    )
+    SELECT n_users1, n_users2, oe_micro, v_sum_micro,
+           CAST(CASE WHEN v_sum_micro > 0
+                THEN ({h('oe_micro')} * oe_micro) {d} v_sum_micro
+                ELSE 0 END AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN v_sum_micro > 0
+                     AND ({h('oe_micro')} * oe_micro) {d} v_sum_micro
+                         >= {LR_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM s
+    """
+
+
+@_register("logrank_churn_cohorts", _lr_sql(tx.DUCK))
+def q_logrank_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the churn survival curves
+    of PURCHASERS (>= 1 purchase event) vs non-purchasers — "does
+    buying extend a user's lifetime", the hypothesis test on top of
+    kaplan_meier_churn's estimator (same lifetimes, same right-
+    censoring): at every distinct lifetime the observed cohort-1 deaths
+    are compared with the hypergeometric expectation E1 = d*n1/n and
+    variance V = d*n1*n2*(n-d) / (n^2 (n-1)); chi^2_1 = (sum O-E)^2 /
+    sum V.
+
+    Determinism: E1 and V floor once each per grid row to micro (the
+    per-term quantization convention); O-E sums SIGNED micro integers
+    (no division on a negative — the final chi-square squares first);
+    n_t = 1 rows take the V := 0 guard branch in both dialects.
+
+    Scale: one per-user aggregate, then everything lives on the
+    CALENDAR-bounded lifetime grid (~30 rows) — the cohort risk sets
+    are two prefix windows on that grid, the cohort totals ride the
+    same bounded window (no 1-row cross join anywhere), and the final
+    statistic is ONE 4-sum aggregate.  oe^2 widens to 128-bit (ceiling
+    ~1e13 users, loud)."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    ev.createOrReplaceTempView("lr_events")
+    return spark.sql(_lr_sql(tx.SPARK))

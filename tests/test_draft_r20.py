@@ -205,3 +205,42 @@ def test_kaplan_meier_matches_python_reference(spark, duck):
         prev = r["survival_ppm"]
         n_risk -= dcnt.get(t, 0) + ccnt.get(t, 0)
     assert got[-1]["survival_ppm"] >= 0
+
+
+def test_logrank_matches_python_reference(spark, duck):
+    """Recompute the log-rank O-E / V sums sequentially in Python with
+    the same per-row micro floors — exact equality — and the float
+    chi-square within 2 micro."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = duck.sql(
+        f"""SELECT min(epoch_us(ts)) // {d.KM_DAY_US},
+                   max(epoch_us(ts)) // {d.KM_DAY_US},
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            FROM events GROUP BY user_id"""
+    ).fetchall()
+    horizon = max(l for _, l, _ in rows) - d.KM_CENSOR_DAYS
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d2, c2
+    for f, l, coh1 in rows:
+        t = l - f
+        idx = (1 if l > horizon else 0) + (0 if coh1 else 2)
+        g[t][idx] += 1
+    n1 = sum(v[0] + v[1] for v in g.values())
+    n2 = sum(v[2] + v[3] for v in g.values())
+    tot1, tot2 = n1, n2
+    oe = vs = 0
+    for t in sorted(g):
+        d1, c1, d2, c2 = g[t]
+        dt, n = d1 + d2, n1 + n2
+        if n > 0:
+            oe += d1 * 1_000_000 - (dt * n1 * 1_000_000) // n
+        if n > 1 and dt > 0:
+            vs += (dt * n1 * n2 * (n - dt) * 1_000_000) // (n * n * (n - 1))
+        n1 -= d1 + c1
+        n2 -= d2 + c2
+    got = d.QUERIES["logrank_churn_cohorts"](spark, SF_DIR).collect()[0]
+    assert got["n_users1"] == tot1 and got["n_users2"] == tot2
+    assert got["oe_micro"] == oe and got["v_sum_micro"] == vs
+    assert got["chi2_micro"] == (oe * oe) // vs if vs > 0 else got["chi2_micro"] == 0
