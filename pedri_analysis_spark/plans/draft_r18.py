@@ -658,3 +658,193 @@ def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.orderBy(
         F.desc("ra_ppm"), F.asc("x"), F.asc("y")
     ).limit(RA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduction audit over pre/post user revenue (added r14)
+# ---------------------------------------------------------------------------
+
+CUPED_DAY_US = 86_400_000_000
+CUPED_SPLIT_DAYS = 15  # pre-period = first 15 days of the corpus window
+
+
+def _cuped_hug(dialect: str, expr: str) -> str:
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+def _cuped_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _cuped_hug(dialect, e)  # noqa: E731
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "cuped_events"
+    nca = f"(CASE WHEN ncov >= 0 THEN ncov ELSE -ncov END)"
+    th_abs = f"(({nca} * 1000000) {d} nvarx)"
+    return f"""
+    WITH ed AS (
+      SELECT user_id, {ts_us} {d} {CUPED_DAY_US} AS day,
+             CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS c
+      FROM {src}
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day < (SELECT min(day) FROM ed)
+                                       + {CUPED_SPLIT_DAYS}
+                      THEN c ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN day >= (SELECT min(day) FROM ed)
+                                        + {CUPED_SPLIT_DAYS}
+                      THEN c ELSE 0 END) AS BIGINT) AS y
+      FROM ed GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum({h('x')} * x) AS sxx, sum({h('y')} * y) AS syy,
+             sum({h('x')} * y) AS sxy
+      FROM u
+    ),
+    a AS (
+      SELECT n,
+             {h('n')} * sxy - {h('sx')} * sy AS ncov,
+             {h('n')} * sxx - {h('sx')} * sx AS nvarx,
+             {h('n')} * syy - {h('sy')} * sy AS nvary
+      FROM s
+    )
+    SELECT n AS n_users,
+           CAST(CASE WHEN nvarx > 0 THEN
+                  CASE WHEN ncov >= 0 THEN {th_abs} ELSE -({th_abs}) END
+                ELSE 0 END AS BIGINT) AS theta_micro,
+           CAST(CASE WHEN nvarx > 0 AND nvary > 0
+                THEN ({th_abs} * {nca}) {d} nvary
+                ELSE 0 END AS BIGINT) AS var_reduction_ppm
+    FROM a
+    """
+
+
+@_register("cuped_variance_reduction", _cuped_sql(tx.DUCK))
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data; Deng,
+    Xu, Kohavi & Walker, WSDM 2013) over per-user purchase revenue:
+    X = pre-period cents (first {CUPED_SPLIT_DAYS} corpus days), Y =
+    post-period cents; theta = cov(X,Y)/var(X) is the adjustment
+    coefficient and rho^2 = cov^2/(var(X) var(Y)) the variance-
+    reduction fraction an A/B platform gains by shipping the adjusted
+    metric Y - theta(X - mean X) — the experimentation-analytics audit
+    next to the ab-eval family (lift_decile_gains, permutation test).
+
+    Determinism: exact integer cents sums with 128-bit widening inside
+    the power sums; theta floors once to micro with the sign branched
+    BEFORE the truncating division (the Welch discipline), and the
+    variance-reduction ppm is theta_abs_micro * |ncov| div nvary — by
+    Cauchy-Schwarz <= 1e6 exactly, two documented floors.  Guards:
+    zero pre- or post-variance branches before dividing.
+
+    Scale: one scan to per-user pre/post sums (ONE groupBy), one 6-sum
+    aggregate row; the corpus-start day is an uncorrelated scalar
+    subquery (an independent 1-row plan, not a join).  128-bit
+    ceiling: n * Syy ~ n^2 y_max^2 saturates around ~1e36 (loud, wave
+    convention)."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts_us"
+    )
+    ev.createOrReplaceTempView("cuped_events")
+    return spark.sql(_cuped_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes (beta-binomial MoM) shrinkage of brand return rates
+# ---------------------------------------------------------------------------
+
+
+def _eb_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _cuped_hug(dialect, e)  # noqa: E731
+    return f"""
+    WITH seg AS (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k_j
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    p AS (
+      SELECT brand, n_j, k_j,
+             CAST((k_j * 1000000) {d} n_j AS BIGINT) AS raw_micro
+      FROM seg
+    ),
+    w AS (
+      SELECT brand, n_j, k_j, raw_micro,
+             CAST(count(*) OVER () AS BIGINT) AS b,
+             CAST(sum(raw_micro) OVER () AS BIGINT) AS sum_r,
+             sum({h('raw_micro')} * raw_micro) OVER () AS sum_r2
+      FROM p
+    ),
+    m AS (
+      SELECT brand, n_j, k_j, raw_micro, b,
+             CAST(sum_r {d} b AS BIGINT) AS m_micro,
+             CASE WHEN b > 1
+                  THEN (b * sum_r2 - {h('sum_r')} * sum_r)
+                       {d} ({h('b')} * (b - 1))
+                  ELSE {h('0')} END AS v_micro2
+      FROM w
+    ),
+    k AS (
+      SELECT brand, n_j, k_j, raw_micro, m_micro, v_micro2,
+             CASE WHEN v_micro2 > 0
+                  THEN ({h('m_micro')} * (1000000 - m_micro) * 1000)
+                       {d} v_micro2 - 1000
+                  ELSE {h('-1')} END AS ab_milli
+      FROM m
+    )
+    SELECT brand, n_j AS n_lines, k_j AS n_returns, raw_micro,
+           CAST(CASE WHEN ab_milli > 0
+                THEN (({h('k_j')} * 1000000000
+                       + ({h('m_micro')} * ab_milli) {d} 1) * 1000000)
+                     {d} ({h('n_j')} * 1000000000 + ab_milli * 1000000)
+                ELSE raw_micro END AS BIGINT) AS shrunk_micro
+    FROM k
+    ORDER BY brand
+    """
+
+
+@_register("eb_shrunk_return_rates", _eb_sql(tx.DUCK))
+def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates under a
+    beta-binomial prior fitted by the method of moments (Robbins 1956;
+    the Morris/Efron parametric-EB recipe): the prior's pseudo-count
+    alpha+beta = m(1-m)/v - 1 comes from the across-brand mean m and
+    variance v of the raw rates, and each brand reports
+    (k_j + alpha)/(n_j + alpha + beta) — small/noisy segments shrink
+    hard toward the corpus mean while large ones barely move (the
+    per-segment rate smoothing every quality/contamination dashboard
+    needs before ranking segments).
+
+    Determinism: raw rates floor once to micro; the prior moments and
+    pseudo-counts are integer window sums over the ~25-row brand frame
+    with documented floors (m to micro, alpha+beta to MILLI-counts,
+    alpha to nano via m_micro * ab_milli); the posterior is one exact
+    128-bit division on nano-scaled counts.  Degenerate guards: zero
+    across-brand variance or a non-positive pseudo-count (v too large
+    for the beta-binomial MoM) fall back to the raw rate, mirrored in
+    both dialects.
+
+    Scale: one fact-dim broadcast join + ONE groupBy to the
+    domain-bounded brand frame (~25 rows at every SF); all windows ride
+    that frame."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_returnflag"
+    )
+    pt = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    li.createOrReplaceTempView("eb_lineitem")
+    pt.createOrReplaceTempView("eb_part")
+    return spark.sql(
+        _eb_sql(tx.SPARK)
+        .replace("FROM lineitem l", "FROM eb_lineitem l")
+        .replace("JOIN part p", "JOIN eb_part p")
+    )

@@ -185,3 +185,53 @@ def test_ra_links_are_nonedges_with_exact_terms(spark, duck):
         common = adj.get(x, set()) & adj.get(y, set())
         assert len(common) == r["n_common"] >= 1
         assert r["ra_ppm"] == sum(1_000_000 // len(adj[z]) for z in common)
+
+
+def test_cuped_matches_python_reference(spark, duck):
+    """theta and rho^2 recomputed in float Python from raw per-user
+    pre/post cents — the SQL's two documented floors bound the gap."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    rows = duck.sql(
+        f"""WITH ed AS (
+              SELECT user_id, epoch_us(ts) // {d.CUPED_DAY_US} AS day,
+                     CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                          THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                          ELSE 0 END AS c
+              FROM events)
+            SELECT
+              sum(CASE WHEN day < (SELECT min(day) FROM ed)
+                                  + {d.CUPED_SPLIT_DAYS} THEN c ELSE 0 END),
+              sum(CASE WHEN day >= (SELECT min(day) FROM ed)
+                                   + {d.CUPED_SPLIT_DAYS} THEN c ELSE 0 END)
+            FROM ed GROUP BY user_id"""
+    ).fetchall()
+    n = len(rows)
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    got = d.QUERIES["cuped_variance_reduction"](spark, SF_DIR).collect()[0]
+    assert got["n_users"] == n
+    assert vx > 0 and vy > 0, "degenerate pre/post variance at the test SF"
+    assert abs(got["theta_micro"] - cov / vx * 1e6) <= 1
+    rho2 = cov * cov / (vx * vy)
+    assert 0 <= got["var_reduction_ppm"] <= 1_000_000
+    assert abs(got["var_reduction_ppm"] - rho2 * 1e6) <= max(2, 2e-3 * rho2 * 1e6)
+
+
+def test_eb_shrinkage_pulls_toward_mean(spark, duck):
+    """Every shrunk rate must lie between its raw rate and the
+    across-brand mean (the defining property of the beta-binomial
+    posterior mean), and shrink MORE for smaller segments."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    got = d.QUERIES["eb_shrunk_return_rates"](spark, SF_DIR).collect()
+    assert len(got) >= 10
+    m = sum(r["raw_micro"] for r in got) // len(got)
+    for r in got:
+        lo, hi = sorted((r["raw_micro"], m))
+        assert lo - 1 <= r["shrunk_micro"] <= hi + 1, r
+        assert 0 <= r["shrunk_micro"] <= 1_000_000
