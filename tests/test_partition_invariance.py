@@ -62,6 +62,12 @@ SAMPLE = [
     # r19 staged drafts with merge-order-sensitive shapes
     ("average_precision_value", "draft_r19"),  # desc grid window + explode
     ("brown_forsythe_value", "draft_r19"),  # interpolated group percentiles
+    # r14-session additions to the staged waves (rank/grid reducers)
+    ("kruskal_wallis_h_values", "draft_r17"),  # k-group value-grid window
+    ("err_rankings_eval", "draft_r18"),  # two-stage sharded topk + cascade
+    ("kendalls_w_rankers", "draft_r19"),  # three distributed exact ranks
+    ("kaplan_meier_churn", "draft_r20"),  # recursive product over grid order
+    ("logrank_churn_cohorts", "draft_r20"),  # cohort prefix sums on the grid
 ]
 
 
