@@ -706,9 +706,11 @@ def q_kruskal_wallis_h_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-bounded 2-decimal grid; the ordered cumulative window runs
     on the per-value rollup of THAT frame (the adjudicated score-domain
     single-partition pattern, see mann_whitney_u_values) and the rest
-    is a k-row aggregate.  128-bit ceilings: 3*s2^2 saturates DECIMAL38
-    / HUGEINT around n ~ 3e9 valued rows — loud ANSI/HUGEINT failure,
-    never silent divergence (wave convention)."""
+    is a k-row aggregate.  128-bit ceilings (wave convention, loud —
+    ANSI/HUGEINT failure, never silent divergence): 3*s2^2 saturates
+    around n ~ 3e9 valued rows; the reported tie_term OUTPUT column
+    casts sum(t^3 - t) back to BIGINT, a loud cast error past a ~2.1M-
+    row tied value group (the mann_whitney_u_values convention)."""
     ev = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("value").isNotNull())

@@ -806,7 +806,7 @@ def _eb_sql(dialect: str) -> str:
            CAST(CASE WHEN ab_milli > 0
                 THEN (({h('k_j')} * 1000000000
                        + ({h('m_micro')} * ab_milli) {d} 1) * 1000000)
-                     {d} ({h('n_j')} * 1000000000 + ab_milli * 1000000)
+                     {d} ({h('n_j')} * 1000000000 + {h('ab_milli')} * 1000000)
                 ELSE raw_micro END AS BIGINT) AS shrunk_micro
     FROM k
     ORDER BY brand

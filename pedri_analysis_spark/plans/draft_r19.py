@@ -550,7 +550,8 @@ def _kww_sql(dialect: str) -> str:
     )
     SELECT n,
            CAST({KW_M} AS BIGINT) AS m_rankers,
-           CAST({ssum} AS BIGINT) AS sum_d2_sq,
+           CAST(CASE WHEN n > 0 THEN ({ssum}) {_IDIV[dialect]} n
+                ELSE {h('0')} END AS BIGINT) AS mean_d2_sq,
            CAST(CASE WHEN n >= 2
                 THEN {fsd(dialect, ssum, wden, 1_000_000)}
                 ELSE 0 END AS BIGINT) AS w_micro
@@ -580,8 +581,11 @@ def q_kendalls_w_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-bounded (chars/token counts), prefix counts ride the grid
     window, and row_number runs only INSIDE value groups — never a
     corpus-sized single window partition; then two hash joins on
-    doc_id and one 2-sum aggregate.  128-bit ceiling: sum(rsum^2) ~
-    9n^3 saturates around n ~ 3e11 docs (loud, wave convention)."""
+    doc_id and one 2-sum aggregate.  128-bit ceilings (wave
+    convention, loud): the fsd residue product den*1e6 = 3n^3*1e6
+    binds first at n ~ 4e10 docs; the raw sum d2^2 (<= 36n^3) is
+    reported as its per-doc MEAN (one documented floor) so the output
+    BIGINT cast holds to n ~ 5e8 rather than ~6e5."""
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "n_chars", "text"
     )

@@ -558,8 +558,9 @@ def q_logrank_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     CALENDAR-bounded lifetime grid (~30 rows) — the cohort risk sets
     are two prefix windows on that grid, the cohort totals ride the
     same bounded window (no 1-row cross join anywhere), and the final
-    statistic is ONE 4-sum aggregate.  oe^2 widens to 128-bit (ceiling
-    ~1e13 users, loud)."""
+    statistic is ONE 4-sum aggregate.  128-bit ceilings (wave
+    convention, loud): the V numerator d*n1*n2*(n-d)*1e6 ~ n^4 * 1e6
+    binds first at n ~ 1e8 users; oe^2 holds to ~1e13."""
     from pedri_analysis_spark.plans.relational import events_us
 
     ev = events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")

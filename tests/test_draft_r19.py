@@ -220,6 +220,6 @@ def test_kendalls_w_matches_python_reference(spark, duck):
     w = 12.0 * s / (m * m * (n**3 - n))
     got = d.QUERIES["kendalls_w_rankers"](spark, SF_DIR).collect()[0]
     assert got["n"] == n and got["m_rankers"] == m
-    assert got["sum_d2_sq"] == int(round(4 * s))
+    assert got["mean_d2_sq"] == int(round(4 * s)) // n
     assert abs(got["w_micro"] - w * 1e6) <= 1
     assert 0 <= got["w_micro"] <= 1_000_000
