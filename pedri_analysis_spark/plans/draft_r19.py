@@ -28,6 +28,18 @@ Families and the public designs they implement:
   feature-extraction story (decode → spectral features) under the
   full hash-match gate, not a rows-only check.
 
+Added in the r14 session (same staging discipline):
+- cochrans_q_flags — Cochran's Q across three correlated document
+  quality flags, the k >= 3 generalization of McNemar.
+- kendalls_w_rankers — Kendall's W concordance of three document-size
+  rankers with DISTRIBUTED exact ranks (value-grid prefix counts, no
+  corpus-sized window).
+- png_roundtrip_energy_audit — REAL PNG codec round trip built from
+  stdlib zlib/CRC32 (the container has no Pillow): encode with the SUB
+  row filter, decode with signature + per-chunk CRC verification +
+  inflate + per-pixel un-filtering, stats hash-matched against an
+  analytic oracle.
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.
@@ -593,3 +605,72 @@ def q_kendalls_w_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _kww_sql(tx.SPARK).replace("FROM documents) tk", "FROM kww_documents) tk")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec round trip -> exact pixel statistics (added r14)
+# ---------------------------------------------------------------------------
+
+PNG_N = 24  # image ids (codec audits run on samples)
+
+
+def _png_oracle() -> str:
+    # pixel(x, y) = (id*7 + y*13 + x*5) % 256 over w = 16 + id%16,
+    # h = 8 + id%8 — the exact generator the kernel synthesizes, so the
+    # oracle predicts the DECODED stats analytically (no PNG anywhere)
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM documents WHERE doc_id < {PNG_N}
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 7 + y.y * 13 + x.x * 5) % 256 AS p
+      FROM imgs,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+    )
+    SELECT media_id, CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_chunks,
+           CAST(1 AS BIGINT) AS crc_ok,
+           CAST(sum(p) AS BIGINT) AS sum_px,
+           CAST(sum(p * p) AS BIGINT) AS sum_px_sq
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+@_register("png_roundtrip_energy_audit", _png_oracle())
+def q_png_roundtrip_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the full hash-match gate, extending the
+    multimodal story to a SECOND modality with a real codec (the
+    container has no Pillow, so the registered image path is
+    import-gated — this query instead builds the codec from stdlib
+    primitives): each tile round-trips through ACTUAL PNG bytes — zlib
+    deflate, per-chunk CRC32, SUB row filter — and the reader verifies
+    the signature, every chunk's CRC, inflates, and undoes the
+    per-pixel filter arithmetic before emitting exact integer pixel
+    stats (operators/multimodal.py: png_roundtrip_stats).  The DuckDB
+    oracle predicts the decoded stats analytically from the tile
+    generator, so any codec bug — chunk framing, CRC math, deflate
+    round trip, filter reconstruction — breaks the match.
+
+    Determinism: pixels are uint8 integers; stats are exact int64
+    sums; no float anywhere.
+
+    Scale: one Arrow-batched mapInPandas pass over the fixed
+    {PNG_N}-image sample; payload bytes never leave the executor —
+    only a 7-integer row per image travels; the final sort is
+    bounded."""
+    from pedri_analysis_spark.operators import spread
+    from pedri_analysis_spark.operators import multimodal as mm
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < PNG_N)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return mm.png_roundtrip_stats(spread(ids)).orderBy("media_id")

@@ -147,6 +147,7 @@ _PYTHON_ALLOWED = {
     "ivf_recall_at_k",  # cosine_fast Arrow kernel (per-pair vector dot)
     "wav_roundtrip_stats",  # REAL stdlib-wave codec round trip (mapInPandas)
     "wav_haar_energy_audit",  # REAL wave decode -> integer Haar pyramid (r19 draft)
+    "png_roundtrip_energy_audit",  # REAL PNG codec round trip (r19 draft)
     "cosine_topk_bruteforce",  # einsum pandas_udf (operators/similarity.py)
     "ivf_topk",  # Arrow probe scoring kernel
     "multimodal_feature_stub",  # mapInPandas decode path (multimodal.py)
