@@ -26,6 +26,17 @@ Families and the public designs they implement:
   catching broad low-amplitude CDF shifts a single worst-gap misses;
   pinned coherent with KS (zero-KS ⇒ zero-CvM, CvM ≤ KS²).
 
+Added in the r14 session (same staging discipline):
+- kaplan_meier_churn — Kaplan-Meier product-limit survival of user
+  lifetimes with right-censoring; the catalog's first RECURSIVE CTE.
+- logrank_churn_cohorts — Mantel log-rank test comparing purchaser vs
+  non-purchaser survival, the hypothesis test on top of KM.
+- dtw_daily_revenue_shapes — exact DTW distance between the purchase
+  and click daily revenue shapes via RECURSIVE anti-diagonal DP (each
+  step carries two bounded diagonals as arrays in one row — no
+  aggregate over the recursive reference, no join in the recursive
+  term).
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.
@@ -566,3 +577,124 @@ def q_logrank_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
     ev.createOrReplaceTempView("lr_events")
     return spark.sql(_lr_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Exact DTW distance between two daily revenue shapes via RECURSIVE
+# anti-diagonal DP (added r14)
+# ---------------------------------------------------------------------------
+
+DTW_TYPE_A = "purchase"
+DTW_TYPE_B = "click"
+
+
+def _dtw_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "dtw_events"
+    if dialect == tx.DUCK:
+        idx = lambda arr, k: f"list_extract({arr}, {k})"  # noqa: E731
+        trans = lambda L, body: (  # noqa: E731
+            f"list_transform(generate_series(1, {L}), k -> {body})"
+        )
+        ln = "len"
+        nullarr = "CAST(NULL AS BIGINT[])"
+        mklist = lambda t: f"(SELECT list(c ORDER BY day) FROM {t})"  # noqa: E731
+    else:
+        idx = lambda arr, k: (  # noqa: E731
+            f"try_element_at({arr}, CAST({k} AS INT))"
+        )
+        trans = lambda L, body: f"transform(sequence(1, {L}), k -> {body})"  # noqa: E731
+        ln = "size"
+        nullarr = "CAST(NULL AS ARRAY<BIGINT>)"
+        mklist = lambda t: (  # noqa: E731
+            f"(SELECT transform(array_sort(collect_list(struct(day, c))),"
+            f" s -> s.c) FROM {t})"
+        )
+    # building diagonal d+1 from cur (diag d) and prev (diag d-1)
+    i = "(greatest(1, d + 1 - n) + k - 1)"
+    j = f"(d + 1 - {i})"
+    cost = f"abs({idx('a', i)} - {idx('b', j)})"
+    p1 = (
+        f"(CASE WHEN {i} - 1 >= 1 THEN "
+        f"{idx('cur', f'({i} - 1) - greatest(1, d - n) + 1')} END)"
+    )
+    p2 = (
+        f"(CASE WHEN {j} - 1 >= 1 THEN "
+        f"{idx('cur', f'{i} - greatest(1, d - n) + 1')} END)"
+    )
+    p3 = (
+        f"(CASE WHEN {i} - 1 >= 1 AND {j} - 1 >= 1 AND prev IS NOT NULL THEN "
+        f"{idx('prev', f'({i} - 1) - greatest(1, d - 1 - n) + 1')} END)"
+    )
+    body = f"CAST({cost} + least({p1}, {p2}, {p3}) AS BIGINT)"
+    new_len = "(least(m, d) - greatest(1, d + 1 - n) + 1)"
+    cents = "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE sa AS (
+      SELECT {ts_us} {d} {KM_DAY_US} AS day, {cents} AS c
+      FROM {src}
+      WHERE event_type = '{DTW_TYPE_A}' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    sb AS (
+      SELECT {ts_us} {d} {KM_DAY_US} AS day, {cents} AS c
+      FROM {src}
+      WHERE event_type = '{DTW_TYPE_B}' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    ab AS (
+      SELECT a, b, CAST({ln}(a) AS BIGINT) AS m, CAST({ln}(b) AS BIGINT) AS n
+      FROM (SELECT {mklist('sa')} AS a, {mklist('sb')} AS b) z
+    ),
+    dp AS (
+      SELECT CAST(2 AS BIGINT) AS d,
+             {trans('1', f"CAST(abs({idx('a', '1')} - {idx('b', '1')}) AS BIGINT)")}
+               AS cur,
+             {nullarr} AS prev, a, b, m, n
+      FROM ab WHERE m >= 1 AND n >= 1
+      UNION ALL
+      SELECT d + 1, {trans(new_len, body)}, cur, a, b, m, n
+      FROM dp WHERE d < m + n
+    )
+    SELECT m AS len_a, n AS len_b,
+           CAST({idx('cur', '1')} AS BIGINT) AS dtw_cents,
+           CAST(({idx('cur', '1')} * 1000) {d} (m + n) AS BIGINT)
+             AS dtw_per_step_milli
+    FROM dp WHERE d = m + n
+    """
+
+
+@_register("dtw_daily_revenue_shapes", _dtw_sql(tx.DUCK))
+def q_dtw_daily_revenue_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Dynamic Time Warping distance (Sakoe & Chiba 1978, the
+    sequence-similarity workhorse) between the daily purchase- and
+    click-revenue shapes: unlike the registered lagged-CCF (one global
+    shift), DTW finds the optimal MONOTONE alignment of the two series
+    — "do the curves have the same shape under local time stretch" —
+    the time-series dedup/matching primitive.
+
+    Engine shape (the novel part): the DP runs as a RECURSIVE CTE over
+    ANTI-DIAGONALS — each recursion step carries the whole previous two
+    diagonals as BOUNDED BIGINT arrays in ONE row and computes the next
+    diagonal with a pure higher-order transform() (no aggregate over
+    the recursive reference, which Spark prohibits; no join in the
+    recursive term at all).  dp(i,j) = |a_i - b_j| + least of the three
+    predecessors, with index arithmetic mapping diagonal offsets and
+    out-of-range lookups NULL-safe (try_element_at / list_extract);
+    every cell has >= 1 valid predecessor by construction.
+
+    Determinism: cents costs are exact integers; least() over BIGINT is
+    exact; the anti-diagonal order is structural.  The single final
+    floor is the per-step milli normalization.
+
+    Scale: series are CALENDAR-bounded (~30 points), so the recursion
+    depth m + n <= ~60 sits under Spark's default recursion limit of
+    100 and each step is ONE row with <= 31-element arrays — model-
+    sized state, never corpus-sized; the corpus reduces via two daily
+    rollups before any of it."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("event_type", "value", "ts_us")
+    ev.createOrReplaceTempView("dtw_events")
+    return spark.sql(_dtw_sql(tx.SPARK))

@@ -244,3 +244,41 @@ def test_logrank_matches_python_reference(spark, duck):
     assert got["n_users1"] == tot1 and got["n_users2"] == tot2
     assert got["oe_micro"] == oe and got["v_sum_micro"] == vs
     assert got["chi2_micro"] == (oe * oe) // vs if vs > 0 else got["chi2_micro"] == 0
+
+
+def test_dtw_matches_python_dp(spark, duck):
+    """Recompute DTW with the textbook row-by-row DP in Python (an
+    independent path from the SQL's anti-diagonal arrays) — exact
+    equality on the integer distance."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    def series(t):
+        return [
+            r[0]
+            for r in duck.sql(
+                f"""SELECT CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                     AS BIGINT)) AS BIGINT)
+                FROM events
+                WHERE event_type = '{t}' AND value IS NOT NULL
+                GROUP BY epoch_us(ts) // {d.KM_DAY_US}
+                ORDER BY epoch_us(ts) // {d.KM_DAY_US}"""
+            ).fetchall()
+        ]
+
+    a, b = series(d.DTW_TYPE_A), series(d.DTW_TYPE_B)
+    assert a and b
+    INF = float("inf")
+    m, n = len(a), len(b)
+    dp = [[INF] * (n + 1) for _ in range(m + 1)]
+    dp[0][0] = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+            )
+    got = d.QUERIES["dtw_daily_revenue_shapes"](spark, SF_DIR).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["len_a"], r["len_b"]) == (m, n)
+    assert r["dtw_cents"] == dp[m][n]
+    assert r["dtw_per_step_milli"] == dp[m][n] * 1000 // (m + n)
