@@ -68,6 +68,7 @@ SAMPLE = [
     ("kendalls_w_rankers", "draft_r19"),  # three distributed exact ranks
     ("kaplan_meier_churn", "draft_r20"),  # recursive product over grid order
     ("logrank_churn_cohorts", "draft_r20"),  # cohort prefix sums on the grid
+    ("dtw_daily_revenue_shapes", "draft_r20"),  # sorted-collect series arrays
 ]
 
 
