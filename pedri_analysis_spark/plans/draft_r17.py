@@ -32,6 +32,14 @@ Families and the public designs they implement:
   days deviate after removing trend AND weekday shape" (STL-style
   residual anomaly detection, libm-free).
 
+Added in the r14 session (same staging discipline):
+- kruskal_wallis_h_values — tie-corrected k-group rank test, the MWU
+  generalization, on the domain-bounded value grid.
+- welch_t2_values — unequal-variance mean test in squared form.
+- rendezvous_shard_rebalance — HRW sharding audit: the minimal-
+  disruption guarantee (moved_elsewhere = 0) and load balance MEASURED
+  over a +1-shard rebalance.
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.
@@ -827,4 +835,85 @@ def q_welch_t2_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("welch_events")
     return spark.sql(
         _welch_sql(tx.SPARK).replace("FROM events", "FROM welch_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard-rebalance audit over customer keys (added r14)
+# ---------------------------------------------------------------------------
+
+HRW_SHARDS = 16  # before; rebalance adds shard 16 (-> 17)
+
+
+def _hrw_sql(dialect: str) -> str:
+    fsd = tx.floor_scaled_div
+    shards = ", ".join(str(s) for s in range(HRW_SHARDS + 1))
+    if dialect == tx.DUCK:
+        kk = "CAST(c_custkey AS VARCHAR)"
+        ex = f"unnest([{shards}])"
+        key_s = "kk || '#' || CAST(s AS VARCHAR)"
+    else:
+        kk = "CAST(c_custkey AS STRING)"
+        ex = f"explode(array({shards}))"
+        key_s = "concat(kk, '#', CAST(s AS STRING))"
+    h = tx.seeded_hash64(dialect, key_s, "hrw")
+    return f"""
+    WITH k AS (SELECT {kk} AS kk FROM customer),
+    ex AS (
+      SELECT kk, s, {h} AS h
+      FROM (SELECT kk, {ex} AS s FROM k) z
+    ),
+    pk AS (
+      SELECT kk,
+             max_by(s, h) FILTER (WHERE s < {HRW_SHARDS}) AS s_before,
+             max_by(s, h) AS s_after
+      FROM ex GROUP BY kk
+    ),
+    bal AS (
+      SELECT s_before,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN s_after <> s_before THEN 1 ELSE 0 END)
+               AS BIGINT) AS moved_s,
+             CAST(sum(CASE WHEN s_after <> s_before
+                            AND s_after <> {HRW_SHARDS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS elsewhere_s
+      FROM pk GROUP BY s_before
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_keys,
+           CAST(sum(moved_s) AS BIGINT) AS moved,
+           CAST(sum(elsewhere_s) AS BIGINT) AS moved_elsewhere,
+           CAST(max(c) AS BIGINT) AS max_shard_n,
+           CAST(min(c) AS BIGINT) AS min_shard_n,
+           CAST({fsd(dialect, "sum(moved_s)", "sum(c)", 1_000_000)} AS BIGINT)
+             AS moved_ppm
+    FROM bal
+    """
+
+
+@_register("rendezvous_shard_rebalance", _hrw_sql(tx.DUCK))
+def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding audit (Thaler &
+    Ravishankar 1998, the consistent-hashing alternative every
+    coordination-free router uses): each key lives on the shard
+    maximizing h(key, shard), and adding shard {HRW_SHARDS} must move
+    ONLY the keys whose new argmax IS the new shard — the minimal-
+    disruption guarantee, MEASURED: moved_elsewhere is structurally 0
+    (any key whose 17-way argmax differs from its 16-way argmax can
+    only have gained the new maximum) and moved_ppm should sit near
+    1/{HRW_SHARDS + 1} of the keys; max/min shard counts audit the
+    load balance the scheme promises.  The layout-family companion to
+    hilbert/zorder (placement, not ordering).
+
+    Determinism: the shared 60-bit seeded md5 hash is dialect-
+    mirrored; argmax ties would need a 60-bit collision between two
+    shards of one key (the minhash convention — excluded in practice
+    and irrelevant to the audit's aggregates).
+
+    Scale: one {HRW_SHARDS + 1}-way literal explode per key (linear,
+    no shuffle beyond the per-key groupBy), a {HRW_SHARDS}-row balance
+    rollup, and a 1-row aggregate — no joins anywhere."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    c.createOrReplaceTempView("hrw_customer")
+    return spark.sql(
+        _hrw_sql(tx.SPARK).replace("FROM customer", "FROM hrw_customer")
     )

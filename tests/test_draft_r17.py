@@ -271,3 +271,42 @@ def test_welch_degenerate_single_group_guarded(spark, duck, tmp_path):
     drow = dict(zip(list(q.columns), q.fetchall()[0]))
     con.close()
     assert drow["n2"] == 0 and drow["t2_micro"] == 0 and drow["significant"] == 0
+
+
+def test_hrw_minimal_disruption_and_python_recompute(spark, duck):
+    """moved_elsewhere must be exactly 0 (the HRW guarantee measured),
+    the moved fraction must sit near 1/17, and the whole audit must
+    equal a Python recomputation of the same md5 argmax."""
+    import hashlib
+
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    keys = [r[0] for r in duck.sql("SELECT c_custkey FROM customer").fetchall()]
+
+    def h(kk, s):
+        return int(
+            hashlib.md5(f"hrw:{kk}#{s}".encode()).hexdigest()[:15], 16
+        )
+
+    moved = elsewhere = 0
+    from collections import Counter
+
+    bal = Counter()
+    for k in keys:
+        kk = str(k)
+        hs = [(h(kk, s), s) for s in range(d.HRW_SHARDS + 1)]
+        s_before = max(hs[: d.HRW_SHARDS])[1]
+        s_after = max(hs)[1]
+        bal[s_before] += 1
+        if s_after != s_before:
+            moved += 1
+            if s_after != d.HRW_SHARDS:
+                elsewhere += 1
+    got = d.QUERIES["rendezvous_shard_rebalance"](spark, SF_DIR).collect()[0]
+    assert got["n_keys"] == len(keys)
+    assert got["moved"] == moved and got["moved_elsewhere"] == elsewhere == 0
+    assert got["max_shard_n"] == max(bal.values())
+    assert got["min_shard_n"] == min(bal.values())
+    # the 1/17 expectation, generously banded for small key counts
+    frac = moved / len(keys)
+    assert 0.2 / (d.HRW_SHARDS + 1) <= frac <= 3.0 / (d.HRW_SHARDS + 1)
