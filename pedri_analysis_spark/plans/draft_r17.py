@@ -744,8 +744,11 @@ WELCH_CHI2_CRIT_MICRO = 3_841_459
 def _welch_sql(dialect: str) -> str:
     d = _IDIV[dialect]
     h = lambda e: _hug(dialect, e)  # noqa: E731
-    # |s1*n2 - s2*n1| and its sign handled by branch (truncating div on
-    # negatives would diverge: DuckDB floors, Spark truncates toward 0)
+    # |s1*n2 - s2*n1| with the sign branched before dividing.  NOTE
+    # (r14 advice, verified): DuckDB // on BIGINT/HUGEINT truncates
+    # toward zero exactly like Spark div (-7//2 = -3 in both) — the
+    # real divergence class is DECIMAL quotients (DuckDB rounds, Spark
+    # truncates).  The branch is kept as defense-in-depth only.
     mdnum = f"({h('s1')} * n2 - {h('s2')} * n1)"
     mdabs = f"(CASE WHEN {mdnum} >= 0 THEN {mdnum} ELSE -{mdnum} END)"
     md = f"(({mdabs} * 1000) {d} ({h('n1')} * n2))"
@@ -811,8 +814,10 @@ def q_welch_t2_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: exact cents sums S, Q = sum(c^2) widened to 128-bit
     INSIDE the sum; three documented quantizations — the mean
     difference floors to MILLI-cents via (|S1 n2 - S2 n1| * 1000) div
-    (n1 n2) with the sign branched BEFORE the division (truncating div
-    on negatives diverges: DuckDB floors, Spark truncates toward 0),
+    (n1 n2) with the sign branched BEFORE the division (defense-in-depth
+    only: integer div truncates toward zero in BOTH engines; the real
+    divergence class is DECIMAL quotients — DuckDB rounds, Spark
+    truncates),
     each group's variance-of-mean floors to MICRO-cents^2 via
     (n_i Q_i - S_i^2) * 1e6 div (n_i^2 (n_i-1)), and the final t^2
     floors to micro.  Units cancel exactly: md_milli^2 is 1e-6 cents^2,

@@ -368,8 +368,13 @@ def _err_gain_term(k_col: str, g_col: str, z_col: str, o_col: str) -> str:
     pow_kr = " ".join(f"WHEN {k} THEN {4 ** (ERR_K - k)}" for k in range(1, ERR_K + 1))
     lcm_r = " ".join(f"WHEN {k} THEN {ERR_LCM // k}" for k in range(1, ERR_K + 1))
     gain = f"(CASE {g_col} WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)"
+    # r14 advice: the all-INT32-literal product peaks at 2520*3*4^9 ≈
+    # 1.98e9, only ~8% under INT32 max — a future constant bump would
+    # silently wrap in non-ANSI Spark.  CAST the first factor to BIGINT
+    # so the whole ladder product is computed 64-bit in both dialects.
     return (
-        f"(CASE {k_col} {lcm_r} END) * {gain} * (CASE {k_col} {pow_kr} END)"
+        f"CAST((CASE {k_col} {lcm_r} END) AS BIGINT) * {gain}"
+        f" * (CASE {k_col} {pow_kr} END)"
         f" * (CASE {z_col} {_ERR_POW4} ELSE 0 END)"
         f" * (CASE {o_col} {_ERR_POW3} ELSE 0 END)"
     )
@@ -802,10 +807,12 @@ def _eb_sql(dialect: str) -> str:
                   ELSE {h('-1')} END AS ab_milli
       FROM m
     )
+    -- m_micro * ab_milli is already the exact nano-count alpha
+    -- (micro * milli = nano); no further scaling division is needed.
     SELECT brand, n_j AS n_lines, k_j AS n_returns, raw_micro,
            CAST(CASE WHEN ab_milli > 0
                 THEN (({h('k_j')} * 1000000000
-                       + ({h('m_micro')} * ab_milli) {d} 1) * 1000000)
+                       + {h('m_micro')} * ab_milli) * 1000000)
                      {d} ({h('n_j')} * 1000000000 + {h('ab_milli')} * 1000000)
                 ELSE raw_micro END AS BIGINT) AS shrunk_micro
     FROM k

@@ -140,6 +140,7 @@ def _modules():
         "draft_r12",
         "draft_r13",
         "draft_r14",
+        "draft_r15",
     ):
         try:
             mods.append(
@@ -491,29 +492,10 @@ def _verification_history() -> tuple[dict[str, int], dict[str, int]]:
 # Hand-forced re-proof slots.  CORRECTNESS_r12 delivered fresh green rows
 # for the three similarity re-proofs the r11 verdict demanded, so the set
 # is empty again; repopulate only when a verdict asks for a forced row.
-# EXECUTED at r14 round-start (COVERAGE.md "r14 window allocation",
-# decided r13): the 16 pedri §2 queries — the core reference contract,
-# last green r09 — re-prove exactly at their freshness deadline.  The
-# r14 window then fits 12 draft_r14 first-contacts + 16 forced + 22 LRU
-# drains.  CLEAR this set at r15 round-start once the greens land.
-_FORCE_REPROVE: set[str] = {
-    "pedri_attack_directions",
-    "pedri_counterpress",
-    "pedri_heat_grid",
-    "pedri_lineup_positions",
-    "pedri_match_dates",
-    "pedri_per90",
-    "pedri_per_match_basic",
-    "pedri_per_match_extended",
-    "pedri_profile_build",
-    "pedri_progressive_receptions",
-    "pedri_radar_percentiles",
-    "pedri_scatter_pp_pc",
-    "pedri_season_summary",
-    "pedri_trend_per90",
-    "pedri_xa",
-    "pedri_zone_metrics",
-}
+# r14 executed the scheduled 16-query pedri force-reprove; all 16 landed
+# green in CORRECTNESS_r14.json, so the set was CLEARED at r15 round-start
+# per the schedule.  Repopulate only when a verdict asks for a forced row.
+_FORCE_REPROVE: set[str] = set()
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

@@ -1,8 +1,8 @@
 """The r15-staged draft queries (plans/draft_r15.py) must already pass
 the driver-identical oracle comparison — registration in r15 is then a
-registry toggle, not new risk.  The module is intentionally NOT in
-``registry._modules``: the r13/r14 windows are spoken for (COVERAGE.md
-"Registration-window plan")."""
+registry toggle, not new risk.  Registered at r15 round-start per the
+COVERAGE.md "r15 window allocation" plan (7 first-contacts + 43 LRU
+drains covering the entire 22-query r09 tail + the 21 oldest r10s)."""
 
 from __future__ import annotations
 
@@ -17,14 +17,15 @@ def _pairs():
     return [(n, d.QUERIES[n], d.ORACLE_SQL[n]) for n in sorted(d.QUERIES)]
 
 
-def test_drafts_are_not_registered():
+def test_drafts_are_registered():
+    """Flipped at r15 registration: the wave is now IN the registry
+    (one line in registry._modules), fully oracle-paired."""
     from pedri_analysis_spark.plans import draft_r15 as d
     from pedri_analysis_spark.plans import registry
 
     registered = set(registry.all_queries())
-    assert not (set(d.QUERIES) & registered), (
-        "r15 draft queries leaked into the registry early — they must not "
-        "displace the r13/r14 first-contact / stale-drain window slots"
+    assert set(d.QUERIES) <= registered, (
+        "r15 wave missing from the registry after its registration round"
     )
     assert set(d.ORACLE_SQL) == set(d.QUERIES)
 
