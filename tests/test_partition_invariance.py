@@ -48,9 +48,13 @@ SAMPLE = [
     ("benjamini_hochberg_fdr", None),  # rank-ordered p-value thresholds
     ("map_bm25_eval", None),  # per-query ranked AP over tie-broken top-k
     ("ari_clusters_vs_labels", None),  # contingency pair sums over splits
-    # r15 staged drafts with merge-order-sensitive shapes
-    ("winnowing_fingerprints", "draft_r15"),  # lag/lead selection windows
-    ("edit_distance_near_dups", "draft_r15"),  # groupBy-min representatives
+    # r15 wave (registered r15) with merge-order-sensitive shapes
+    # (VERDICT r14 ask #4: gkt / winnowing / seasonal / kmv)
+    ("winnowing_fingerprints", None),  # lag/lead selection windows
+    ("edit_distance_near_dups", None),  # groupBy-min representatives
+    ("goodman_kruskal_tau", None),  # contingency margins over hash splits
+    ("seasonal_decomposition_daily", None),  # ordered residual windows
+    ("kmv_distinct_estimate", None),  # k-min hash ordering over merges
     # r16 staged drafts with merge-order-sensitive shapes
     ("mann_whitney_u_values", "draft_r16"),  # value-grid cumulative window
     ("harmonic_centrality_seeds", "draft_r16"),  # iterative frontier joins
