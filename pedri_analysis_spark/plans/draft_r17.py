@@ -922,3 +922,197 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _hrw_sql(tx.SPARK).replace("FROM customer", "FROM hrw_customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test (added r15)
+# ---------------------------------------------------------------------------
+
+# z^2 ~ chi^2_1 at 0.05 in micro units (the MWU normal-approx convention)
+JT_CHI2_CRIT_MICRO = 3_841_459
+
+
+def _jt_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    tv = "n1v + n2v + n3v + n4v + n5v"
+    return f"""
+    WITH base AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               {d} 100000 AS v
+      FROM orders
+      WHERE substr(o_orderpriority, 1, 1) IN ('1', '2', '3', '4', '5')
+    ),
+    grid AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2v,
+             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3v,
+             CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4v,
+             CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5v
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT *,
+        CAST(coalesce(sum(n1v) OVER w, 0) AS BIGINT) AS c1,
+        CAST(coalesce(sum(n2v) OVER w, 0) AS BIGINT) AS c2,
+        CAST(coalesce(sum(n3v) OVER w, 0) AS BIGINT) AS c3,
+        CAST(coalesce(sum(n4v) OVER w, 0) AS BIGINT) AS c4
+      FROM grid
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sums AS (
+      SELECT
+        CAST(sum({tv}) AS BIGINT) AS n,
+        CAST(sum(n1v) AS BIGINT) AS g1, CAST(sum(n2v) AS BIGINT) AS g2,
+        CAST(sum(n3v) AS BIGINT) AS g3, CAST(sum(n4v) AS BIGINT) AS g4,
+        CAST(sum(n5v) AS BIGINT) AS g5,
+        CAST(sum( n2v * (2 * c1 + n1v)
+           + n3v * (2 * (c1 + c2) + n1v + n2v)
+           + n4v * (2 * (c1 + c2 + c3) + n1v + n2v + n3v)
+           + n5v * (2 * (c1 + c2 + c3 + c4) + n1v + n2v + n3v + n4v) )
+          AS BIGINT) AS j2,
+        sum({h(tv)} * ({tv} - 1) * (2 * ({tv}) + 5)) AS ta,
+        sum({h(tv)} * ({tv} - 1) * (({tv}) - 2)) AS tc,
+        sum({h(tv)} * ({tv} - 1)) AS te
+      FROM cum
+    ),
+    st AS (
+      SELECT n, j2,
+        {h('n')} * (n - 1) * (2 * n + 5)
+          - ({h('g1')} * (g1 - 1) * (2 * g1 + 5) + {h('g2')} * (g2 - 1) * (2 * g2 + 5)
+           + {h('g3')} * (g3 - 1) * (2 * g3 + 5) + {h('g4')} * (g4 - 1) * (2 * g4 + 5)
+           + {h('g5')} * (g5 - 1) * (2 * g5 + 5)) - ta AS a,
+        {h('g1')} * (g1 - 1) * (g1 - 2) + {h('g2')} * (g2 - 1) * (g2 - 2)
+          + {h('g3')} * (g3 - 1) * (g3 - 2) + {h('g4')} * (g4 - 1) * (g4 - 2)
+          + {h('g5')} * (g5 - 1) * (g5 - 2) AS b,
+        tc AS c,
+        {h('g1')} * (g1 - 1) + {h('g2')} * (g2 - 1) + {h('g3')} * (g3 - 1)
+          + {h('g4')} * (g4 - 1) + {h('g5')} * (g5 - 1) AS dd,
+        te AS e2,
+        {h('n')} * n
+          - ({h('g1')} * g1 + {h('g2')} * g2 + {h('g3')} * g3
+           + {h('g4')} * g4 + {h('g5')} * g5) AS mu4
+      FROM sums
+    ),
+    vv AS (
+      SELECT n, j2, mu4,
+        (a * 1000000) {d} 72
+        + (b * c * 1000000) {d} (36 * {h('n')} * (n - 1) * (n - 2))
+        + (dd * e2 * 1000000) {d} (8 * {h('n')} * (n - 1)) AS var_micro
+      FROM st
+    ),
+    zz AS (
+      SELECT n, j2, mu4, var_micro,
+        (2 * {h('j2')} - mu4) * (2 * {h('j2')} - mu4) AS x2
+      FROM vv
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(j2 AS BIGINT) AS jt_x2,
+           CAST(mu4 AS BIGINT) AS mu_x4, CAST(var_micro AS BIGINT) AS var_micro,
+           CAST(CASE WHEN var_micro <= 0 THEN 0
+                ELSE (x2 {d} var_micro) * 62500000000
+                     + ((x2 % var_micro) * 62500000000) {d} var_micro
+                END AS BIGINT) AS z2_micro,
+           CAST(CASE WHEN var_micro > 0
+                      AND (x2 {d} var_micro) * 62500000000
+                          + ((x2 % var_micro) * 62500000000) {d} var_micro
+                          >= {JT_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM zz
+    """
+
+
+@_register("jonckheere_terpstra_trend", _jt_sql(tx.DUCK))
+def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test (1954) for an ORDERED alternative:
+    does order value trend monotonically across the five priority
+    classes 1-URGENT -> 5-LOW?  The rank test to reach for when the
+    groups carry a natural order - strictly more powerful there than
+    the staged Kruskal-Wallis omnibus, and the ordered-dose cousin of
+    the staged Cochran-Armitage (which handles binary outcomes).
+
+    Determinism: J = sum_{a<b} U_ab is assembled EXACTLY from the
+    bounded $1000-bucket value grid: per value v and ordered group
+    pair, U contributions are n_bv * (2*C_av + n_av) in DOUBLED units
+    (ties count 1 = 2 halves), so jt_x2 = 2J is an exact BIGINT.  The
+    tie-corrected null variance (Hollander & Wolfe eq. 6.19) is
+    assembled from the three tie-power sums in 128-bit and floored
+    ONCE per closed-form term to micro (3 documented floors); z^2 =
+    (2J - mu2)^2 / (4 var) rationalizes as x2 * 62.5e9 / var_micro,
+    computed via the quotient+remainder RESIDUE DECOMPOSITION (the MWU
+    convention) so the 128-bit ceiling is x2 ~ 4n^4 (saturates ~6e7
+    orders, an ANSI/HUGEINT loud failure, never silent divergence)
+    rather than 2.5e11 * n^4 (~5e6).
+
+    Scale: corpus reduces to the $1000 grid (one groupBy); the
+    cumulative window runs on the bounded grid (the adjudicated
+    score-domain single-partition pattern, see kruskal_wallis /
+    mann_whitney_u_values); everything after is a 1-row frame.
+    Priority classes outside 1..5 are filtered loudly upstream."""
+    ord_df = load_table(spark, "orders", sf_dir)
+    ord_df.createOrReplaceTempView("orders")
+    return spark.sql(_jt_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V^2 association strength segment x nation (added r15)
+# ---------------------------------------------------------------------------
+
+
+def _cv2_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    return f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS r, c_nationkey AS c, CAST(count(*) AS BIGINT) AS o
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    m AS (
+      SELECT r, c, o,
+             CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rm,
+             CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS cm,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    agg AS (
+      SELECT max(n) AS n,
+             CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             CAST(count(DISTINCT c) AS BIGINT) AS nc,
+             sum((1000000 * {h('n')} * o * o) {d} ({h('rm')} * cm)) AS s
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+           CAST(nc AS BIGINT) AS n_cols,
+           CAST(s - 1000000 * {h('n')} AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN n > 0 AND least(nr, nc) > 1
+                THEN (1000 * (s - 1000000 * {h('n')}))
+                     {d} ({h('n')} * (least(nr, nc) - 1))
+                ELSE 0 END AS BIGINT) AS v2_nano
+    FROM agg
+    """
+
+
+@_register("cramers_v2_segments", _cv2_sql(tx.DUCK))
+def q_cramers_v2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V^2 (1946) association strength of the market-segment x
+    nation contingency table - the [0,1]-normalized effect size the
+    raw chi^2 (distribution_drift_chisq's statistic) cannot give
+    because chi^2 grows with n: V^2 = chi^2 / (n * (min(r,c) - 1)).
+
+    Determinism: chi^2 = n * sum_cells O^2/(R_i C_j) - n avoids
+    expected-count rationals entirely; each OBSERVED cell floors once
+    to micro (<= r*c = 125 documented per-cell floors - empty cells
+    contribute exactly 0 to the O^2 sum and cancel in the -n term);
+    V^2 floors once more to nano.  128-bit ceiling: 1e6 * n * o^2
+    ~ 1e6 * n^3 saturates ~5e10 customers (ANSI/HUGEINT loud failure).
+    Degenerate 1-row/1-col tables report v2_nano = 0 (guarded, both
+    dialects).
+
+    Scale: one groupBy to the domain-bounded 5 x 25 cell grid; margins
+    via bounded-grid windows partitioned by row/column; one 1-row
+    aggregate after.  The count(DISTINCT) window on the bounded cell
+    frame is the adjudicated bounded single-partition pattern."""
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(_cv2_sql(tx.SPARK))

@@ -855,3 +855,164 @@ def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("FROM lineitem l", "FROM eb_lineitem l")
         .replace("JOIN part p", "JOIN eb_part p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression calibration via PAVA minimax (added r15)
+# ---------------------------------------------------------------------------
+
+PAVA_BUCKET_CENTS = 1_250_000  # $12.5k fixed-width price buckets (~40 buckets)
+
+
+def _hug18(dialect: str, expr: str) -> str:
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+def _pava_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    return f"""
+    WITH b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               {d} {PAVA_BUCKET_CENTS} AS bk,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT bk, w, s,
+             CAST(row_number() OVER (ORDER BY bk) AS BIGINT) AS i,
+             CAST(sum(w) OVER (ORDER BY bk) AS BIGINT) AS cw,
+             CAST(sum(s) OVER (ORDER BY bk) AS BIGINT) AS cs
+      FROM b
+    ),
+    pairs AS (
+      SELECT j.i AS j, k.i AS k,
+             (1000000 * (k.cs - (j.cs - j.s))) {d} (k.cw - (j.cw - j.w)) AS am
+      FROM pre j JOIN pre k ON j.i <= k.i
+    ),
+    sufmin AS (
+      SELECT j, k,
+             min(am) OVER (PARTITION BY j ORDER BY k DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m
+      FROM pairs
+    ),
+    fit AS (
+      SELECT k AS i, CAST(max(m) AS BIGINT) AS fit_micro
+      FROM sufmin GROUP BY k
+    )
+    SELECT p.bk AS bucket, p.w AS n_orders, p.s AS n_final,
+           CAST((1000000 * p.s) {d} p.w AS BIGINT) AS rate_micro, f.fit_micro
+    FROM pre p JOIN fit f ON f.i = p.i
+    ORDER BY p.bk
+    """
+
+
+@_register("isotonic_calibration_pava", _pava_sql(tx.DUCK))
+def q_isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of P(orderstatus = 'F') on the $12.5k
+    order-value bucket - the calibration map PAVA (pool-adjacent-
+    violators, Ayer 1955) produces, and the nonparametric upgrade of
+    the binned calibration_bins_value curve: the fitted rate is the
+    best MONOTONE weighted-least-squares fit.
+
+    Determinism: PAVA is inherently sequential, but its solution has
+    the closed minimax form fit(i) = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) (Robertson-Wright-Dykstra 1988 eq. 1.9-1.13) -
+    expressible in pure windowed SQL over the bounded bucket grid.
+    Each candidate interval mean floors ONCE to micro; because floor
+    is monotone it COMMUTES with min and max, so fit_micro is EXACTLY
+    floor(1e6 * true PAVA fit) - the parity pin recomputes the
+    classic stack PAVA in Python and matches bit-for-bit.  No floats,
+    no libm.  1e6 * interval-sums stay BIGINT to ~9e12 orders.
+
+    Scale: the corpus reduces in ONE groupBy to the ~40-row bounded
+    bucket grid; the O(B^2) pair frame (~820 rows) and its windows are
+    all domain-bounded (the adjudicated bounded single-partition
+    pattern); nothing downstream touches corpus rows.  The fit is
+    monotone nondecreasing by construction (property-pinned), and
+    total fitted mass drifts from the true success count by < n micro
+    (one floor per bucket, pinned)."""
+    ord_df = load_table(spark, "orders", sf_dir)
+    ord_df.createOrReplaceTempView("orders")
+    return spark.sql(_pava_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (added r15)
+# ---------------------------------------------------------------------------
+
+CA_CHI2_CRIT_MICRO = 3_841_459  # chi^2_1 at 0.05, micro units
+
+
+def _ca_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug18(dialect, e)  # noqa: E731
+    return f"""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ri
+      FROM orders
+      WHERE substr(o_orderpriority, 1, 1) IN ('1', '2', '3', '4', '5')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS rr,
+             CAST(sum(t * ni) AS BIGINT) AS s1,
+             CAST(sum(t * t * ni) AS BIGINT) AS s2,
+             CAST(sum(t * ri) AS BIGINT) AS sr, CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    u AS (
+      SELECT n, rr, k,
+             {h('sr')} * n - {h('s1')} * rr AS uu,
+             {h('rr')} * (n - rr) AS d1,
+             {h('n')} * s2 - {h('s1')} * s1 AS d2
+      FROM s
+    ),
+    q AS (
+      SELECT n, rr, k, uu, d1, d2,
+             CASE WHEN d1 > 0 THEN (1000 * uu * uu) {d} d1
+                  ELSE {h('0')} END AS a_milli
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_pos,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(uu AS BIGINT) AS t_num,
+           CAST(CASE WHEN d1 > 0 AND d2 > 0 THEN (a_milli * n * 1000) {d} d2
+                ELSE 0 END AS BIGINT) AS z2_micro,
+           CAST(CASE WHEN d1 > 0 AND d2 > 0
+                      AND (a_milli * n * 1000) {d} d2 >= {CA_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM q
+    """
+
+
+@_register("cochran_armitage_trend", _ca_sql(tx.DUCK))
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test (1954/1955) for a LINEAR trend in the
+    binary finalization rate across the five ORDERED priority classes
+    - the binary-outcome cousin of the staged Jonckheere-Terpstra
+    (draft_r17) and the dose-response workhorse: scores t_i = 1..5,
+    T = sum t_i (r_i - n_i R/N), z^2 = T^2/Var(T) ~ chi^2_1.
+
+    Determinism: the numerator rationalizes EXACTLY as U = N*T =
+    sum t_i (r_i N - n_i R); z^2 = U^2 N / (R(N-R) * (N s2 - s1^2))
+    quantizes in TWO documented floors (milli then micro) so every
+    128-bit intermediate stays bounded: 1e3*U^2 ~ 2.5e4 N^4 saturates
+    ~5e8 orders, a_milli*N*1e3 ~ 1e8 N^3 saturates ~1.2e10 (both loud
+    ANSI/HUGEINT failures, never silent).  Degenerate guards mirrored:
+    all-positive/all-negative outcomes (d1 = 0) and a single priority
+    class (d2 = 0) report z^2 = 0.
+
+    Scale: ONE groupBy to the 5-row ordered-class frame; everything
+    after is 1-row algebra.  t_num = U is emitted as a BIGINT output
+    cast - loud past ~1.3e9 orders, the wave convention."""
+    ord_df = load_table(spark, "orders", sf_dir)
+    ord_df.createOrReplaceTempView("orders")
+    return spark.sql(_ca_sql(tx.SPARK))

@@ -674,3 +674,263 @@ def q_png_roundtrip_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
     return mm.png_roundtrip_stats(spread(ids)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) drift, first vs second half (added r15)
+# ---------------------------------------------------------------------------
+
+WS_DAY_US = 86_400_000_000
+WS_SPLIT_DAYS = 15
+
+
+def _hug19(dialect: str, expr: str) -> str:
+    if dialect == tx.DUCK:
+        return f"CAST({expr} AS HUGEINT)"
+    return f"CAST({expr} AS DECIMAL(38,0))"
+
+
+def _ws_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug19(dialect, e)  # noqa: E731
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "ws_events"
+    diff = f"{h('c1')} * n2 - {h('c2')} * n1"
+    return f"""
+    WITH ev AS (
+      SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+             CASE WHEN {ts_us} {d} {WS_DAY_US} <
+                       (SELECT min({ts_us} {d} {WS_DAY_US}) + {WS_SPLIT_DAYS}
+                        FROM {src} WHERE value IS NOT NULL)
+                  THEN 1 ELSE 2 END AS half
+      FROM {src} WHERE value IS NOT NULL
+    ),
+    grid AS (
+      SELECT vc,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+      FROM ev GROUP BY vc
+    ),
+    cum AS (
+      SELECT vc, lead(vc) OVER (ORDER BY vc) AS nxt,
+             CAST(sum(a1) OVER (ORDER BY vc) AS BIGINT) AS c1,
+             CAST(sum(a2) OVER (ORDER BY vc) AS BIGINT) AS c2,
+             CAST(sum(a1) OVER () AS BIGINT) AS n1,
+             CAST(sum(a2) OVER () AS BIGINT) AS n2
+      FROM grid
+    ),
+    num AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             sum(CASE WHEN nxt IS NULL THEN {h('0')}
+                  ELSE (CASE WHEN {diff} < 0 THEN -({diff}) ELSE {diff} END)
+                       * (nxt - vc) END) AS nm
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0
+                THEN (1000000 * nm) {d} ({h('n1')} * n2)
+                ELSE 0 END AS BIGINT) AS w1_microcents
+    FROM num
+    """
+
+
+@_register("wasserstein_value_drift", _ws_sql(tx.DUCK))
+def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the event-value
+    distributions of the corpus' FIRST {WS_SPLIT_DAYS} days and the
+    rest - the drift metric that, unlike the registered KS statistic
+    (sup gap) and chi-square (binned), weights HOW FAR mass moved:
+    W1 = integral |F1 - F2| dx, the area between the two CDFs.
+
+    Determinism: on the bounded 2-decimal value grid the integral is
+    the EXACT sum  sum_v |c1(v) n2 - c2(v) n1| * gap(v)  over grid
+    gaps, cross-multiplied to avoid rationals (the MWU |s1 n2 - s2 n1|
+    discipline, sign branched before negation as defense-in-depth);
+    ONE final floor to micro-cents.  128-bit ceiling: the numerator is
+    bounded by n1*n2*range_cents ~ 5e4 n^2 - saturates ~1.8e16 events
+    (loud ANSI/HUGEINT failure).  The split day comes off the shared
+    epoch-us spine (events_us / epoch_us), so both engines bucket
+    identically; empty halves are guarded to 0 in both dialects.
+
+    Scale: corpus reduces in ONE groupBy to the domain-bounded value
+    grid (<= 49002 rows at any SF); the CDF window runs on that grid
+    (the adjudicated score-domain single-partition pattern, see
+    ks_drift_doclen / mann_whitney_u_values); one 1-row frame after."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("ts_us", "value")
+    ev.createOrReplaceTempView("ws_events")
+    return spark.sql(_ws_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strengths from daily event-type duels (added r15)
+# ---------------------------------------------------------------------------
+
+BT_TYPES = ["click", "error", "purchase", "signup", "view"]
+BT_ITERS = 30
+BT_SCALE = 1_000_000  # strengths in ppm, mean 1.0 => sum 5e6
+
+
+def _bt_praw(dialect: str, i: int) -> str:
+    """Un-normalized MM update for strength i (Zermelo/Hunter 2004):
+    praw_i = W_i / sum_{j != i} n_ij / (p_i + p_j), all in integer ppm
+    with per-term floors mirrored across dialects."""
+    if dialect == tx.DUCK:
+        el = lambda arr, k: f"list_extract({arr}, {k})"  # noqa: E731
+        body = (
+            f"CASE WHEN j = {i} OR list_extract(nm, ({i} - 1) * 5 + j) = 0 "
+            f"THEN CAST(0 AS BIGINT) "
+            f"ELSE (list_extract(nm, ({i} - 1) * 5 + j) * 1000000000000) "
+            f"// (list_extract(p, {i}) + list_extract(p, j)) END"
+        )
+        den = f"list_sum(list_transform(generate_series(1, 5), j -> {body}))"
+    else:
+        el = lambda arr, k: f"element_at({arr}, {k})"  # noqa: E731
+        body = (
+            f"CASE WHEN j = {i} OR element_at(nm, ({i} - 1) * 5 + j) = 0 "
+            f"THEN CAST(0 AS BIGINT) "
+            f"ELSE (element_at(nm, ({i} - 1) * 5 + j) * 1000000000000) "
+            f"div (element_at(p, {i}) + element_at(p, j)) END"
+        )
+        den = (
+            f"aggregate(transform(sequence(1, 5), j -> {body}), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    d = _IDIV[dialect]
+    return (
+        f"CASE WHEN {den} > 0 THEN greatest(CAST(1 AS BIGINT), "
+        f"({el('w', i)} * 1000000000000) {d} {den}) "
+        f"ELSE {el('p', i)} END"
+    )
+
+
+def _bt_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
+    src = "events" if dialect == tx.DUCK else "bt_events"
+    types = ", ".join(f"'{t}'" for t in BT_TYPES)
+    tcase = " ".join(f"WHEN '{t}' THEN {k + 1}" for k, t in enumerate(BT_TYPES))
+    ncase = " ".join(f"WHEN {k + 1} THEN '{t}'" for k, t in enumerate(BT_TYPES))
+    if dialect == tx.DUCK:
+        el = lambda arr, k: f"list_extract({arr}, {k})"  # noqa: E731
+        zgen = "unnest(generate_series(0, 24))"
+        igen = "unnest(generate_series(1, 5))"
+        mk = lambda t, key, val: f"(SELECT list({val} ORDER BY {key}) FROM {t})"  # noqa: E731
+        norm = lambda lst: (  # noqa: E731
+            f"list_transform({lst}, x -> (x * {5 * BT_SCALE}) // list_sum({lst}))"
+        )
+        games_i = (
+            "list_sum(list_transform(generate_series(1, 5), "
+            "j -> list_extract(nm, (i - 1) * 5 + j)))"
+        )
+    else:
+        el = lambda arr, k: f"element_at({arr}, {k})"  # noqa: E731
+        zgen = "explode(sequence(0, 24))"
+        igen = "explode(sequence(1, 5))"
+        mk = lambda t, key, val: (  # noqa: E731
+            f"(SELECT transform(array_sort(collect_list(struct({key}, {val}))),"
+            f" s -> s.{val}) FROM {t})"
+        )
+        norm = lambda lst: (  # noqa: E731
+            f"transform({lst}, x -> (x * {5 * BT_SCALE}) div "
+            f"aggregate({lst}, CAST(0 AS BIGINT), (acc, y) -> acc + y))"
+        )
+        games_i = (
+            "aggregate(transform(sequence(1, 5), "
+            "j -> element_at(nm, (i - 1) * 5 + j)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    praw = "[" if dialect == tx.DUCK else "array("
+    praw += ", ".join(_bt_praw(dialect, i) for i in range(1, 6))
+    praw += "]" if dialect == tx.DUCK else ")"
+    return f"""
+    WITH RECURSIVE dt AS (
+      SELECT {ts_us} {d} {WS_DAY_US} AS day,
+             CASE event_type {tcase} END AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {src}
+      WHERE event_type IN ({types})
+      GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CASE WHEN a.c <> b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS games,
+             CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_i
+      FROM dt a JOIN dt b ON a.day = b.day AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    dm AS (
+      SELECT i, j, games, wins_i FROM duel
+      UNION ALL
+      SELECT j, i, games, games - wins_i FROM duel
+    ),
+    cell AS (
+      SELECT g.i, g.j,
+             CAST(coalesce(max(dm.games), 0) AS BIGINT) AS games,
+             CAST(coalesce(max(dm.wins_i), 0) AS BIGINT) AS wins_i
+      FROM (SELECT z {d} 5 + 1 AS i, z % 5 + 1 AS j
+            FROM (SELECT {zgen} AS z) zz) g
+      LEFT JOIN dm ON dm.i = g.i AND dm.j = g.j
+      GROUP BY g.i, g.j
+    ),
+    init AS (
+      SELECT
+        {mk('(SELECT i * 5 + j - 5 AS ij, games FROM cell)', 'ij', 'games')}
+          AS nm,
+        {mk('(SELECT i, CAST(sum(wins_i) AS BIGINT) AS wi FROM cell GROUP BY i)',
+            'i', 'wi')} AS w,
+        {'[' if dialect == tx.DUCK else 'array('}CAST({BT_SCALE} AS BIGINT),
+          {BT_SCALE}, {BT_SCALE}, {BT_SCALE},
+          {BT_SCALE}{']' if dialect == tx.DUCK else ')'} AS p
+    ),
+    bt AS (
+      SELECT 0 AS step, nm, w, p FROM init
+      UNION ALL
+      SELECT step + 1, nm, w, {norm(praw)}
+      FROM bt WHERE step < {BT_ITERS}
+    )
+    SELECT CASE i {ncase} END AS event_type,
+           CAST({el('w', 'i')} AS BIGINT) AS wins,
+           CAST({games_i} AS BIGINT) AS games,
+           CAST({el('p', 'i')} AS BIGINT) AS strength_ppm
+    FROM (SELECT {igen} AS i, nm, w, p FROM bt WHERE step = {BT_ITERS}) z
+    ORDER BY event_type
+    """
+
+
+@_register("bradley_terry_event_types", _bt_sql(tx.DUCK))
+def q_bradley_terry_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry (1952) pairwise-comparison strengths for the five
+    event types, fit on DAILY DUELS: on each calendar day, of each
+    type pair, the type with more events wins (ties void).  The
+    canonical paired-preference model (and the L2R / chess-rating
+    primitive); strengths are the MM fixed point p_i = W_i /
+    sum_j n_ij/(p_i+p_j) (Zermelo 1929, Hunter 2004).
+
+    Determinism: the duel matrix is exact integers off the shared
+    epoch-us day spine; {BT_ITERS} MM iterations run in ppm integer
+    arithmetic inside a recursive CTE carrying the (nm, w, p) arrays
+    in ONE row per step (the DTW bounded-array pattern - transform
+    lambdas only, no join or aggregate over the recursive reference;
+    the denominator/normalizer reductions are dialect-paired list_sum
+    vs aggregate() with identical per-term floors).  Each step floors
+    the MM update then re-normalizes to sum ~ 5e6 ppm; a zero
+    denominator (winless type) keeps its previous strength, and every
+    strength is clamped >= 1 ppm - guards mirrored in both dialects.
+    The parity pin recomputes the identical integer iteration in
+    Python and matches bit-for-bit; the float MM fixed point agrees to
+    +-2 ppm at sf0.01.
+
+    Scale: the corpus reduces in ONE groupBy to the (day x 5)-bounded
+    dt grid; the duel join is day-equi over that bounded grid; the
+    recursion is {BT_ITERS} steps over ONE row carrying 35 BIGINTs -
+    structural cost, flat in corpus size.  All intermediates bounded
+    by n_ij <= calendar days (~30): no overflow at any SF."""
+    from pedri_analysis_spark.plans.relational import events_us
+
+    ev = events_us(spark, sf_dir).select("ts_us", "event_type")
+    ev.createOrReplaceTempView("bt_events")
+    return spark.sql(_bt_sql(tx.SPARK))

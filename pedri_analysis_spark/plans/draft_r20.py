@@ -698,3 +698,95 @@ def q_dtw_daily_revenue_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("event_type", "value", "ts_us")
     ev.createOrReplaceTempView("dtw_events")
     return spark.sql(_dtw_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing + 6-month forecast (added r15)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA_PPM = 300_000  # level smoothing alpha = 0.3
+HOLT_BETA_PPM = 100_000  # trend smoothing beta = 0.1
+HOLT_PPM = 1_000_000
+HOLT_HORIZON = 6
+HOLT_MAX_STEPS = 99  # mirrored literal cap < Spark's recursion limit 100
+
+
+def _holt_sql(dialect: str) -> str:
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    hgen = (
+        "unnest(generate_series(1, %d))" % HOLT_HORIZON
+        if dialect == tx.DUCK
+        else "explode(sequence(1, %d))" % HOLT_HORIZON
+    )
+    lnew = (
+        f"({HOLT_ALPHA_PPM} * {h('g.y')} "
+        f"+ {HOLT_PPM - HOLT_ALPHA_PPM} * ({h('hh.l')} + hh.b)) {d} {HOLT_PPM}"
+    )
+    return f"""
+    WITH RECURSIVE mg AS (
+      SELECT CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS idx, y
+      FROM (SELECT date_trunc('month', o_orderdate) AS mo,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY 1) t
+    ),
+    holt AS (
+      SELECT CAST(1 AS BIGINT) AS idx,
+             (SELECT y FROM mg WHERE idx = 1) AS y,
+             (SELECT y FROM mg WHERE idx = 1) AS l,
+             (SELECT y FROM mg WHERE idx = 2)
+               - (SELECT y FROM mg WHERE idx = 1) AS b
+      UNION ALL
+      SELECT g.idx, g.y,
+             CAST({lnew} AS BIGINT),
+             CAST(({HOLT_BETA_PPM} * (({lnew}) - hh.l)
+                   + {HOLT_PPM - HOLT_BETA_PPM} * {h('hh.b')}) {d} {HOLT_PPM}
+               AS BIGINT)
+      FROM holt hh JOIN mg g ON g.idx = hh.idx + 1
+      WHERE hh.idx < {HOLT_MAX_STEPS}
+    ),
+    fin AS (SELECT idx, l, b FROM holt ORDER BY idx DESC LIMIT 1)
+    SELECT idx AS month_idx, y AS y_cents, l AS level_cents, b AS trend_cents,
+           CAST(NULL AS BIGINT) AS forecast_cents
+    FROM holt
+    UNION ALL
+    SELECT f.idx + f.hh, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(f.l + f.hh * f.b AS BIGINT)
+    FROM (SELECT idx, l, b, {hgen} AS hh FROM fin) f
+    ORDER BY month_idx
+    """
+
+
+@_register("holt_linear_forecast", _holt_sql(tx.DUCK))
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (1957) over the
+    80-month revenue series, plus the {HOLT_HORIZON}-month linear
+    forecast l_T + h*b_T - the classic trending-series forecaster
+    next to forecast_revenue_q6's OLS line (which fits ONE global
+    line; Holt adapts level and slope recency-weighted).  alpha = 0.3,
+    beta = 0.1 in exact ppm integers.
+
+    Determinism: the recurrence l_t = alpha y_t + (1-alpha)(l+b),
+    b_t = beta (l_t - l) + (1-beta) b is inherently sequential - the
+    third catalog query on Spark 4's RECURSIVE CTE surface, in the
+    kaplan_meier sequential-chain pattern (each step one 1-row join
+    against the bounded month grid).  Monthly revenue sums are exact
+    cents; each step floors l then b ONCE to cents (two documented
+    per-step quantizations; products widened 128-bit first).  The
+    trend can go NEGATIVE: integer division truncates toward zero in
+    BOTH dialects on these types (r14-advice-verified), and the Python
+    parity pin mirrors exactly that.  Init l_1 = y_1, b_1 = y_2 - y_1
+    (classic); depth capped at {HOLT_MAX_STEPS} in BOTH dialects under
+    Spark's default recursion limit 100, so a hypothetical longer
+    calendar truncates identically and loudly in the parity gate.
+
+    Scale: the corpus reduces in ONE groupBy to the CALENDAR-bounded
+    month grid (80 rows at every SF - recursion depth is structural,
+    never corpus-sized); 128-bit step products overflow only past
+    ~9e12 dollars of monthly revenue (loud BIGINT output cast).  The
+    forecast leg explodes a literal {HOLT_HORIZON}-element horizon off
+    the 1-row final state - a generator, not a join."""
+    ord_df = load_table(spark, "orders", sf_dir)
+    ord_df.createOrReplaceTempView("orders")
+    return spark.sql(_holt_sql(tx.SPARK))

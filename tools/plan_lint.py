@@ -129,6 +129,9 @@ _BNLJ_ALLOWED = {
     # r18 drafts (plans/draft_r18.py — staged r13, facts pinned by
     # tests/test_draft_r18.py)
     "bloom_semijoin_reduction",  # four 1-row count frames crossed together
+    "isotonic_calibration_pava",  # bounded ~40x40 bucket-grid non-equi
+    # pair frame (j <= k interval enumeration; both sides the $12.5k
+    # price-bucket rollup — domain-bounded at every SF)
     # r20 drafts (plans/draft_r20.py — staged r13, facts pinned by
     # tests/test_draft_r20.py)
     "cvm_drift_doclen",  # source-pair build: |sources|^2 non-equi (ks precedent)
