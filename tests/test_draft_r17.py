@@ -310,3 +310,99 @@ def test_hrw_minimal_disruption_and_python_recompute(spark, duck):
     # the 1/17 expectation, generously banded for small key counts
     frac = moved / len(keys)
     assert 0.2 / (d.HRW_SHARDS + 1) <= frac <= 3.0 / (d.HRW_SHARDS + 1)
+
+
+def test_jonckheere_terpstra_matches_python_reference(spark, duck):
+    """Recompute doubled-JT, tie-corrected variance, and the
+    residue-decomposed z^2 from raw order rows in pure Python."""
+    from collections import defaultdict
+
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    r = d.QUERIES["jonckheere_terpstra_trend"](spark, SF_DIR).collect()[0]
+    base = duck.sql(
+        """
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT),
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 // 100000
+        FROM orders
+        WHERE substr(o_orderpriority, 1, 1) IN ('1','2','3','4','5')
+        """
+    ).fetchall()
+    grid = defaultdict(lambda: [0] * 5)
+    for g, v in base:
+        grid[v][g - 1] += 1
+    c = [0] * 5
+    j2 = ta = tc = te = 0
+    gtot = [0] * 5
+    for v in sorted(grid):
+        nv = grid[v]
+        for h in range(1, 5):
+            j2 += nv[h] * (2 * sum(c[:h]) + sum(nv[:h]))
+        t = sum(nv)
+        ta += t * (t - 1) * (2 * t + 5)
+        tc += t * (t - 1) * (t - 2)
+        te += t * (t - 1)
+        for g in range(5):
+            c[g] += nv[g]
+            gtot[g] += nv[g]
+    n = sum(gtot)
+    mu4 = n * n - sum(g * g for g in gtot)
+    a = n * (n - 1) * (2 * n + 5) - sum(
+        g * (g - 1) * (2 * g + 5) for g in gtot
+    ) - ta
+    b = sum(g * (g - 1) * (g - 2) for g in gtot)
+    dd = sum(g * (g - 1) for g in gtot)
+    var = (
+        (a * 10**6) // 72
+        + (b * tc * 10**6) // (36 * n * (n - 1) * (n - 2))
+        + (dd * te * 10**6) // (8 * n * (n - 1))
+    )
+    x2 = (2 * j2 - mu4) ** 2
+    z2 = (x2 // var) * 62_500_000_000 + ((x2 % var) * 62_500_000_000) // var
+    assert r["n"] == n and r["jt_x2"] == j2 and r["mu_x4"] == mu4
+    assert r["var_micro"] == var and r["z2_micro"] == z2
+    assert r["significant"] == (1 if z2 >= d.JT_CHI2_CRIT_MICRO else 0)
+    # float sanity: micro z^2 within 2 micro of the float statistic
+    zf = ((j2 / 2 - mu4 / 4) ** 2) / (var / 1e6)
+    assert abs(z2 / 1e6 - zf) < 2e-5 * max(1.0, zf) + 2e-6
+
+
+def test_cramers_v2_matches_python_reference(spark, duck):
+    """Recompute the per-cell-floored chi^2 and V^2 from the raw
+    contingency table; pin the floor loss under the 125-cell bound."""
+    from collections import defaultdict
+
+    from pedri_analysis_spark.plans import draft_r17 as d
+
+    r = d.QUERIES["cramers_v2_segments"](spark, SF_DIR).collect()[0]
+    cells = duck.sql(
+        "SELECT c_mktsegment, c_nationkey, count(*) FROM customer GROUP BY 1, 2"
+    ).fetchall()
+    rm = defaultdict(int)
+    cm = defaultdict(int)
+    n = 0
+    for rr, cc, o in cells:
+        rm[rr] += o
+        cm[cc] += o
+        n += o
+    s = sum((10**6 * n * o * o) // (rm[rr] * cm[cc]) for rr, cc, o in cells)
+    chi2 = s - 10**6 * n
+    v2 = (1000 * chi2) // (n * (min(len(rm), len(cm)) - 1))
+    assert r["n"] == n
+    assert (r["n_rows"], r["n_cols"]) == (len(rm), len(cm))
+    assert r["chi2_micro"] == chi2 and r["v2_nano"] == v2
+    # exact float chi^2 (zero cells contribute E) within the 125-floor loss
+    chi2f = sum(
+        (o - rm[rr] * cm[cc] / n) ** 2 / (rm[rr] * cm[cc] / n)
+        for rr, cc, o in cells
+    )
+    seen = {(rr, cc) for rr, cc, _ in cells}
+    chi2f += sum(
+        rm[rr] * cm[cc] / n
+        for rr in rm
+        for cc in cm
+        if (rr, cc) not in seen
+    )
+    assert 0 <= chi2f - chi2 / 1e6 <= len(rm) * len(cm) * 1e-6 + 1e-9
+    assert 0 <= r["v2_nano"] <= 10**9  # V^2 in [0, 1]

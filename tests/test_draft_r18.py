@@ -235,3 +235,77 @@ def test_eb_shrinkage_pulls_toward_mean(spark, duck):
         lo, hi = sorted((r["raw_micro"], m))
         assert lo - 1 <= r["shrunk_micro"] <= hi + 1, r
         assert 0 <= r["shrunk_micro"] <= 1_000_000
+
+
+def test_pava_matches_stack_pava_reference(spark, duck):
+    """The minimax-form fit must equal the classic pool-adjacent-
+    violators stack algorithm floored to micro, bucket for bucket;
+    monotone; fitted mass within n micro of the true success count."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    rows = d.QUERIES["isotonic_calibration_pava"](spark, SF_DIR).collect()
+    bw = duck.sql(
+        f"""
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 // {d.PAVA_BUCKET_CENTS},
+               count(*), sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    blocks = []  # [w, s, n_buckets]
+    for _, w, s in bw:
+        blocks.append([w, s, 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            w2, s2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    py_fit = []
+    for w, s, c in blocks:
+        py_fit.extend([(10**6 * s) // w] * c)
+    assert [r["bucket"] for r in rows] == [b[0] for b in bw]
+    assert [r["fit_micro"] for r in rows] == py_fit
+    fits = [r["fit_micro"] for r in rows]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+    n_tot = sum(r["n_orders"] for r in rows)
+    s_tot = sum(r["n_final"] for r in rows)
+    assert abs(sum(r["n_orders"] * r["fit_micro"] for r in rows)
+               - 10**6 * s_tot) <= n_tot
+
+
+def test_cochran_armitage_matches_python_reference(spark, duck):
+    """Recompute U, the two-stage floors, and significance from the
+    5-row priority table in pure Python."""
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    r = d.QUERIES["cochran_armitage_trend"](spark, SF_DIR).collect()[0]
+    gr = duck.sql(
+        """
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT), count(*),
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        FROM orders
+        WHERE substr(o_orderpriority, 1, 1) IN ('1','2','3','4','5')
+        GROUP BY 1
+        """
+    ).fetchall()
+    n = sum(x[1] for x in gr)
+    rr = sum(x[2] for x in gr)
+    s1 = sum(t * ni for t, ni, _ in gr)
+    s2 = sum(t * t * ni for t, ni, _ in gr)
+    sr = sum(t * ri for t, _, ri in gr)
+    uu = sr * n - s1 * rr
+    d1 = rr * (n - rr)
+    d2 = n * s2 - s1 * s1
+    a = (1000 * uu * uu) // d1 if d1 > 0 else 0
+    z2 = (a * n * 1000) // d2 if d1 > 0 and d2 > 0 else 0
+    assert r["n"] == n and r["n_pos"] == rr and r["k_groups"] == len(gr)
+    assert r["t_num"] == uu and r["z2_micro"] == z2
+    assert r["significant"] == (1 if z2 >= d.CA_CHI2_CRIT_MICRO else 0)
+    # float sanity
+    if d1 > 0 and d2 > 0:
+        pbar = rr / n
+        z2f = (sr - s1 * pbar) ** 2 / (pbar * (1 - pbar) * (s2 - s1 * s1 / n))
+        assert abs(z2 / 1e6 - z2f) < 2e-5 * max(1.0, z2f) + 2e-6

@@ -253,3 +253,109 @@ def test_png_codec_detects_corruption():
 
     with _pytest.raises(ValueError):
         _png_decode_gray8(b"\x00" * 16)
+
+
+def test_wasserstein_matches_python_reference(spark, duck):
+    """Recompute the exact CDF-area numerator and the single floor
+    from raw event rows in pure Python."""
+    from collections import defaultdict
+
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    r = d.QUERIES["wasserstein_value_drift"](spark, SF_DIR).collect()[0]
+    ev = duck.sql(
+        """
+        SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+               epoch_us(ts) // 86400000000
+        FROM events WHERE value IS NOT NULL
+        """
+    ).fetchall()
+    d0 = min(dd for _, dd in ev) + d.WS_SPLIT_DAYS
+    g1 = defaultdict(int)
+    g2 = defaultdict(int)
+    for vc, dd in ev:
+        (g1 if dd < d0 else g2)[vc] += 1
+    vs = sorted(set(g1) | set(g2))
+    n1 = sum(g1.values())
+    n2 = sum(g2.values())
+    c1 = c2 = nm = 0
+    for i, v in enumerate(vs):
+        c1 += g1.get(v, 0)
+        c2 += g2.get(v, 0)
+        if i + 1 < len(vs):
+            nm += abs(c1 * n2 - c2 * n1) * (vs[i + 1] - v)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["w1_microcents"] == (10**6 * nm) // (n1 * n2)
+    assert r["w1_microcents"] >= 0
+
+
+def test_bradley_terry_matches_python_reference(spark, duck):
+    """Replay the identical ppm MM iteration in pure Python (exact),
+    then pin against the float fixed point to +-2 ppm."""
+    from collections import defaultdict
+
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    rows = d.QUERIES["bradley_terry_event_types"](spark, SF_DIR).collect()
+    dt = duck.sql(
+        f"""
+        SELECT epoch_us(ts) // 86400000000, event_type, count(*)
+        FROM events
+        WHERE event_type IN ({', '.join("'" + t + "'" for t in d.BT_TYPES)})
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    idx = {nm: k for k, nm in enumerate(d.BT_TYPES)}
+    day = defaultdict(dict)
+    for dd, t, c in dt:
+        day[dd][idx[t]] = c
+    k5 = len(d.BT_TYPES)
+    nm5 = [[0] * k5 for _ in range(k5)]
+    wm = [[0] * k5 for _ in range(k5)]
+    for _, cs in day.items():
+        for a in range(k5):
+            for b in range(a + 1, k5):
+                ca, cb = cs.get(a, 0), cs.get(b, 0)
+                if ca != cb:
+                    nm5[a][b] += 1
+                    nm5[b][a] += 1
+                    if ca > cb:
+                        wm[a][b] += 1
+                    else:
+                        wm[b][a] += 1
+    W = [sum(wm[i]) for i in range(k5)]
+    p = [d.BT_SCALE] * k5
+    for _ in range(d.BT_ITERS):
+        praw = []
+        for i in range(k5):
+            den = sum(
+                (nm5[i][j] * 10**12) // (p[i] + p[j])
+                for j in range(k5)
+                if j != i and nm5[i][j] > 0
+            )
+            praw.append(max(1, (W[i] * 10**12) // den) if den > 0 else p[i])
+        ps = sum(praw)
+        p = [(x * k5 * d.BT_SCALE) // ps for x in praw]
+    by_name = {r["event_type"]: r for r in rows}
+    for i, name in enumerate(d.BT_TYPES):
+        assert by_name[name]["wins"] == W[i]
+        assert by_name[name]["games"] == sum(nm5[i])
+        assert by_name[name]["strength_ppm"] == p[i]
+    # normalization invariant: strengths sum to ~ k * SCALE
+    tot = sum(r["strength_ppm"] for r in rows)
+    assert abs(tot - k5 * d.BT_SCALE) <= k5
+    # float MM fixed point agrees closely
+    pf = [1.0] * k5
+    for _ in range(200):
+        pf = [
+            sum(wm[i]) / sum(
+                nm5[i][j] / (pf[i] + pf[j])
+                for j in range(k5)
+                if j != i and nm5[i][j]
+            )
+            for i in range(k5)
+        ]
+        s = sum(pf)
+        pf = [k5 * x / s for x in pf]
+    for i, name in enumerate(d.BT_TYPES):
+        assert abs(by_name[name]["strength_ppm"] - pf[i] * d.BT_SCALE) <= 2

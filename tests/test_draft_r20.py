@@ -282,3 +282,52 @@ def test_dtw_matches_python_dp(spark, duck):
     assert (r["len_a"], r["len_b"]) == (m, n)
     assert r["dtw_cents"] == dp[m][n]
     assert r["dtw_per_step_milli"] == dp[m][n] * 1000 // (m + n)
+
+
+def test_holt_matches_python_reference(spark, duck):
+    """Replay the exact cents-integer Holt recurrence (truncating
+    division, negative trends included) and the linear forecast."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = d.QUERIES["holt_linear_forecast"](spark, SF_DIR).collect()
+    ys = [
+        r[1]
+        for r in duck.sql(
+            """
+            SELECT date_trunc('month', o_orderdate),
+                   sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT))
+            FROM orders GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    a_, b_, ppm = d.HOLT_ALPHA_PPM, d.HOLT_BETA_PPM, d.HOLT_PPM
+    l, b = ys[0], ys[1] - ys[0]
+    path = [(1, ys[0], l, b)]
+    for t in range(1, min(len(ys), d.HOLT_MAX_STEPS)):
+        ln = tdiv(a_ * ys[t] + (ppm - a_) * (l + b), ppm)
+        b = tdiv(b_ * (ln - l) + (ppm - b_) * b, ppm)
+        l = ln
+        path.append((t + 1, ys[t], l, b))
+    fit_rows = rows[: len(path)]
+    assert [
+        (r["month_idx"], r["y_cents"], r["level_cents"], r["trend_cents"])
+        for r in fit_rows
+    ] == path
+    assert all(r["forecast_cents"] is None for r in fit_rows)
+    fc_rows = rows[len(path):]
+    assert len(fc_rows) == d.HOLT_HORIZON
+    assert [r["forecast_cents"] for r in fc_rows] == [
+        l + h * b for h in range(1, d.HOLT_HORIZON + 1)
+    ]
+    # forecast rows are NULL on the fit columns, and the horizon is linear:
+    deltas = {
+        fc_rows[i + 1]["forecast_cents"] - fc_rows[i]["forecast_cents"]
+        for i in range(len(fc_rows) - 1)
+    }
+    assert deltas == {b}

@@ -73,6 +73,13 @@ SAMPLE = [
     ("kaplan_meier_churn", "draft_r20"),  # recursive product over grid order
     ("logrank_churn_cohorts", "draft_r20"),  # cohort prefix sums on the grid
     ("dtw_daily_revenue_shapes", "draft_r20"),  # sorted-collect series arrays
+    # r15-session additions to the staged waves (grid windows, sorted
+    # collects, recursive chains)
+    ("jonckheere_terpstra_trend", "draft_r17"),  # value-grid cumulative window
+    ("isotonic_calibration_pava", "draft_r18"),  # B^2 pair frame + suffix-min
+    ("wasserstein_value_drift", "draft_r19"),  # CDF window over value grid
+    ("bradley_terry_event_types", "draft_r19"),  # sorted-collect duel arrays
+    ("holt_linear_forecast", "draft_r20"),  # recursive chain over month grid
 ]
 
 
