@@ -40,6 +40,12 @@ Added in the r14 session (same staging discipline):
   disruption guarantee (moved_elsewhere = 0) and load balance MEASURED
   over a +1-shard rebalance.
 
+Added in the r15 session (same staging discipline):
+- jonckheere_terpstra_trend — ordered-alternative rank trend across
+  the priority classes (the ordered-groups upgrade of Kruskal-Wallis).
+- cramers_v2_segments — chi^2-normalized association strength of the
+  segment x nation contingency table.
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.
@@ -997,10 +1003,20 @@ def _jt_sql(dialect: str) -> str:
       FROM sums
     ),
     vv AS (
+      -- the two tie-product terms use the EXACT residue decomposition
+      -- B*C*1e6/den = C*(B*1e6 div den) + (C*(B*1e6 mod den)) div den
+      -- (identical value to the single floor; the direct product
+      -- B*C*1e6 overflowed 128-bit at sf2.0synth's 3M orders)
       SELECT n, j2, mu4,
-        (a * 1000000) {d} 72
-        + (b * c * 1000000) {d} (36 * {h('n')} * (n - 1) * (n - 2))
-        + (dd * e2 * 1000000) {d} (8 * {h('n')} * (n - 1)) AS var_micro
+        CASE WHEN n >= 3 THEN
+          (a * 1000000) {d} 72
+          + c * ((b * 1000000) {d} (36 * {h('n')} * (n - 1) * (n - 2)))
+          + (c * ((b * 1000000) % (36 * {h('n')} * (n - 1) * (n - 2))))
+            {d} (36 * {h('n')} * (n - 1) * (n - 2))
+          + dd * ((e2 * 1000000) {d} (8 * {h('n')} * (n - 1)))
+          + (dd * ((e2 * 1000000) % (8 * {h('n')} * (n - 1))))
+            {d} (8 * {h('n')} * (n - 1))
+        ELSE 0 END AS var_micro
       FROM st
     ),
     zz AS (
@@ -1038,12 +1054,15 @@ def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties count 1 = 2 halves), so jt_x2 = 2J is an exact BIGINT.  The
     tie-corrected null variance (Hollander & Wolfe eq. 6.19) is
     assembled from the three tie-power sums in 128-bit and floored
-    ONCE per closed-form term to micro (3 documented floors); z^2 =
-    (2J - mu2)^2 / (4 var) rationalizes as x2 * 62.5e9 / var_micro,
-    computed via the quotient+remainder RESIDUE DECOMPOSITION (the MWU
-    convention) so the 128-bit ceiling is x2 ~ 4n^4 (saturates ~6e7
-    orders, an ANSI/HUGEINT loud failure, never silent divergence)
-    rather than 2.5e11 * n^4 (~5e6).
+    ONCE per closed-form term to micro (3 documented floors); the two
+    tie-PRODUCT terms (B*C, D*E) and z^2 = x2 * 62.5e9 / var_micro all
+    use the EXACT quotient+remainder RESIDUE DECOMPOSITION (the MWU
+    convention — identical value to the single floor, measured
+    necessary: the direct B*C*1e6 product overflowed DECIMAL(38,0) at
+    sf2.0synth's 3M orders).  Residual 128-bit ceilings, all loud
+    ANSI/HUGEINT failures, never silent: x2 ~ 4n^4 (~6e7 orders),
+    C * 36n^3 with C = sum t^3 over value-grid ties (~1e8 orders at
+    the observed $1000-grid dispersion), n >= 3 guarded to 0.
 
     Scale: corpus reduces to the $1000 grid (one groupBy); the
     cumulative window runs on the bounded grid (the adjudicated

@@ -23,6 +23,12 @@ Families and the public designs they implement:
   the measured version of Spark's own runtime bloom-filter join
   pruning, with the false-pass rate among true non-matches.
 
+Added in the r15 session (same staging discipline):
+- isotonic_calibration_pava — monotone calibration of the finalization
+  rate on price buckets via the exact PAVA minimax closed form.
+- cochran_armitage_trend — linear trend in a binary rate across the
+  ordered priority classes (the binary cousin of Jonckheere-Terpstra).
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.

@@ -28,6 +28,13 @@ Families and the public designs they implement:
   feature-extraction story (decode → spectral features) under the
   full hash-match gate, not a rows-only check.
 
+Added in the r15 session (same staging discipline):
+- wasserstein_value_drift — exact earth-mover (CDF-area) drift between
+  the first-15-days and remaining event-value distributions.
+- bradley_terry_event_types — MM-fitted pairwise-comparison strengths
+  from daily event-type duels, ppm integers in a bounded-array
+  recursive CTE.
+
 Added in the r14 session (same staging discipline):
 - cochrans_q_flags — Cochran's Q across three correlated document
   quality flags, the k >= 3 generalization of McNemar.
@@ -818,7 +825,8 @@ def _bt_sql(dialect: str) -> str:
         igen = "unnest(generate_series(1, 5))"
         mk = lambda t, key, val: f"(SELECT list({val} ORDER BY {key}) FROM {t})"  # noqa: E731
         norm = lambda lst: (  # noqa: E731
-            f"list_transform({lst}, x -> (x * {5 * BT_SCALE}) // list_sum({lst}))"
+            f"list_transform({lst}, x -> greatest(CAST(1 AS BIGINT), "
+            f"(x * {5 * BT_SCALE}) // list_sum({lst})))"
         )
         games_i = (
             "list_sum(list_transform(generate_series(1, 5), "
@@ -833,8 +841,9 @@ def _bt_sql(dialect: str) -> str:
             f" s -> s.{val}) FROM {t})"
         )
         norm = lambda lst: (  # noqa: E731
-            f"transform({lst}, x -> (x * {5 * BT_SCALE}) div "
-            f"aggregate({lst}, CAST(0 AS BIGINT), (acc, y) -> acc + y))"
+            f"transform({lst}, x -> greatest(CAST(1 AS BIGINT), "
+            f"(x * {5 * BT_SCALE}) div "
+            f"aggregate({lst}, CAST(0 AS BIGINT), (acc, y) -> acc + y)))"
         )
         games_i = (
             "aggregate(transform(sequence(1, 5), "
@@ -919,7 +928,10 @@ def q_bradley_terry_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs aggregate() with identical per-term floors).  Each step floors
     the MM update then re-normalizes to sum ~ 5e6 ppm; a zero
     denominator (winless type) keeps its previous strength, and every
-    strength is clamped >= 1 ppm - guards mirrored in both dialects.
+    strength is clamped >= 1 ppm BOTH before and after normalization
+    (the post-normalization floor can zero a dominated strength on
+    degenerate one-type-always-wins data, making a later p_i + p_j
+    division-by-zero reachable) - guards mirrored in both dialects.
     The parity pin recomputes the identical integer iteration in
     Python and matches bit-for-bit; the float MM fixed point agrees to
     +-2 ppm at sf0.01.

@@ -26,6 +26,10 @@ Families and the public designs they implement:
   catching broad low-amplitude CDF shifts a single worst-gap misses;
   pinned coherent with KS (zero-KS ⇒ zero-CvM, CvM ≤ KS²).
 
+Added in the r15 session (same staging discipline):
+- holt_linear_forecast — double exponential smoothing + 6-month linear
+  forecast, the third recursive-CTE query (array-carrying state).
+
 Added in the r14 session (same staging discipline):
 - kaplan_meier_churn — Kaplan-Meier product-limit survival of user
   lifetimes with right-censoring; the catalog's first RECURSIVE CTE.
@@ -714,37 +718,53 @@ HOLT_MAX_STEPS = 99  # mirrored literal cap < Spark's recursion limit 100
 def _holt_sql(dialect: str) -> str:
     d = _IDIV[dialect]
     h = lambda e: _hug(dialect, e)  # noqa: E731
-    hgen = (
-        "unnest(generate_series(1, %d))" % HOLT_HORIZON
-        if dialect == tx.DUCK
-        else "explode(sequence(1, %d))" % HOLT_HORIZON
-    )
+    if dialect == tx.DUCK:
+        hgen = "unnest(generate_series(1, %d))" % HOLT_HORIZON
+        el = lambda k: f"list_extract(ys, {k})"  # noqa: E731
+        ln = "len"
+        mklist = "(SELECT list(y ORDER BY mo) FROM mg)"
+    else:
+        hgen = "explode(sequence(1, %d))" % HOLT_HORIZON
+        el = lambda k: f"element_at(ys, CAST({k} AS INT))"  # noqa: E731
+        ln = "size"
+        mklist = (
+            "(SELECT transform(array_sort(collect_list(struct(mo, y))),"
+            " s -> s.y) FROM mg)"
+        )
+    # y_{t+1} is read from the bounded series array carried in the
+    # recursion state — NO join in the recursive term: Spark re-evaluates
+    # a joined static CTE on EVERY step (measured 82 s at sf1.0synth for
+    # 80 steps x one orders-wide aggregate); the array form computes the
+    # grid once in the anchor.
+    ynext = el("hh.idx + 1")
     lnew = (
-        f"({HOLT_ALPHA_PPM} * {h('g.y')} "
+        f"({HOLT_ALPHA_PPM} * {h(ynext)} "
         f"+ {HOLT_PPM - HOLT_ALPHA_PPM} * ({h('hh.l')} + hh.b)) {d} {HOLT_PPM}"
     )
     return f"""
     WITH RECURSIVE mg AS (
-      SELECT CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS idx, y
-      FROM (SELECT date_trunc('month', o_orderdate) AS mo,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                                 AS BIGINT)) AS BIGINT) AS y
-            FROM orders GROUP BY 1) t
+      SELECT mo, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS y
+      FROM (SELECT date_trunc('month', o_orderdate) AS mo, o_totalprice
+            FROM orders) t
+      GROUP BY mo
+    ),
+    arr AS (
+      SELECT ys FROM (SELECT {mklist} AS ys) z WHERE {ln}(ys) >= 2
     ),
     holt AS (
-      SELECT CAST(1 AS BIGINT) AS idx,
-             (SELECT y FROM mg WHERE idx = 1) AS y,
-             (SELECT y FROM mg WHERE idx = 1) AS l,
-             (SELECT y FROM mg WHERE idx = 2)
-               - (SELECT y FROM mg WHERE idx = 1) AS b
+      SELECT CAST(1 AS BIGINT) AS idx, ys,
+             {el('1')} AS y, {el('1')} AS l,
+             {el('2')} - {el('1')} AS b
+      FROM arr
       UNION ALL
-      SELECT g.idx, g.y,
+      SELECT hh.idx + 1, ys, {ynext},
              CAST({lnew} AS BIGINT),
              CAST(({HOLT_BETA_PPM} * (({lnew}) - hh.l)
                    + {HOLT_PPM - HOLT_BETA_PPM} * {h('hh.b')}) {d} {HOLT_PPM}
                AS BIGINT)
-      FROM holt hh JOIN mg g ON g.idx = hh.idx + 1
-      WHERE hh.idx < {HOLT_MAX_STEPS}
+      FROM holt hh
+      WHERE hh.idx < {ln}(ys) AND hh.idx < {HOLT_MAX_STEPS}
     ),
     fin AS (SELECT idx, l, b FROM holt ORDER BY idx DESC LIMIT 1)
     SELECT idx AS month_idx, y AS y_cents, l AS level_cents, b AS trend_cents,
@@ -769,9 +789,12 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the recurrence l_t = alpha y_t + (1-alpha)(l+b),
     b_t = beta (l_t - l) + (1-beta) b is inherently sequential - the
-    third catalog query on Spark 4's RECURSIVE CTE surface, in the
-    kaplan_meier sequential-chain pattern (each step one 1-row join
-    against the bounded month grid).  Monthly revenue sums are exact
+    third catalog query on Spark 4's RECURSIVE CTE surface, in the DTW
+    bounded-array pattern: the anchor computes the month series ONCE
+    and carries it as a <=99-element array in the recursion state, so
+    the recursive term is a pure 1-row transform (a static CTE joined
+    in the recursive term is re-evaluated EVERY step - measured 82 s
+    at sf1.0synth before this form).  Monthly revenue sums are exact
     cents; each step floors l then b ONCE to cents (two documented
     per-step quantizations; products widened 128-bit first).  The
     trend can go NEGATIVE: integer division truncates toward zero in

@@ -335,7 +335,7 @@ def test_bradley_terry_matches_python_reference(spark, duck):
             )
             praw.append(max(1, (W[i] * 10**12) // den) if den > 0 else p[i])
         ps = sum(praw)
-        p = [(x * k5 * d.BT_SCALE) // ps for x in praw]
+        p = [max(1, (x * k5 * d.BT_SCALE) // ps) for x in praw]
     by_name = {r["event_type"]: r for r in rows}
     for i, name in enumerate(d.BT_TYPES):
         assert by_name[name]["wins"] == W[i]
