@@ -393,6 +393,22 @@ def _km_sql(dialect: str) -> str:
     d = _IDIV[dialect]
     ts_us = "epoch_us(ts)" if dialect == tx.DUCK else "ts_us"
     src = "events" if dialect == tx.DUCK else "km_events"
+    if dialect == tx.DUCK:
+        el = lambda arr, k: f"list_extract({arr}, {k})"  # noqa: E731
+        ln = "len"
+        mklist = lambda v: f"(SELECT list({v} ORDER BY life_d) FROM grid)"  # noqa: E731
+    else:
+        el = lambda arr, k: f"element_at({arr}, CAST({k} AS INT))"  # noqa: E731
+        ln = "size"
+        mklist = lambda v: (  # noqa: E731
+            f"(SELECT transform(array_sort(collect_list("
+            f"named_struct('k', life_d, 'v', {v}))), s -> s.v) FROM grid)"
+        )
+    # the recursion carries the whole bounded grid as four arrays in its
+    # state row: a static CTE joined in the recursive term is
+    # RE-EVALUATED on every step (the holt_linear_forecast finding —
+    # here that was one per-user aggregate over the events corpus per
+    # step, corpus x steps at scale)
     return f"""
     WITH RECURSIVE u AS (
       SELECT user_id,
@@ -415,25 +431,35 @@ def _km_sql(dialect: str) -> str:
     ),
     grid AS (
       SELECT life_d, d_t, c_t,
-             CAST(row_number() OVER (ORDER BY life_d) AS BIGINT) AS idx,
              CAST((SELECT count(*) FROM lab) AS BIGINT)
                - CAST(coalesce(sum(d_t + c_t) OVER (ORDER BY life_d
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS BIGINT) AS n_risk
       FROM grid0
     ),
+    arr AS (
+      SELECT la, na, da, ca FROM (
+        SELECT {mklist('life_d')} AS la, {mklist('n_risk')} AS na,
+               {mklist('d_t')} AS da, {mklist('c_t')} AS ca
+      ) z WHERE {ln}(la) >= 1
+    ),
     km AS (
-      SELECT idx, life_d, n_risk, d_t, c_t,
-             CAST((1000000 * (n_risk - d_t)) {d} n_risk AS BIGINT) AS s_ppm
-      FROM grid WHERE idx = 1
+      SELECT CAST(1 AS BIGINT) AS idx, la, na, da, ca,
+             CAST((1000000 * ({el('na', '1')} - {el('da', '1')}))
+                  {d} {el('na', '1')} AS BIGINT) AS s_ppm
+      FROM arr
       UNION ALL
-      SELECT g.idx, g.life_d, g.n_risk, g.d_t, g.c_t,
-             CAST((km.s_ppm * (g.n_risk - g.d_t)) {d} g.n_risk AS BIGINT)
-      FROM km JOIN grid g ON g.idx = km.idx + 1
-      WHERE km.idx < {KM_MAX_STEPS}
+      SELECT idx + 1, la, na, da, ca,
+             CAST((s_ppm * ({el('na', 'idx + 1')} - {el('da', 'idx + 1')}))
+                  {d} {el('na', 'idx + 1')} AS BIGINT)
+      FROM km
+      WHERE idx < {ln}(la) AND idx < {KM_MAX_STEPS}
     )
-    SELECT life_d AS lifetime_days, n_risk, d_t AS n_churned,
-           c_t AS n_censored, s_ppm AS survival_ppm
+    SELECT {el('la', 'idx')} AS lifetime_days,
+           {el('na', 'idx')} AS n_risk,
+           {el('da', 'idx')} AS n_churned,
+           {el('ca', 'idx')} AS n_censored,
+           s_ppm AS survival_ppm
     FROM km
     ORDER BY lifetime_days
     """
@@ -464,8 +490,13 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursion depth is structural, never corpus-sized; capped at
     {KM_MAX_STEPS} in BOTH dialects under Spark's default recursion
     limit of 100, mirrored so a hypothetical longer calendar truncates
-    identically and loudly in the parity gate).  Each recursive step
-    is one 1-row join against the bounded grid."""
+    identically and loudly in the parity gate).  The recursion carries
+    the grid as four bounded arrays in its single state row (r15
+    rewrite): the earlier form joined the grid CTE in the recursive
+    term, and Spark RE-EVALUATES a joined static CTE every step — one
+    per-user corpus aggregate x ~30 steps (the holt_linear_forecast
+    measurement; 3.05 -> 1.52 s at sf0.1 here under co-tenant load),
+    corpus-linear x steps at 100 TB instead of corpus-linear + steps."""
     from pedri_analysis_spark.plans.relational import events_us
 
     ev = events_us(spark, sf_dir).select("user_id", "ts_us")
