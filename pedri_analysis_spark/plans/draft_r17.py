@@ -938,9 +938,24 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 JT_CHI2_CRIT_MICRO = 3_841_459
 
 
+def _hdiv(dialect: str, a: str, b: str) -> str:
+    """TRUE 128-bit integral division.  Spark's ``div`` operator always
+    returns LONG, so any quotient past 9.2e18 wraps/overflows even when
+    both operands are DECIMAL(38,0) — measured on this query's first
+    variance term (~9e19 at sf0.1).  ``(a - a % b) / b`` divides
+    exactly (the adjusted numerator is divisible, decimal division of
+    an exact multiple is exact — verified empirically incl. negative
+    truncation matching DuckDB's ``//``), keeping the full 38-digit
+    quotient range."""
+    if dialect == tx.DUCK:
+        return f"(({a}) // ({b}))"
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
+
+
 def _jt_sql(dialect: str) -> str:
     d = _IDIV[dialect]
     h = lambda e: _hug(dialect, e)  # noqa: E731
+    hd = lambda a, b: _hdiv(dialect, a, b)  # noqa: E731
     tv = "n1v + n2v + n3v + n4v + n5v"
     return f"""
     WITH base AS (
@@ -1003,19 +1018,20 @@ def _jt_sql(dialect: str) -> str:
       FROM sums
     ),
     vv AS (
-      -- the two tie-product terms use the EXACT residue decomposition
-      -- B*C*1e6/den = C*(B*1e6 div den) + (C*(B*1e6 mod den)) div den
-      -- (identical value to the single floor; the direct product
-      -- B*C*1e6 overflowed 128-bit at sf2.0synth's 3M orders)
+      -- EXACT residue decompositions throughout (identical value to a
+      -- single floor): the direct B*C*1e6 product overflowed 128-bit
+      -- at sf2.0synth's 3M orders, and the quotient of the first term
+      -- alone (~9e19 at sf0.1) overflows Spark's LONG-returning div —
+      -- hence _hdiv, the true 128-bit integral division
       SELECT n, j2, mu4,
         CASE WHEN n >= 3 THEN
-          (a * 1000000) {d} 72
-          + c * ((b * 1000000) {d} (36 * {h('n')} * (n - 1) * (n - 2)))
-          + (c * ((b * 1000000) % (36 * {h('n')} * (n - 1) * (n - 2))))
-            {d} (36 * {h('n')} * (n - 1) * (n - 2))
-          + dd * ((e2 * 1000000) {d} (8 * {h('n')} * (n - 1)))
-          + (dd * ((e2 * 1000000) % (8 * {h('n')} * (n - 1))))
-            {d} (8 * {h('n')} * (n - 1))
+          {hd('a * 1000000', '72')}
+          + c * {hd('b * 1000000', f"36 * {h('n')} * (n - 1) * (n - 2)")}
+          + {hd(f"c * ((b * 1000000) % (36 * {h('n')} * (n - 1) * (n - 2)))",
+                f"36 * {h('n')} * (n - 1) * (n - 2)")}
+          + dd * {hd('e2 * 1000000', f"8 * {h('n')} * (n - 1)")}
+          + {hd(f"dd * ((e2 * 1000000) % (8 * {h('n')} * (n - 1)))",
+                f"8 * {h('n')} * (n - 1)")}
         ELSE 0 END AS var_micro
       FROM st
     ),
@@ -1023,19 +1039,36 @@ def _jt_sql(dialect: str) -> str:
       SELECT n, j2, mu4, var_micro,
         (2 * {h('j2')} - mu4) * (2 * {h('j2')} - mu4) AS x2
       FROM vv
+    ),
+    z1 AS (
+      -- z^2 = x2 * 6.25e10 / var, staged EXACTLY: the 6.25e10 factor
+      -- splits as 250000^2 so no intermediate exceeds var * 250000;
+      -- nullif guards the degenerate var = 0 frame (coalesced to 0
+      -- at the end) without a conditional branch both engines would
+      -- still evaluate
+      SELECT n, j2, mu4, var_micro,
+             {hd('x2', 'nullif(var_micro, 0)')} AS q0,
+             (x2 % nullif(var_micro, 0)) * 250000 AS a1
+      FROM zz
+    ),
+    z2f AS (
+      SELECT n, j2, mu4, var_micro,
+             coalesce(q0 * 62500000000
+                      + {hd('a1', 'nullif(var_micro, 0)')} * 250000
+                      + {hd('(a1 % nullif(var_micro, 0)) * 250000',
+                            'nullif(var_micro, 0)')},
+                      0) AS z2
+      FROM z1
     )
     SELECT CAST(n AS BIGINT) AS n, CAST(j2 AS BIGINT) AS jt_x2,
-           CAST(mu4 AS BIGINT) AS mu_x4, CAST(var_micro AS BIGINT) AS var_micro,
-           CAST(CASE WHEN var_micro <= 0 THEN 0
-                ELSE (x2 {d} var_micro) * 62500000000
-                     + ((x2 % var_micro) * 62500000000) {d} var_micro
-                END AS BIGINT) AS z2_micro,
-           CAST(CASE WHEN var_micro > 0
-                      AND (x2 {d} var_micro) * 62500000000
-                          + ((x2 % var_micro) * 62500000000) {d} var_micro
-                          >= {JT_CHI2_CRIT_MICRO}
+           CAST(mu4 AS BIGINT) AS mu_x4,
+           CAST(CASE WHEN n >= 2
+                THEN {hd('2 * var_micro', f"{h('n')} * (n - 1)")}
+                ELSE 0 END AS BIGINT) AS var_pp_micro,
+           CAST(z2 AS BIGINT) AS z2_micro,
+           CAST(CASE WHEN z2 >= {JT_CHI2_CRIT_MICRO}
                 THEN 1 ELSE 0 END AS BIGINT) AS significant
-    FROM zz
+    FROM z2f
     """
 
 
@@ -1056,13 +1089,21 @@ def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from the three tie-power sums in 128-bit and floored
     ONCE per closed-form term to micro (3 documented floors); the two
     tie-PRODUCT terms (B*C, D*E) and z^2 = x2 * 62.5e9 / var_micro all
-    use the EXACT quotient+remainder RESIDUE DECOMPOSITION (the MWU
-    convention — identical value to the single floor, measured
-    necessary: the direct B*C*1e6 product overflowed DECIMAL(38,0) at
-    sf2.0synth's 3M orders).  Residual 128-bit ceilings, all loud
-    ANSI/HUGEINT failures, never silent: x2 ~ 4n^4 (~6e7 orders),
-    C * 36n^3 with C = sum t^3 over value-grid ties (~1e8 orders at
-    the observed $1000-grid dispersion), n >= 3 guarded to 0.
+    use the EXACT quotient+remainder RESIDUE DECOMPOSITION (identical
+    value to the single floor; the 62.5e9 factor splits as 250000^2),
+    and every internal division goes through _hdiv — the TRUE 128-bit
+    integral division, because Spark's ``div`` returns LONG and this
+    query's first variance term (~9e19 at sf0.1's 150k orders) already
+    exceeds it (measured silent wrap; see _hdiv).  Both overflow
+    classes here were caught by the staging probes/sf0.1 parity, not
+    the driver.  Residual 128-bit ceilings, loud ANSI/HUGEINT
+    failures, never silent: x2 ~ 4n^4 (~8e8 orders), a*1e6 ~ 4n^3*1e6
+    (~3.5e10), var*250000 (~2.3e9), C * 36n^3 with C = sum t^3 over
+    value-grid ties (~1e8 at the observed $1000-grid dispersion);
+    n >= 3 guarded to 0.  The variance OUTPUT is reported per-pair
+    (var_pp_micro = 2*var/n(n-1), linear in n) because the raw cubic
+    var_micro exceeds a BIGINT output cast already at sf0.1; z^2 uses
+    the full 128-bit variance internally.
 
     Scale: corpus reduces to the $1000 grid (one groupBy); the
     cumulative window runs on the bounded grid (the adjudicated

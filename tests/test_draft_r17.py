@@ -361,7 +361,8 @@ def test_jonckheere_terpstra_matches_python_reference(spark, duck):
     x2 = (2 * j2 - mu4) ** 2
     z2 = (x2 // var) * 62_500_000_000 + ((x2 % var) * 62_500_000_000) // var
     assert r["n"] == n and r["jt_x2"] == j2 and r["mu_x4"] == mu4
-    assert r["var_micro"] == var and r["z2_micro"] == z2
+    assert r["var_pp_micro"] == (2 * var) // (n * (n - 1))
+    assert r["z2_micro"] == z2
     assert r["significant"] == (1 if z2 >= d.JT_CHI2_CRIT_MICRO else 0)
     # float sanity: micro z^2 within 2 micro of the float statistic
     zf = ((j2 / 2 - mu4 / 4) ** 2) / (var / 1e6)
