@@ -52,6 +52,13 @@ Families and the public designs they implement:
   top-weighted ranking-agreement measure computed as EXACT integers
   (p = 9/10 makes every weight a rational with denominator 10^10).
 
+Added in the r15 session (same staging discipline):
+- wilcoxon_signed_rank_daily — Wilcoxon signed-rank test (1945) on
+  paired daily revenue (urgent+high vs not-specified+low arms of the
+  same order day), midrank ties in doubled-integer form, tie-corrected
+  z² as one 128-bit truncating floor — the PAIRED companion to
+  mann_whitney_u_values' independent-groups U.
+
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
 §2's "beyond the reference" mandate.
@@ -1064,4 +1071,121 @@ def q_rbo_rankings_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("documents_rbo")
     return spark.sql(
         _rbo_sql(tx.SPARK).replace("FROM documents", "FROM documents_rbo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test over paired daily revenue (added r15 session)
+# ---------------------------------------------------------------------------
+
+WSR_GROUP_A = ("1-URGENT", "2-HIGH")  # treatment arm of the daily pairing
+WSR_GROUP_B = ("4-NOT SPECIFIED", "5-LOW")  # control arm
+# chi^2_{1, 0.05} in micro units (z^2 ~ chi^2_1) — the literal-constant
+# discipline shared with mann_whitney_u_values / mcnemar_paired_flags
+WSR_CHI2_CRIT_MICRO = 3_841_459
+
+
+def _wsr_sql(dialect: str) -> str:
+    """Identical text in both dialects except idiv / 128-bit spellings.
+
+    z² closed form on DOUBLED ranks: with W2 = 2·W⁺ (an exact integer
+    for any midrank tie group: 2·avgrank = 2·c_before + t + 1) and
+    A = 2·W2 − n(n+1) = 4W⁺ − n(n+1),
+        z² = 3A² / (2n(n+1)(2n+1) − T),   T = Σ(t³ − t) over |d| ties
+    — multiply (W⁺ − n(n+1)/4)²/σ² through by 48; σ² is the
+    tie-corrected n(n+1)(2n+1)/24 − T/48 (Wilcoxon 1945; the normal
+    approximation with the standard tie correction)."""
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    in_a = "', '".join(WSR_GROUP_A)
+    in_b = "', '".join(WSR_GROUP_B)
+    # A² is day-count⁴ magnitude (≈3e13 at 2.4k days) — widen BEFORE
+    # squaring, then ×3·10⁶ stays far under the 128-bit ceiling
+    num = f"({h('a')} * {h('a')} * 3000000)"
+    den = f"({h('2 * n * (n + 1)')} * (2 * n + 1) - tie_t)"
+    return f"""
+    daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CASE WHEN o_orderpriority IN ('{in_a}')
+                           THEN {cents} ELSE 0 END) AS BIGINT) AS ac,
+             CAST(sum(CASE WHEN o_orderpriority IN ('{in_b}')
+                           THEN {cents} ELSE 0 END) AS BIGINT) AS bc
+      FROM orders GROUP BY o_orderdate
+    ),
+    diffs AS (
+      SELECT CASE WHEN ac >= bc THEN ac - bc ELSE bc - ac END AS adv,
+             CASE WHEN ac > bc THEN 1 ELSE 0 END AS pos
+      FROM daily WHERE ac <> bc
+    ),
+    grid AS (
+      SELECT adv, count(*) AS tv, sum(pos) AS pv
+      FROM diffs GROUP BY adv
+    ),
+    cum AS (
+      SELECT adv, tv, pv,
+             coalesce(sum(tv) OVER (ORDER BY adv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c_before
+      FROM grid
+    ),
+    sums AS (
+      SELECT CAST(sum(tv) AS BIGINT) AS n,
+             CAST(sum(pv) AS BIGINT) AS n_pos,
+             CAST(sum(pv * (2 * c_before + tv + 1)) AS BIGINT) AS wp_x2,
+             sum({h('tv')} * tv * tv - tv) AS tie_t
+      FROM cum
+    ),
+    stat AS (
+      SELECT n, n_pos, wp_x2, tie_t,
+             2 * wp_x2 - n * (n + 1) AS a
+      FROM sums
+    )
+    SELECT n, n_pos, wp_x2, CAST(tie_t AS BIGINT) AS tie_term,
+           CAST(CASE WHEN n = 0 OR {den} <= 0 THEN 0
+                ELSE {num} {d} {den} END AS BIGINT) AS z2_micro,
+           CAST(CASE WHEN n > 0 AND {den} > 0
+                     AND {num} {d} {den} >= {WSR_CHI2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM stat"""
+
+
+@_register("wilcoxon_signed_rank_daily", f"WITH {_wsr_sql(tx.DUCK)}")
+def q_wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED daily
+    revenue: for each order day, the urgent+high arm's revenue cents
+    against the not-specified+low arm's — "do urgent-priority orders
+    move more money than low-priority ones, judged within the same
+    day" — the paired companion to mann_whitney_u_values (independent
+    groups), completing the nonparametric pair the way Welch/KW
+    complete the parametric one.  Zero differences are DROPPED before
+    ranking (the Wilcoxon convention; documented, mirrored in both
+    dialects), |d| ties get midranks with the standard tie-corrected
+    variance.
+
+    Determinism: midranks enter DOUBLED (2·avgrank = 2·c_before + t +
+    1 — exact integers), so W⁺ is carried as wp_x2 = 2·W⁺ and the
+    closed form z² = 3·(2·wp_x2 − n(n+1))² / (2n(n+1)(2n+1) − T) with
+    T = Σ(t³−t) is exact integer cross-multiplication; ONE truncating
+    128-bit division floors z² to micro.  Degenerate guards mirrored
+    in both dialects: n = 0 (every day's arms tied) and a
+    defense-in-depth den ≤ 0 branch (algebraically den = 3n³+6n²+3n −
+    (T_max-slack) > 0 for n ≥ 1) both pin z² := 0 BEFORE dividing.
+
+    128-bit ceiling (wave convention): A² ≈ n⁴ at ×3e6 micro overflows
+    DECIMAL(38,0)/HUGEINT past n ≈ 3e7 paired DAYS — five orders of
+    magnitude beyond the calendar-bounded day frame; both engines fail
+    loudly (ANSI overflow / HUGEINT error), never silently.
+
+    Scale: one day rollup reduces the corpus before anything else; the
+    |d| grid is day-bounded (≤ one row per distinct |d| ≤ 2.4k), so
+    the single-partition cumulative window rides the adjudicated
+    domain-bounded-frame contract (mann_whitney_u_values precedent);
+    one 1-row aggregate follows.  No joins, no corpus windows."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    o.createOrReplaceTempView("orders_wsr")
+    return spark.sql(
+        f"WITH orders AS (SELECT * FROM orders_wsr), {_wsr_sql(tx.SPARK)}"
     )

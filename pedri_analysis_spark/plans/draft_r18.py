@@ -28,6 +28,13 @@ Added in the r15 session (same staging discipline):
   rate on price buckets via the exact PAVA minimax closed form.
 - cochran_armitage_trend — linear trend in a binary rate across the
   ordered priority classes (the binary cousin of Jonckheere-Terpstra).
+- misra_gries_heavy_tokens — deterministic Misra-Gries / SpaceSaving
+  heavy-hitter summary (Misra & Gries 1982; Metwally 2005) over the
+  token stream in its order-free BATCH form: truncate exact counts at
+  the (k+1)-th largest, which satisfies the same ≤ N/(k+1) error
+  bound every merge order of streaming MG guarantees — the
+  DETERMINISTIC sketch beside count-min's probabilistic one (CMS
+  over-counts with probability; MG under-counts with certainty).
 
 Reference parity: none of these exist in the reference engine — they
 extend the training-data-pipeline / analytics surface per SURVEY.md
@@ -1022,3 +1029,97 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_df = load_table(spark, "orders", sf_dir)
     ord_df.createOrReplaceTempView("orders")
     return spark.sql(_ca_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Misra-Gries heavy-hitter summary (added r15 session)
+# ---------------------------------------------------------------------------
+
+MG_K = 16  # summary capacity (the classic "k counters" parameter)
+MG_SHARDS = 16  # stage-1 local top-(k+1) shards (map_bm25_eval pattern)
+
+
+def _mg_sql(dialect: str) -> str:
+    """Identical text in both dialects except tokenizer/hash/explode
+    spellings.  The (k+1)-th largest count t is found WITHOUT a global
+    sort: each hash shard keeps its local top-(k+1) (a superset of the
+    global top-(k+1) candidates), the ≤ SHARDS·(k+1) survivors meet in
+    one bounded frame, and t plus the total stream length N (folded as
+    per-shard sums carried on each shard's lrk=1 row) come from
+    windows over THAT frame."""
+    toks = tx.tokens(dialect, "text")
+    unnest = (
+        f"SELECT unnest({toks}) AS tok FROM documents"
+        if dialect == tx.DUCK
+        else f"SELECT explode({toks}) AS tok FROM documents"
+    )
+    shard = tx.chunk_of(dialect, "tok", str(MG_SHARDS), seed="mg")
+    return f"""
+    tok AS ({unnest}),
+    tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c, {shard} AS shard
+      FROM tok GROUP BY tok
+    ),
+    loc AS (
+      SELECT tok, c, shard, lrk, shard_n FROM (
+        SELECT tok, c, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY c DESC, tok ASC) AS lrk,
+               CAST(sum(c) OVER (PARTITION BY shard) AS BIGINT) AS shard_n
+        FROM tc
+      ) z WHERE lrk <= {MG_K + 1}
+    ),
+    gtop AS (
+      SELECT tok, c, lrk, shard_n,
+             row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+      FROM loc
+    ),
+    framed AS (
+      SELECT tok, c, rk,
+             max(CASE WHEN rk = {MG_K + 1} THEN c ELSE 0 END) OVER () AS t,
+             CAST(sum(CASE WHEN lrk = 1 THEN shard_n ELSE 0 END) OVER ()
+                  AS BIGINT) AS n_total
+      FROM gtop
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, tok, c AS true_cnt,
+           CAST(c - t AS BIGINT) AS mg_weight,
+           CAST(t AS BIGINT) AS err_bound, n_total
+    FROM framed
+    WHERE rk <= {MG_K} AND c > t
+    ORDER BY rk"""
+
+
+@_register("misra_gries_heavy_tokens", f"WITH {_mg_sql(tx.DUCK)}")
+def q_misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / SpaceSaving heavy-hitter summary (Misra & Gries
+    1982; Metwally, Agrawal & El Abbadi 2005) with k = {MG_K} counters
+    over the corpus token stream, in its DETERMINISTIC batch form:
+    weight_i = max(c_i − t, 0) with t = the (k+1)-th largest exact
+    count.  At most k items survive (anything tied with rank k+1 gets
+    weight 0), t·(k+1) ≤ N so every estimate undershoots by at most
+    N/(k+1) — the exact guarantee streaming MG provides after ANY
+    merge order (Agarwal et al. 2012, mergeable summaries) — and every
+    token with c > N/(k+1) is GUARANTEED present (no false negatives).
+    The deterministic counterpart to countmin_token_freq: CMS
+    over-counts probabilistically, MG under-counts by a certified
+    bound, and a pipeline that needs "definitely ≥ this frequent"
+    semantics (stop-word induction, hot-key detection before a
+    skew-salted join) wants this one.
+
+    Determinism: exact integer counts; the threshold t is a VALUE at a
+    total-order rank (c DESC, tok ASC), so ties anywhere cannot flip
+    the output; no division at all.
+
+    Scale: the corpus reduces via ONE groupBy(token); the only windows
+    run (a) per hash shard — distributed, {MG_SHARDS} partitions, each
+    keeping a local top-{MG_K + 1} superset of the global candidates —
+    and (b) over the ≤ {MG_SHARDS}·{MG_K + 1}-row survivor frame
+    (model-sized, the adjudicated bounded-frame contract).  N rides
+    along as per-shard sums folded on each shard's lrk=1 row, so no
+    second corpus pass and no scalar cross join.  Never a
+    vocabulary-sized single-partition window."""
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    docs.createOrReplaceTempView("documents_mg")
+    return spark.sql(
+        f"WITH documents AS (SELECT * FROM documents_mg), {_mg_sql(tx.SPARK)}"
+    )

@@ -356,3 +356,63 @@ def test_rbo_matches_python(spark):
         rbo += (1 - p) * p ** (depth - 1) * Fraction(ov, depth)
     want = (rbo * 1_000_000).numerator // (rbo * 1_000_000).denominator
     assert got == want, (got, want, a, b)
+
+
+def test_wsr_matches_python_mirror(spark, duck):
+    """Recompute the whole Wilcoxon signed-rank chain (daily pairing,
+    zero-drop, midranks, tie correction, micro floor) in sequential
+    pure Python from the raw rows and require EXACT equality with the
+    engine row — the merge-order-free proof of the doubled-rank
+    integerization."""
+    from collections import Counter
+
+    from pedri_analysis_spark.plans import draft_r16 as d
+
+    row = d.QUERIES["wilcoxon_signed_rank_daily"](spark, SF_DIR).collect()[0]
+
+    in_a = "', '".join(d.WSR_GROUP_A)
+    in_b = "', '".join(d.WSR_GROUP_B)
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    raw = duck.sql(
+        f"""
+        SELECT sum(CASE WHEN o_orderpriority IN ('{in_a}')
+                        THEN {cents} ELSE 0 END),
+               sum(CASE WHEN o_orderpriority IN ('{in_b}')
+                        THEN {cents} ELSE 0 END)
+        FROM orders GROUP BY o_orderdate
+        """
+    ).fetchall()
+    ds = [a - b for a, b in raw if a != b]
+    n = len(ds)
+    cnt = Counter(abs(x) for x in ds)
+    c_before, r2 = 0, {}
+    for v in sorted(cnt):
+        t = cnt[v]
+        r2[v] = 2 * c_before + t + 1
+        c_before += t
+    wp_x2 = sum(r2[abs(x)] for x in ds if x > 0)
+    tie_t = sum(t**3 - t for t in cnt.values())
+    a_stat = 2 * wp_x2 - n * (n + 1)
+    den = 2 * n * (n + 1) * (2 * n + 1) - tie_t
+    z2 = 0 if n == 0 or den <= 0 else (3 * a_stat * a_stat * 1_000_000) // den
+    assert (row["n"], row["n_pos"], row["w" + "p_x2"], row["tie_term"]) == (
+        n,
+        sum(1 for x in ds if x > 0),
+        wp_x2,
+        tie_t,
+    )
+    assert row["z2_micro"] == z2
+    assert row["significant"] == (1 if z2 >= d.WSR_CHI2_CRIT_MICRO else 0)
+
+
+def test_wsr_bounds(spark):
+    """Structural bounds: 0 ≤ n_pos ≤ n; the doubled positive rank sum
+    wp_x2 = 2·W⁺ sits in [0, n(n+1)] (W⁺ ≤ n(n+1)/2); tie_term ≥ 0;
+    z² ≥ 0."""
+    from pedri_analysis_spark.plans import draft_r16 as d
+
+    r = d.QUERIES["wilcoxon_signed_rank_daily"](spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_pos"] <= r["n"]
+    assert 0 <= r["wp_x2"] <= r["n"] * (r["n"] + 1)
+    assert r["tie_term"] >= 0
+    assert r["z2_micro"] >= 0

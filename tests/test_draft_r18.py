@@ -309,3 +309,37 @@ def test_cochran_armitage_matches_python_reference(spark, duck):
         pbar = rr / n
         z2f = (sr - s1 * pbar) ** 2 / (pbar * (1 - pbar) * (s2 - s1 * s1 / n))
         assert abs(z2 / 1e6 - z2f) < 2e-5 * max(1.0, z2f) + 2e-6
+
+
+def test_misra_gries_guarantees(spark, duck):
+    """The MG certificate, checked against exact counts recomputed with
+    the same tokenizer: (a) ≤ k survivors, every weight positive and
+    under-counting by exactly t; (b) t·(k+1) ≤ N (the N/(k+1) error
+    bound); (c) NO FALSE NEGATIVES — every token with c·(k+1) > N is
+    in the summary; (d) the summary rows carry the TRUE exact counts
+    and rank 1 is the global argmax under (c DESC, tok ASC)."""
+    from pedri_analysis_spark.functions import textexpr as tx
+    from pedri_analysis_spark.plans import draft_r18 as d
+
+    rows = d.QUERIES["misra_gries_heavy_tokens"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= d.MG_K
+    t = rows[0]["err_bound"]
+    n_total = rows[0]["n_total"]
+    assert t * (d.MG_K + 1) <= n_total
+
+    toks = tx.tokens(tx.DUCK, "text")
+    exact = dict(
+        duck.sql(
+            f"SELECT tok, count(*) FROM (SELECT unnest({toks}) AS tok "
+            f"FROM documents) GROUP BY tok"
+        ).fetchall()
+    )
+    assert sum(exact.values()) == n_total
+    got = {r["tok"]: r for r in rows}
+    for tok, r in got.items():
+        assert r["true_cnt"] == exact[tok]
+        assert r["mg_weight"] == r["true_cnt"] - t > 0
+    heavy = {w for w, c in exact.items() if c * (d.MG_K + 1) > n_total}
+    assert heavy <= set(got)
+    argmax = min(exact.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert rows[0]["tok"] == argmax and rows[0]["rk"] == 1

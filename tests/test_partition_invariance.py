@@ -80,6 +80,9 @@ SAMPLE = [
     ("wasserstein_value_drift", "draft_r19"),  # CDF window over value grid
     ("bradley_terry_event_types", "draft_r19"),  # sorted-collect duel arrays
     ("holt_linear_forecast", "draft_r20"),  # recursive chain over month grid
+    # late-r15-session additions to the staged waves
+    ("wilcoxon_signed_rank_daily", "draft_r16"),  # |d|-grid cumulative window
+    ("misra_gries_heavy_tokens", "draft_r18"),  # sharded top-k + bounded frame
 ]
 
 
