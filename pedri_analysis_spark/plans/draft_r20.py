@@ -29,6 +29,14 @@ Families and the public designs they implement:
 Added in the r15 session (same staging discipline):
 - holt_linear_forecast — double exponential smoothing + 6-month linear
   forecast, the third recursive-CTE query (array-carrying state).
+- pettitt_changepoint_daily — Pettitt rank-based changepoint (1979):
+  the distribution-free member of the changepoint family (binseg =
+  mean-shift gain, CUSUM/Page-Hinkley = cumulative mean departure),
+  via the doubled-midrank identity U_t = t(n+1) − Σ_{i≤t}R2_i that
+  replaces the textbook O(n²) sign double-sum with two window passes.
+- yules_k_per_source — Yule's characteristic K (1944) per source: the
+  REPETITIVENESS of each source's vocabulary (scale-invariant in
+  sample size), the companion axis to chao1's per-lang richness.
 
 Added in the r14 session (same staging discipline):
 - kaplan_meier_churn — Kaplan-Meier product-limit survival of user
@@ -844,3 +852,167 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_df = load_table(spark, "orders", sf_dir)
     ord_df.createOrReplaceTempView("orders")
     return spark.sql(_holt_sql(tx.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank-based changepoint test (added r15 session)
+# ---------------------------------------------------------------------------
+
+# ceil(-ln(0.025) * 1e6): the alpha = 0.05 two-sided constant of the
+# Pettitt approximation p = 2*exp(-6K^2/(n^3+n^2)).  CEILED so the
+# integer inequality 6K^2*1e6 >= C*(n^3+n^2) claims significance only
+# when the real-valued one certainly holds (conservative side).
+PETTITT_LN40_MICRO = 3_688_880
+
+
+def _pettitt_sql(dialect: str) -> str:
+    """Identical text in both dialects except idiv / 128-bit spellings.
+
+    Rank identity (no quadratic pair join): with doubled midranks
+    R2_i = 2·c_lt + t_i + 1 (exact integers for any tie group),
+        Σ_j sign(x_i − x_j) = 2R_i − (n+1)  ⇒
+        U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i) = t(n+1) − Σ_{i≤t} R2_i
+    because the within-prefix double sum cancels by antisymmetry."""
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    cents = "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)"
+    return f"""
+    daily AS (
+      SELECT o_orderdate AS day, {cents} AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    ranked AS (
+      SELECT day, v,
+             2 * (CAST(rank() OVER (ORDER BY v) AS BIGINT) - 1)
+               + CAST(count(*) OVER (PARTITION BY v) AS BIGINT) + 1 AS r2,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    u AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) * (n + 1)
+               - CAST(sum(r2) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ut,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM ranked
+    ),
+    best AS (
+      SELECT day, n, ut,
+             CASE WHEN ut >= 0 THEN ut ELSE -ut END AS au
+      FROM u WHERE t < n
+      ORDER BY CASE WHEN ut >= 0 THEN ut ELSE -ut END DESC, day ASC
+      LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n, day AS change_day,
+           CAST(ut AS BIGINT) AS u_at_change, CAST(au AS BIGINT) AS k_stat,
+           CAST(CASE WHEN {h('6 * au')} * au * 1000000
+                     >= {h(str(PETTITT_LN40_MICRO))}
+                        * ({h('n')} * n * n + {h('n')} * n)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM best"""
+
+
+@_register("pettitt_changepoint_daily", f"WITH {_pettitt_sql(tx.DUCK)}")
+def q_pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test (Pettitt 1979) on daily
+    revenue: K = max_t |U_t| with U_t the Mann-Whitney-style statistic
+    comparing the first t days against the rest — the DISTRIBUTION-FREE
+    member of the changepoint family (binseg splits on mean-shift gain,
+    CUSUM/Page-Hinkley track cumulative mean departures; Pettitt is
+    what a pipeline runs when daily revenue is heavy-tailed enough
+    that mean-based detectors chase outliers).
+
+    Determinism: midranks enter DOUBLED (2·c_lt + t + 1), and the rank
+    identity U_t = t(n+1) − Σ_{{i≤t}} R2_i turns the textbook O(n²)
+    sign double-sum into two exact-integer window passes — zero
+    divisions, zero floats.  The argmax row is total-ordered (|U|
+    DESC, day ASC).  Significance inverts the Pettitt approximation
+    p = 2·exp(−6K²/(n³+n²)) ≤ 0.05 into the integer inequality
+    6K²·10⁶ ≥ ceil(ln(40)·10⁶)·(n³+n²) — the CEILED literal keeps the
+    claim conservative, the McNemar literal-constant discipline.
+
+    128-bit ceiling (wave convention): 6K²·10⁶ ≈ 1.5n⁴·10⁶ overflows
+    past n ≈ 1e8 days — five orders beyond the calendar-bounded frame;
+    loud ANSI/HUGEINT failure, never silent.
+
+    Scale: ONE day rollup reduces the corpus; the value-rank and
+    day-prefix windows both run on the calendar-bounded day frame (the
+    adjudicated domain-bounded single-partition contract), and the
+    final argmax is a LIMIT 1 TakeOrdered."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    o.createOrReplaceTempView("orders_pettitt")
+    return spark.sql(
+        f"WITH orders AS (SELECT * FROM orders_pettitt), {_pettitt_sql(tx.SPARK)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule's characteristic K per source (added r15 session)
+# ---------------------------------------------------------------------------
+
+
+def _yulek_sql(dialect: str) -> str:
+    toks = tx.tokens(dialect, "text")
+    unnest = (
+        f"SELECT source, unnest({toks}) AS tok FROM documents"
+        if dialect == tx.DUCK
+        else f"SELECT source, explode({toks}) AS tok FROM documents"
+    )
+    d = _IDIV[dialect]
+    h = lambda e: _hug(dialect, e)  # noqa: E731
+    return f"""
+    tok AS ({unnest}),
+    tc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1_hapax,
+             CAST(sum(c * c) AS BIGINT) AS s2_sum
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, v_types, v1_hapax, s2_sum,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE ({h('10000000000')} * (s2_sum - n_tokens))
+                     {d} ({h('n_tokens')} * n_tokens) END AS BIGINT)
+             AS k_micro
+    FROM agg
+    ORDER BY source"""
+
+
+@_register("yules_k_per_source", f"WITH {_yulek_sql(tx.DUCK)}")
+def q_yules_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K (Yule 1944) of each source's token
+    stream: K = 10⁴·(Σ_t c_t² − N)/N² — the classic REPETITIVENESS
+    constant (the chance two random tokens are the same type, with the
+    1/N self-pairing removed, scaled by 10⁴).  Unlike raw TTR it is
+    approximately sample-size invariant, which is why stylometry uses
+    it as a fingerprint; in a corpus pipeline it is the per-source
+    "template mill" detector that complements chao1_vocab_richness
+    (how many types remain unseen) and simpson_diversity_sources
+    (whole-corpus concentration over sources, not tokens within one).
+
+    Determinism: exact integer counts; c² and Σc² are exact BIGINTs;
+    the single division is ONE 128-bit truncating floor to micro-K
+    (numerator 10¹⁰·(S₂−N) widened BEFORE multiplying).
+
+    128-bit ceiling (wave convention): 10¹⁰·S₂ ~ 10¹⁰·N² overflows
+    past N ≈ 5e13 tokens per source — beyond any per-source shard a
+    real layout would allow; loud ANSI/HUGEINT failure, never silent.
+    BIGINT S₂ itself wraps first at a single type repeated ~3e9 times
+    — also loud (the sum is BIGINT-exact in Spark ANSI, HUGEINT-summed
+    then BIGINT-cast in DuckDB).
+
+    Scale: one explode + one map-side-combinable groupBy(source, tok),
+    then a 20-row source rollup — no windows, no joins; the same
+    topology as chao1 so the two audits share a shuffle when run in
+    one plan."""
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+    docs.createOrReplaceTempView("documents_yk")
+    return spark.sql(
+        f"WITH documents AS (SELECT * FROM documents_yk), {_yulek_sql(tx.SPARK)}"
+    )

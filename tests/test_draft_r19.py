@@ -359,3 +359,97 @@ def test_bradley_terry_matches_python_reference(spark, duck):
         pf = [k5 * x / s for x in pf]
     for i, name in enumerate(d.BT_TYPES):
         assert abs(by_name[name]["strength_ppm"] - pf[i] * d.BT_SCALE) <= 2
+
+
+def test_hoeffding_matches_textbook_double_loop(spark, duck):
+    """Recompute Hoeffding's D by the textbook definition — full
+    O(n²) φ-matrix for the bivariate ranks Q, bisect midranks for
+    R/S — and require EXACT equality of (n, d1_16, d2_16, d3_16,
+    d_nano).  (No [−0.5, 1] range pin: those bounds are ASYMPTOTIC —
+    the finite-n maximum exceeds 1, see the perfect-dependence test.)"""
+    import bisect
+
+    import numpy as np
+
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    row = d.QUERIES["hoeffding_d_daily_arms"](spark, SF_DIR).collect()[0]
+
+    in_a = "', '".join(d.HD_GROUP_A)
+    in_b = "', '".join(d.HD_GROUP_B)
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    raw = duck.sql(
+        f"""
+        SELECT CAST(sum(CASE WHEN o_orderpriority IN ('{in_a}')
+                             THEN {cents} ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IN ('{in_b}')
+                             THEN {cents} ELSE 0 END) AS BIGINT)
+        FROM orders GROUP BY o_orderdate
+        """
+    ).fetchall()
+    xs = np.array([r[0] for r in raw], dtype=np.int64)
+    ys = np.array([r[1] for r in raw], dtype=np.int64)
+    n = len(xs)
+    sx, sy = sorted(xs.tolist()), sorted(ys.tolist())
+
+    def r2_of(v, s):
+        lt = bisect.bisect_left(s, v)
+        return 2 * lt + (bisect.bisect_right(s, v) - lt) + 1
+
+    r2 = [r2_of(int(v), sx) for v in xs]
+    s2 = [r2_of(int(v), sy) for v in ys]
+    fx = np.where(xs[None, :] < xs[:, None], 2, np.where(xs[None, :] == xs[:, None], 1, 0))
+    fy = np.where(ys[None, :] < ys[:, None], 2, np.where(ys[None, :] == ys[:, None], 1, 0))
+    prod = (fx * fy).astype(np.int64)
+    np.fill_diagonal(prod, 0)
+    q4 = (4 + prod.sum(axis=1)).tolist()
+    d1 = sum((q - 4) * (q - 8) for q in q4)
+    d2 = sum((r - 2) * (r - 4) * (s - 2) * (s - 4) for r, s in zip(r2, s2))
+    d3 = sum((r - 4) * (s - 4) * (q - 4) for r, s, q in zip(r2, s2, q4))
+    num = 30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 4) * d3)
+    den = 16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    dn = (num * 10**9) // den if num >= 0 else -((-num * 10**9) // den)
+    assert (row["n"], row["d1_16"], row["d2_16"], row["d3_16"], row["d_nano"]) == (
+        n,
+        d1,
+        d2,
+        d3,
+        dn,
+    )
+
+
+def test_hoeffding_perfect_dependence_is_positive(spark, duck):
+    """Sanity on the statistic itself (oracle-side closed case): for a
+    strictly monotone tie-free relationship Q_i equals the univariate
+    rank R_i, so D is a closed form in n alone — the FINITE-SAMPLE
+    maximum (→ 1 only as n → ∞; 1.6707... at n = 50).  The identity
+    permutation over 1..50 must reproduce that closed form exactly
+    through the SAME SQL text."""
+    from pedri_analysis_spark.plans import draft_r19 as d
+
+    sql = d.ORACLE_SQL["hoeffding_d_daily_arms"].replace(
+        "FROM orders GROUP BY o_orderdate", "FROM synth GROUP BY o_orderdate"
+    )
+    duck.sql("DROP TABLE IF EXISTS hd_synth_base")
+    duck.sql(
+        """
+        CREATE TEMP TABLE hd_synth_base AS
+        SELECT (DATE '2000-01-01' + INTERVAL (i) DAY)::TIMESTAMP AS o_orderdate,
+               '1-URGENT' AS o_orderpriority, (i + 1)::DOUBLE AS o_totalprice
+        FROM range(50) t(i)
+        UNION ALL
+        SELECT (DATE '2000-01-01' + INTERVAL (i) DAY)::TIMESTAMP,
+               '5-LOW', (2 * i + 5)::DOUBLE
+        FROM range(50) t(i)
+        """
+    )
+    row = duck.sql(f"WITH synth AS (SELECT * FROM hd_synth_base), {sql[5:]}").fetchall()[0]
+    n = 50
+    d1 = sum((r - 1) * (r - 2) for r in range(1, n + 1))
+    d2 = sum(((r - 1) * (r - 2)) ** 2 for r in range(1, n + 1))
+    d3 = sum((r - 2) * (r - 2) * (r - 1) for r in range(1, n + 1))
+    num = 30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 4) * d3)
+    den = n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    want = (num * 10**9) // den
+    assert row[0] == n and row[4] == want, (row, want)
+    assert want > 1_000_000_000  # the finite-n max EXCEEDS the asymptotic 1

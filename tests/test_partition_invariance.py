@@ -83,6 +83,8 @@ SAMPLE = [
     # late-r15-session additions to the staged waves
     ("wilcoxon_signed_rank_daily", "draft_r16"),  # |d|-grid cumulative window
     ("misra_gries_heavy_tokens", "draft_r18"),  # sharded top-k + bounded frame
+    ("pettitt_changepoint_daily", "draft_r20"),  # value-rank + day-prefix windows
+    ("hoeffding_d_daily_arms", "draft_r19"),  # rank windows + BNLJ pair agg
 ]
 
 

@@ -132,6 +132,10 @@ _BNLJ_ALLOWED = {
     "isotonic_calibration_pava",  # bounded ~40x40 bucket-grid non-equi
     # pair frame (j <= k interval enumeration; both sides the $12.5k
     # price-bucket rollup — domain-bounded at every SF)
+    "hoeffding_d_daily_arms",  # calendar-bounded daily pair frame
+    # (<= 2.6k-row broadcast side, SF-invariant: the bivariate-rank
+    # q4 count needs the joint <,= comparison both ways — a non-equi
+    # a.day <> b.day self-pair over the DAY rollup, never corpus rows)
     # r20 drafts (plans/draft_r20.py — staged r13, facts pinned by
     # tests/test_draft_r20.py)
     "cvm_drift_doclen",  # source-pair build: |sources|^2 non-equi (ks precedent)
