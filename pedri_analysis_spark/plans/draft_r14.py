@@ -1669,29 +1669,43 @@ def q_prefix_filter_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics).  Per-doc ranking windows are doc-sized; the verify join
     is candidate-pair x doc-size, bounded by the candidate prune."""
     sh = tx.word_shingles(tx.SPARK, "toks", PFJ_K)
-    g0 = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks"))
-        .select("doc_id", F.explode(F.expr(sh)).alias("g"))
-        .distinct()
+    g0 = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
+    ).select("doc_id", F.explode(F.expr(sh)).alias("g")).distinct()
+    dfreq = g0.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # r15 restructure (plan-shape change only, same rows): ONE sorted-array
+    # aggregate per doc replaces the szf groupBy + row_number window, and
+    # array_intersect on the per-doc shingle arrays replaces the exploded
+    # two-leg verify join + pair groupBy.  sort_array on struct(df, g) is
+    # the window's (df ASC, g ASC) total order; slice(.., 1, p) is rn <= p;
+    # size(array_intersect(ga, gb)) is the exact intersection count because
+    # g0 is distinct per doc.  Old shape: 5 shuffles of the exploded
+    # shingle frame + a |cand|x|doc| row blow-up before the verify agg;
+    # new shape: one shuffle by g (dfreq join), one by doc_id (the array
+    # build), then candidate-sized joins only.
+    p = f"(sz - ({PFJ_T_NUM} * sz + {PFJ_T_DEN - 1}) div {PFJ_T_DEN} + 1)"
+    docs = (
+        g0.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("gs"))
+        .select(
+            "doc_id",
+            F.expr("transform(gs, s -> s.g)").alias("ga"),
+            F.size("gs").cast("bigint").alias("sz"),
+        )
+        .withColumn("pfx", F.expr(f"slice(ga, 1, {p})"))
         .persist()
     )
-    g0.count()  # feeds dfreq, ranking and the two verify legs
-    dfreq = g0.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    szf = g0.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    wr = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
-    ranked = (
-        g0.join(dfreq, "g")
-        .join(szf, "doc_id")
-        .withColumn("rn", F.row_number().over(wr))
+    docs.count()  # feeds the candidate join and both verify legs
+    a = docs.select(
+        F.col("doc_id").alias("ia"),
+        F.explode("pfx").alias("g"),
+        F.col("sz").alias("sa"),
     )
-    p = f"(sz - ({PFJ_T_NUM} * sz + {PFJ_T_DEN - 1}) div {PFJ_T_DEN} + 1)"
-    prefix = ranked.filter(F.expr(f"rn <= {p}")).select("doc_id", "g", "sz")
-    a = prefix.select(
-        F.col("doc_id").alias("ia"), "g", F.col("sz").alias("sa")
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("ib"), F.col("g").alias("gb"), F.col("sz").alias("sb")
+    b = docs.select(
+        F.col("doc_id").alias("ib"),
+        F.explode("pfx").alias("gb"),
+        F.col("sz").alias("sb"),
     )
     cand = (
         a.join(b, (F.col("g") == F.col("gb")) & (F.col("ia") < F.col("ib")))
@@ -1703,13 +1717,18 @@ def q_prefix_filter_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ia", "ib", "sa", "sb")
         .distinct()
     )
-    x = g0.select(F.col("doc_id").alias("ia"), F.col("g").alias("gx"))
-    y = g0.select(F.col("doc_id").alias("jb"), F.col("g").alias("gy"))
+    x = docs.select(F.col("doc_id").alias("ia"), F.col("ga").alias("g_ia"))
+    y = docs.select(F.col("doc_id").alias("ib"), F.col("ga").alias("g_ib"))
     inter = (
         cand.join(x, "ia")
-        .join(y, (F.col("ib") == F.col("jb")) & (F.col("gy") == F.col("gx")))
-        .groupBy("ia", "ib", "sa", "sb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+        .join(y, "ib")
+        .select(
+            "ia",
+            "ib",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("g_ia", "g_ib")).cast("bigint").alias("ni"),
+        )
     )
     return inter.filter(
         F.expr(f"({PFJ_T_NUM} + {PFJ_T_DEN}) * ni >= {PFJ_T_NUM} * (sa + sb)")

@@ -228,18 +228,28 @@ def _copurchase_edges_sql() -> str:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.select(
-        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("pb")
-    ).alias("b")
+    # One collect_set aggregate per order + in-JVM pair explode instead of
+    # the distinct + orderkey self-join (r15 optimization): the distinct's
+    # (orderkey, partkey) shuffle AND both join legs collapse into a single
+    # partial-agg'd shuffle on orderkey; pair fan-out is the same C(lines,2)
+    # per order, generated by nested array transforms inside codegen.
+    # sort_array gives pa < pb for free; collect_set absorbs the distinct.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("bo"))
-            & (F.col("a.l_partkey") < F.col("pb")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
         )
-        .groupBy(F.col("a.l_partkey").alias("pa"), "pb")
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_n"))
         .filter(F.col("co_n") >= COPURCHASE_MIN_CO)
     )
@@ -300,29 +310,32 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-pair aggregation three times would triple the dominant
     shuffle."""
     e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
-    try:
-        n_edges = e.count()  # bounded driver scalar; also materializes the cache
-        e1 = e.alias("e1")
-        e2 = e.select(
-            F.col("pa").alias("p2a"), F.col("pb").alias("p2b")
-        ).alias("e2")
-        e3 = e.select(
-            F.col("pa").alias("p3a"), F.col("pb").alias("p3b")
-        ).alias("e3")
-        tri = (
-            e1.join(e2, F.col("p2a") == F.col("e1.pb"))
-            .join(
-                e3,
-                (F.col("p3a") == F.col("e1.pa"))
-                & (F.col("p3b") == F.col("p2b")),
-            )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    # NO unpersist here (r15 fix): the returned frame references e on all
+    # three join legs, and an eager unpersist made the caller's action
+    # re-derive the order-pair aggregate 3x (profiled: 12 parquet scans,
+    # 0 cache hits in the executed plan).  The bench clears the cache
+    # between queries; a resident pipeline would unpersist after its
+    # terminal action.
+    n_edges = e.count()  # bounded driver scalar; also materializes the cache
+    e1 = e.alias("e1")
+    e2 = e.select(
+        F.col("pa").alias("p2a"), F.col("pb").alias("p2b")
+    ).alias("e2")
+    e3 = e.select(
+        F.col("pa").alias("p3a"), F.col("pb").alias("p3b")
+    ).alias("e3")
+    tri = (
+        e1.join(e2, F.col("p2a") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("p3a") == F.col("e1.pa"))
+            & (F.col("p3b") == F.col("p2b")),
         )
-        return tri.select(
-            F.lit(n_edges).cast("bigint").alias("n_edges"), "n_triangles"
-        )
-    finally:
-        e.unpersist()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"), "n_triangles"
+    )
 
 
 # ---------------------------------------------------------------------------
