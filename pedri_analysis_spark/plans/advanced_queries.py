@@ -1266,64 +1266,62 @@ def q_user_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-side count aggregated onto the previous day, so there is no
     NOT-EXISTS pass (the oracle spells it as NOT EXISTS; the engine
     counts the unmatched left rows of the shifted join).  All counts are
-    exact integers; the (day, user) dedup is the only fact-sized
-    shuffle, and everything after operates on the deduped pairs."""
+    exact integers; the per-user day-set rollup is the only fact-sized
+    shuffle, and everything after operates on exploded day rows.
+
+    One-shuffle form (r15, guide §2.3/§2.4): the old shape paid the
+    (day, user) distinct, a second groupBy(user) for first_seen, the
+    day-shifted full-outer self-join, AND a re-exchange by user to
+    attach first_seen — four fact/pair-sized exchanges.  All four
+    metrics are functions of each user's OWN day set, so ONE
+    groupBy(user).collect_set(day) (partial-agg'd, absorbs the dedup)
+    followed by an in-JVM explode of per-day contribution structs —
+    active/new (d = min day)/retained (d-1 present)/churned (emitted
+    onto d+1 when absent) — and a day-sized groupBy reproduces them.
+    Observed-day restriction falls out as n_active > 0 (every observed
+    day has an active user; churn-only synthetic days have none),
+    replacing the old broadcast semi-join re-derivation."""
     ev = events_us(spark, sf_dir)
-    day_user = (
+    udays = (
         ev.select(F.expr("ts_us div 86400000000").alias("day_idx"), "user_id")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("day_idx")).alias("days"))
     )
-    first_seen = day_user.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
-    prev = day_user.select(
-        (F.col("day_idx") + 1).alias("day_idx"),
-        F.col("user_id").alias("p_user"),
+    contrib = udays.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(days, d -> CASE"
+                " WHEN array_contains(days, d + 1) THEN array(named_struct("
+                "  'day_idx', d, 'act', 1,"
+                "  'new', CASE WHEN d = days[0] THEN 1 ELSE 0 END,"
+                "  'ret', CASE WHEN array_contains(days, d - 1) THEN 1 ELSE 0 END,"
+                "  'churn', 0))"
+                " ELSE array(named_struct("
+                "  'day_idx', d, 'act', 1,"
+                "  'new', CASE WHEN d = days[0] THEN 1 ELSE 0 END,"
+                "  'ret', CASE WHEN array_contains(days, d - 1) THEN 1 ELSE 0 END,"
+                "  'churn', 0), named_struct("
+                "  'day_idx', d + 1, 'act', 0, 'new', 0, 'ret', 0, 'churn', 1))"
+                " END))"
+            )
+        ).alias("c")
     )
-    # active/new/retained per day from one shifted full outer join
-    fo = day_user.join(
-        prev,
-        (day_user.day_idx == prev.day_idx) & (day_user.user_id == prev.p_user),
-        "full_outer",
-    ).select(
-        F.coalesce(day_user.day_idx, prev.day_idx).alias("day_idx"),
-        day_user.user_id.alias("cur_user"),
-        "p_user",
-    )
-    with_first = fo.join(
-        first_seen, fo.cur_user == first_seen.user_id, "left_outer"
-    )
-    agg = with_first.groupBy("day_idx").agg(
-        F.sum(F.when(F.col("cur_user").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_active"),
-        F.sum(
-            F.when(F.col("first_day") == F.col("day_idx"), 1).otherwise(0)
+    return (
+        contrib.groupBy(F.col("c.day_idx").alias("day_idx"))
+        .agg(
+            F.sum("c.act").cast("bigint").alias("n_active"),
+            F.sum("c.new").cast("bigint").alias("n_new"),
+            F.sum("c.ret").cast("bigint").alias("n_retained"),
+            F.sum("c.churn").cast("bigint").alias("n_churned_from_prev"),
         )
-        .cast("bigint")
-        .alias("n_new"),
-        F.sum(
-            F.when(
-                F.col("cur_user").isNotNull() & F.col("p_user").isNotNull(), 1
-            ).otherwise(0)
+        .filter(F.col("n_active") > 0)
+        .select(
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_churned_from_prev",
         )
-        .cast("bigint")
-        .alias("n_retained"),
-        F.sum(
-            F.when(
-                F.col("cur_user").isNull() & F.col("p_user").isNotNull(), 1
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_churned_from_prev"),
-    )
-    # restrict to observed days (the shifted join manufactures day max+1
-    # rows for final-day churn; the oracle reports only observed days)
-    days = day_user.select("day_idx").distinct()
-    return agg.join(F.broadcast(days), on="day_idx", how="left_semi").select(
-        F.col("day_idx").cast("bigint").alias("day_idx"),
-        "n_active",
-        "n_new",
-        "n_retained",
-        "n_churned_from_prev",
     )
 
 

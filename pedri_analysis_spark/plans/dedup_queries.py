@@ -729,6 +729,46 @@ def _pagerank_oracle() -> str:
     """
 
 
+def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected bipartite customer↔supplier trade-edge substrate
+    shared by PageRank / LPA / BFS / personalized PageRank: distinct
+    (custkey, suppkey) pairs from lineitem⋈orders, both directions as
+    'c<k>'/'s<k>' string nodes, pre-partitioned by src and RETURNED
+    MATERIALIZED (persist + count — the callers' iteration fan-out
+    discipline, unchanged).
+
+    r15 optimization (guide §2.3/§2.4): the old per-query inline build
+    ran `distinct` over the already-concatenated STRING pair and then
+    unionAll'd two selects of it — the union's two legs each re-ran the
+    distinct's final aggregation, and the exchange carried string keys.
+    Now the distinct aggregates once over the two INT keys (narrower
+    shuffle), and both edge directions come from one in-JVM
+    explode(array(struct,struct)) over the deduped pairs (the
+    co-purchase-substrate pattern).  Same edge multiset, same
+    repartition("src") landing — downstream plans are unchanged."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pair.select(
+        F.explode(
+            F.expr(
+                "array("
+                "named_struct('src', concat('c', CAST(o_custkey AS STRING)),"
+                "             'dst', concat('s', CAST(l_suppkey AS STRING))),"
+                "named_struct('src', concat('s', CAST(l_suppkey AS STRING)),"
+                "             'dst', concat('c', CAST(o_custkey AS STRING))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = edges.repartition("src").persist()
+    edges.count()
+    return edges
+
+
 @_register("pagerank_trade_graph", _pagerank_oracle())
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 damped iterations) over the undirected customer to
@@ -751,32 +791,18 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, so AQE picks broadcast from the node table's runtime size
     and degrades to a shuffle join against the pre-partitioned
     persisted edges when it outgrows the threshold."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
     # edges and deg are static across all five iterations; without a
     # materialized persist each iteration's join re-runs the
     # lineitem x orders pair-build (5x the dominant cost — measured
     # 5.97s -> ~1s at sf0.1).  Same cache-fill-race discipline as the
     # LSH self-join: materialize BEFORE fan-out.  Pre-partitioned by
-    # src (r10, ADVICE fix): the unionAll destroys the distinct's
-    # (c,s) partitioning, so without this one-time exchange the
+    # src (r10, ADVICE fix): without that one-time exchange the
     # shuffle-join fallback (when ranks outgrow AQE's broadcast
     # threshold) would re-shuffle the full edge list EVERY iteration;
     # the InMemoryRelation preserves hashpartitioning(src), making
     # each fallback iteration a one-sided shuffle of the node table.
-    edges = edges.repartition("src").persist()
-    edges.count()
+    # Substrate build shared + optimized r15: trade_graph_edges.
+    edges = trade_graph_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
@@ -1275,41 +1301,36 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     (dst, label), and an argmax window partitioned by dst whose frames
     are degree-bounded.  Per-generation persist cuts the quadratic
     lineage (the PageRank discipline, dedup_queries.py:700)."""
-    from pyspark.sql import Window as W
-
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
     # Pre-partitioned by src (r10, ADVICE fix): the docstring's
-    # shuffle-join fallback claim requires it — the unionAll destroys
-    # the distinct's partitioning, so an unpartitioned persist would
-    # re-shuffle the edge list every iteration once labels outgrow the
-    # broadcast threshold.
-    edges = edges.repartition("src").persist()
-    edges.count()
+    # shuffle-join fallback claim requires it — an unpartitioned persist
+    # would re-shuffle the edge list every iteration once labels outgrow
+    # the broadcast threshold.  Substrate build shared + optimized r15:
+    # trade_graph_edges.
+    edges = trade_graph_edges(spark, sf_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    wadopt = W.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    # Adoption argmax as a two-level aggregate (r15, guide §2.4): the
+    # old row_number() window over (node) re-exchanged AND sorted the
+    # (node, label, n) frame every iteration right after the (dst,
+    # label) groupBy had already shuffled it.  min(struct(-n, label))
+    # is the identical total order — max frequency, ties to MIN label —
+    # computed as a partial-agg'd groupBy(node): one sort removed and
+    # the second exchange carries partial aggregates instead of every
+    # (node, label) row, each iteration.
     for _ in range(LPA_ITERS):
         lsrc = labels.withColumnRenamed("node", "src")
         labels = (
             edges.join(lsrc, "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .withColumn("rn", F.row_number().over(wadopt))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("nn"), F.col("label").alias("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
         )
         labels = labels.persist()
     out = (
@@ -1380,23 +1401,10 @@ def q_bfs_frontier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Visited and frontier persist per generation (the PageRank lineage
     discipline).  NOT-IN is expressed as LEFT ANTI, never a negated
     IN-subquery scan."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
     # Pre-partitioned by src (r10): makes the documented saturation
     # fallback one-sided — same rationale as PageRank/LPA above.
-    edges = edges.repartition("src").persist()
-    edges.count()
+    # Substrate build shared + optimized r15: trade_graph_edges.
+    edges = trade_graph_edges(spark, sf_dir)
     frontier = edges.agg(F.min("src").alias("node"))
     frontier = frontier.persist()
     visited = frontier

@@ -2363,26 +2363,41 @@ def q_mrr_bm25_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = t2.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"), *df_aggs
     )
-    legs = []
+    # One corpus pass for all phrases (r15): the old per-phrase union
+    # legs each re-scanned the cached t2 AND recomputed the bigram
+    # shingle array per leg (4x the dominant per-row work); now the
+    # shingles are built once per doc and the per-phrase (score, gold)
+    # structs explode in-JVM from the same row.
+    structs = []
     for i, ph in enumerate(MRR_PHRASES):
         t1, tb = ph.split(" ")
         score = (
             f"({_term_micros(_tf(tx.SPARK, t1), f'df_{i}a')}"
             f" + {_term_micros(_tf(tx.SPARK, tb), f'df_{i}b')})"
         )
-        legs.append(
-            t2.crossJoin(F.broadcast(stats)).select(
+        structs.append(
+            F.struct(
                 F.lit(ph).alias("phrase"),
-                "doc_id",
                 F.expr(score).alias("score"),
-                F.expr(
-                    f"array_contains({tx.word_shingles(tx.SPARK, 'toks', 2)}, '{ph}')"
-                ).alias("gold"),
+                F.expr(f"array_contains(sh2, '{ph}')").alias("gold"),
             )
         )
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionAll(leg)
+    scored = (
+        t2.select(
+            "doc_id",
+            "toks",
+            "dl",
+            F.expr(tx.word_shingles(tx.SPARK, "toks", 2)).alias("sh2"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.explode(F.array(*structs)).alias("x"))
+        .select(
+            F.col("x.phrase").alias("phrase"),
+            "doc_id",
+            F.col("x.score").alias("score"),
+            F.col("x.gold").alias("gold"),
+        )
+    )
     scored = scored.persist()
     scored.count()  # feeds both the argmax and the rank-count pass
     best = (

@@ -1376,24 +1376,18 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration (AQE picks broadcast vs shuffle), one edge-sized
     dst-aggregation shuffle per iteration, per-generation persist to
     cut lineage.  The restart table is node-sized."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    edges = edges.repartition("src").persist()
-    edges.count()
+    from pedri_analysis_spark.plans.dedup_queries import trade_graph_edges
+
+    # Substrate build shared + optimized r15: trade_graph_edges.
+    edges = trade_graph_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).persist()
+    # Materialize (r15): deg and the restart table below are referenced
+    # in every one of the {PPR_ITERS} iterations; filling the cache
+    # before the fan-out keeps each reference a cache hit instead of a
+    # re-derivation inside the final multi-stage job.
+    deg.count()
     sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
     seed_nat = sup.orderBy(F.asc("s_suppkey")).limit(1).select(
         F.col("s_nationkey").alias("z_nationkey")
@@ -1423,6 +1417,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    rs.count()  # see deg above — referenced every iteration
     ranks = rs.select("node", F.col("restart").alias("rank"))
     for _ in range(PPR_ITERS):
         rank_deg = ranks.join(deg, "node").withColumnRenamed("node", "src")

@@ -639,9 +639,20 @@ def q_haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the day rollup shuffles once; all {HAAR_LEVELS} butterfly
     levels run on the calendar-bounded day frame (<= 4096 slots, the
-    domain-bounded single-partition contract), each level one tiny
-    groupBy — lineage is LINEAR (one reference per level), the k-truss
-    fan-out lesson applied by construction."""
+    domain-bounded single-partition contract).
+
+    Single-pass form (r15 optimization): the oracle's chained-CTE
+    butterfly expands each level's detail in closed form over level 0 —
+    d_k(block j) = Σ_i ±v_i with the sign decided by which half of the
+    2^k block slot i falls in (parent slot ceil(i/2^(k-1)) odd → +).
+    The engine therefore explodes each day row into its {HAAR_LEVELS}
+    (level, block, ±v) contributions and aggregates ONCE per level —
+    2 tiny groupBys total instead of 12 chained per-level aggregates
+    re-printed into 12 union legs (the old plan re-derived the orders
+    rollup in every leg: 48 Exchanges → 4).  n_pairs = blocks at level
+    k = ceil(n/2^k), exactly the oracle's row count of l_k (slots are
+    contiguous 1..n, missing partners behave as zero in both forms);
+    sums/signs are the same exact integers, so results are identical."""
     daily = (
         load_table(spark, "orders", sf_dir)
         .groupBy(F.col("o_orderdate").alias("day"))
@@ -652,30 +663,33 @@ def q_haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
-    cur = daily.select(
+    slots = daily.select(
         F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
         "v",
     )
-    legs = []
-    for k in range(1, HAAR_LEVELS + 1):
-        nxt = cur.groupBy(F.expr("(i + 1) div 2").alias("i")).agg(
-            F.sum("v").cast("bigint").alias("v"),
-            F.sum(F.expr("CASE WHEN i % 2 = 1 THEN v ELSE -v END"))
-            .cast("bigint")
-            .alias("d"),
-        )
-        legs.append(
-            nxt.agg(
-                F.lit(k).cast("bigint").alias("level"),
-                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-                F.sum(F.expr("d * d")).cast("bigint").alias("detail_energy"),
-            )
-        )
-        cur = nxt.select("i", "v")
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    contrib = slots.select(
+        F.explode(F.expr(f"sequence(1, {HAAR_LEVELS})")).alias("level"),
+        "i",
+        "v",
+    ).select(
+        F.col("level").cast("bigint").alias("level"),
+        F.expr(
+            "(i + shiftleft(CAST(1 AS BIGINT), level) - 1)"
+            " div shiftleft(CAST(1 AS BIGINT), level)"
+        ).alias("block"),
+        F.expr(
+            "CASE WHEN ((i + shiftleft(CAST(1 AS BIGINT), level - 1) - 1)"
+            " div shiftleft(CAST(1 AS BIGINT), level - 1)) % 2 = 1"
+            " THEN v ELSE -v END"
+        ).alias("sv"),
+    )
+    details = contrib.groupBy("level", "block").agg(
+        F.sum("sv").cast("bigint").alias("d")
+    )
+    return details.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("detail_energy"),
+    )
 
 
 # ---------------------------------------------------------------------------
