@@ -668,13 +668,30 @@ def q_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = clus.groupBy("ptype").agg(
         F.sum(F.expr("w * (w - 1) div 2")).cast("bigint").alias("ident_pairs")
     )
-    bk = None
-    for pname, kexpr in _fs_pass_keys(tx.SPARK):
-        p = clus.select(
-            "pk", "w", "ptype", "noun", "brand", "size", "cents", "adj",
-            F.lit(pname).alias("bpass"), F.expr(kexpr).alias("bkey"),
-        )
-        bk = p if bk is None else bk.unionByName(p)
+    # All six pass legs from ONE explode (r15, guide §2.4): the old
+    # unionByName of six selects of `clus` re-ran the cluster
+    # aggregation per leg (ReusedExchange dedups the exchange, not the
+    # post-shuffle HashAggregate); the (bpass, bkey) structs are plain
+    # row-local expressions, so one in-JVM explode over a single
+    # aggregation emits the identical rows.  This is NOT the rejected
+    # persist (see above): no InMemoryRelation leaf, AQE still sees
+    # runtime stage stats for the downstream joins.
+    bk = clus.select(
+        "pk", "w", "ptype", "noun", "brand", "size", "cents", "adj",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pname).alias("bpass"), F.expr(kexpr).alias("bkey")
+                    )
+                    for pname, kexpr in _fs_pass_keys(tx.SPARK)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "pk", "w", "ptype", "noun", "brand", "size", "cents", "adj",
+        F.col("e.bpass").alias("bpass"), F.col("e.bkey").alias("bkey"),
+    )
     # nch via a window count over the pass-block key: ONE shuffle where
     # the oracle-mirroring agg+join form pays two (measured isolated
     # best-of-3 at sf0.1: 2.66 s vs 5.08 s, bit-identical output — the

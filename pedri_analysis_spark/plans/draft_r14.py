@@ -1436,6 +1436,12 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.coalesce(F.col("csum").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        # persist, NOT localCheckpoint (r15 A/B): truncating lineage per
+        # generation with an eager localCheckpoint was tried against the
+        # ~500 KB iteration-5 analyzed plan and measured SLOWER warm at
+        # sf0.1 (8.3 s vs 7.0 s total) — five eager node-sized jobs cost
+        # more than the saved re-analysis, and the single final action
+        # pipelines the persisted chain better.
         ranks = ranks.persist()
     return (
         ranks.filter(F.col("rank") > 0.0)
