@@ -1927,16 +1927,29 @@ def _pi_cells(emb: DataFrame, n: int) -> DataFrame:
             " / count(*)"
         ).alias("m")
     )
-    xj = xi.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xj"))
     mi = means.select("i", F.col("m").alias("mi"))
     mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
     prod = (
         "CAST(floor(((CAST(xi AS DOUBLE) - mi) * (CAST(xj AS DOUBLE) - mj)) "
         "* 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
     )
+    # (i, j) pairs come from a SECOND in-JVM posexplode of the embedding
+    # kept on the xi row — the same vec-local dim x dim fan-out the old
+    # xi JOIN xj ON vec_id produced, without shuffling the exploded frame
+    # twice and sort-merge-joining it with itself (r15: 2 Exchanges +
+    # 1 join removed; partial aggregation still collapses each task to
+    # dim^2 cells before the only remaining exchange).
+    pairs = (
+        emb.select("vec_id", "embedding", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            (F.col("pos") + 1).alias("i"),
+            F.col("x").alias("xi"),
+            F.posexplode("embedding").alias("pos2", "xj"),
+        )
+        .select("i", "xi", (F.col("pos2") + 1).alias("j"), "xj")
+    )
     return (
-        xi.join(xj, "vec_id")
-        .join(F.broadcast(mi), "i")
+        pairs.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .groupBy("i", "j")
         .agg(F.expr(f"CAST(sum({prod}) AS DOUBLE) / {n}").alias("c"))

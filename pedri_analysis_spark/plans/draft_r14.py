@@ -772,23 +772,39 @@ def q_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.row_number().over(W.orderBy("day")).cast("bigint"))
         .select("i", F.expr(_acf_rel_dev(tx.SPARK)).cast("bigint").alias("x"))
     )
-    a = xs.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
-    b = xs.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
-    legs = None
-    for k in range(1, ACF_MAX_LAG + 1):
-        leg = (
-            a.join(b, F.col("ib") == F.col("ia") + k)
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-                F.sum(F.expr("xa * xb")).cast("bigint").alias("sxy"),
-                F.sum("xa").cast("bigint").alias("sx"),
-                F.sum("xb").cast("bigint").alias("sy"),
-                F.sum(F.expr("xa * xa")).cast("bigint").alias("sxx"),
-                F.sum(F.expr("xb * xb")).cast("bigint").alias("syy"),
-            )
-            .select(F.lit(k).cast("bigint").alias("lag"), "*")
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
+    # All {ACF_MAX_LAG} lag pairings come from ONE ordered pass: x_{i+k}
+    # is lead(x, k) over the calendar-bounded day frame, and the per-lag
+    # (xa, xb) pairs explode in-JVM from the same row.  The pair SET per
+    # lag is identical to the old per-lag self-join on ib = ia + k
+    # (lead(k) is non-null exactly for i <= n-k), and every aggregate is
+    # an order-free BIGINT sum — bit-identical results.  r15: the old
+    # unrolled form re-derived the day rollup + window stack 12x (two
+    # join legs x 6 lags; 70 Exchanges in the plan), this is 4.
+    wl = W.orderBy("i")
+    leads = xs.select(
+        "x",
+        *[
+            F.lead("x", k).over(wl).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    pair_structs = ", ".join(
+        f"named_struct('lag', CAST({k} AS BIGINT), 'xa', x, 'xb', x{k})"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    pairs = leads.select(
+        F.expr(
+            f"explode(filter(array({pair_structs}), p -> p.xb IS NOT NULL))"
+        ).alias("p")
+    ).select("p.lag", "p.xa", "p.xb")
+    legs = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("xa * xb")).cast("bigint").alias("sxy"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum("xb").cast("bigint").alias("sy"),
+        F.sum(F.expr("xa * xa")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("xb * xb")).cast("bigint").alias("syy"),
+    )
     return (
         legs.filter(
             (F.col("n_pairs") >= 2)

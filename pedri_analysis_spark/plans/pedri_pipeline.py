@@ -53,6 +53,11 @@ def _cnt(pred) -> F.Column:
     return F.sum(F.when(pred, 1).otherwise(0))
 
 
+def _cnt_s(pred: str) -> str:
+    """Textual twin of _cnt (one-parse construction, see predicates.py)."""
+    return f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END)"
+
+
 def _xg_dec(col: str = "shot.statsbomb_xg") -> F.Column:
     """xG summed in decimal for order-independent exactness, emitted as
     double (cross-engine deterministic; see plans.relational docstring)."""
@@ -64,13 +69,18 @@ def attack_directions(events: DataFrame) -> DataFrame:
     completed first-half passes >= 0 (reference extended.py:89-107; J4/A7).
 
     Scale: a narrow filtered aggregate over (match, team) — broadcast the
-    result back to the event stream."""
-    completed = P.pass_completed_v2() & (F.col("period") == 1)
-    dx = P.end_x() - P.loc_x()
+    result back to the event stream.  Built from the textual predicate
+    twins (predicates.py) — one parse instead of hundreds of py4j calls;
+    the expressions are identical (pinned by tests/test_pedri_sql_twins)."""
+    dx = f"({P.END_X_S} - {P.LOC_X_S})"
     return (
-        events.filter(completed & dx.isNotNull())
+        events.filter(
+            F.expr(
+                f"{P.PASS_COMPLETED_V2_S} AND period = 1 AND {dx} IS NOT NULL"
+            )
+        )
         .groupBy("match_id", F.col("team.name").alias("team"))
-        .agg((F.avg(dx) >= 0).alias("attacks_right"))
+        .agg(F.expr(f"avg({dx}) >= 0").alias("attacks_right"))
     )
 
 
@@ -85,7 +95,6 @@ def with_direction(events: DataFrame) -> DataFrame:
         .withColumnRenamed("team", "_dir_team")
         .withColumnRenamed("match_id", "_dir_match")
     )
-    base = F.coalesce(F.col("attacks_right"), F.lit(True))
     return (
         events.join(
             F.broadcast(dirs),
@@ -97,7 +106,11 @@ def with_direction(events: DataFrame) -> DataFrame:
         .drop("_dir_team")
         .withColumn(
             "attacks_right",
-            F.when(F.coalesce(F.col("period"), F.lit(1)) == 2, ~base).otherwise(base),
+            F.expr(
+                "CASE WHEN coalesce(period, 1) = 2"
+                " THEN NOT coalesce(attacks_right, true)"
+                " ELSE coalesce(attacks_right, true) END"
+            ),
         )
     )
 
@@ -112,22 +125,28 @@ def minutes_estimate(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFra
       last event time;
     - minutes = clamp(end - start, 10, 95).
     """
-    t = P.event_time_min()
-    own = events.filter(P.by_player(player_id)).groupBy("match_id").agg(
-        F.min(t).alias("t_first"), F.max(t).alias("t_last")
+    t = P.EVENT_TIME_MIN_S
+    own = events.filter(F.expr(P.by_player_s(player_id))).groupBy("match_id").agg(
+        F.expr(f"min({t})").alias("t_first"), F.expr(f"max({t})").alias("t_last")
     )
     sub_on = (
         events.filter(
-            P.is_type("Substitution")
-            & (F.col("substitution.replacement.id") == player_id)
+            F.expr(
+                f"{P.is_type_s('Substitution')}"
+                f" AND substitution.replacement.id = {player_id}"
+            )
         )
         .groupBy("match_id")
-        .agg(F.min(t).alias("on_min"))
+        .agg(F.expr(f"min({t})").alias("on_min"))
     )
     sub_off = (
-        events.filter(P.is_type("Substitution") & P.by_player(player_id))
+        events.filter(
+            F.expr(
+                f"{P.is_type_s('Substitution')} AND {P.by_player_s(player_id)}"
+            )
+        )
         .groupBy("match_id")
-        .agg(F.min(t).alias("off_min"))
+        .agg(F.expr(f"min({t})").alias("off_min"))
     )
     return (
         own.join(sub_on, "match_id", "left")
@@ -150,13 +169,20 @@ def lineup_position(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFram
     """Starting-XI position lookup (P15, reference analysis.py:190-198):
     array higher-order filter over ``tactics.lineup`` — no explode needed,
     stays a narrow per-row expression; first Starting XI row wins."""
-    entry = F.expr(
-        f"filter(tactics.lineup, p -> p.player.id = {player_id} OR p.player_id = {player_id})"
+    entry = (
+        f"filter(tactics.lineup, p -> p.player.id = {player_id}"
+        f" OR p.player_id = {player_id})"
     )
-    w = W.partitionBy("match_id").orderBy(P.event_time_min(), F.col("id"))
+    w = W.partitionBy("match_id").orderBy(F.expr(P.EVENT_TIME_MIN_S), F.col("id"))
     return (
-        events.filter(P.is_type("Starting XI"))
-        .withColumn("pos", F.when(F.size(entry) > 0, entry[0]["position"]["name"]))
+        events.filter(F.expr(P.is_type_s("Starting XI")))
+        .withColumn(
+            "pos",
+            F.expr(
+                f"CASE WHEN size({entry}) > 0"
+                f" THEN {entry}[0].position.name END"
+            ),
+        )
         .filter(F.col("pos").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -168,7 +194,9 @@ def player_team(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
     """The player's team per match = mode of team.name over their events
     (A6, reference extended.py:209-212); ties break lexicographically."""
     counts = (
-        events.filter(P.by_player(player_id) & F.col("team.name").isNotNull())
+        events.filter(
+            F.expr(f"{P.by_player_s(player_id)} AND team.name IS NOT NULL")
+        )
         .groupBy("match_id", F.col("team.name").alias("team"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -189,68 +217,78 @@ def per_match_basic(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFram
     Scale: predicate counters are `sum(when(pred,1))` — partial aggregation
     collapses each partition before the shuffle; the whole row set is
     |matches| ≈ tiny."""
-    me = P.by_player(player_id)
-    t = P.event_time_min()
-    is_sub = P.is_type("Substitution")
-    sub_on = is_sub & (F.col("substitution.replacement.id") == player_id)
+    me = P.by_player_s(player_id)
+    t = P.EVENT_TIME_MIN_S
+    is_sub = P.is_type_s("Substitution")
+    sub_on = f"({is_sub} AND substitution.replacement.id = {player_id})"
     # Starting-XI lineup pick (P15) fused into the same aggregate as an
     # ordered struct-min: min over (t, id, pos) structs is lexicographic,
     # so ["pos"] of the minimum == first qualifying row by (t, id) — the
     # standalone lineup_position() window, without its extra scan + join.
-    xi_entry = F.expr(
+    xi_entry = (
         f"filter(tactics.lineup, p -> p.player.id = {player_id}"
         f" OR p.player_id = {player_id})"
     )
-    xi_pos = F.when(F.size(xi_entry) > 0, xi_entry[0]["position"]["name"])
-    xi_pick = F.min(
-        F.when(
-            P.is_type("Starting XI") & xi_pos.isNotNull(),
-            F.struct(t.alias("t"), F.col("id").alias("id"), xi_pos.alias("pos")),
-        )
+    xi_pos = (
+        f"(CASE WHEN size({xi_entry}) > 0"
+        f" THEN {xi_entry}[0].position.name END)"
     )
-    carry_dist = F.when(
-        me & P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull(),
-        P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y()),
+    xi_pick = (
+        f"min(CASE WHEN {P.is_type_s('Starting XI')} AND {xi_pos} IS NOT NULL"
+        f" THEN named_struct('t', {t}, 'id', id, 'pos', {xi_pos}) END)"
+    )
+    carry_ok = (
+        f"({P.IS_CARRY_S} AND {P.END_X_S} IS NOT NULL"
+        f" AND {P.LOC_X_S} IS NOT NULL)"
+    )
+    carry_dist = (
+        f"(CASE WHEN {me} AND {carry_ok}"
+        f" THEN {P.euclid_s(P.LOC_X_S, P.LOC_Y_S, P.END_X_S, P.END_Y_S)} END)"
     )
     # ONE scan, ONE hash aggregate for the whole basic row: the reference's
     # per-file stat fold (A1), the minutes estimation branches (O6 —
     # minutes_estimate() as conditional min/max), and the lineup pick
     # (P15). Non-player rows needed by O6/P15 join the group via the
     # filter; the row set stays "matches with ≥1 player event" (_me_n).
-    base = events.filter(me | sub_on | P.is_type("Starting XI"))
+    # Aggregates are textual-twin SQL (predicates.py) — one parse per
+    # column instead of thousands of py4j calls (r15 driver-cost fix).
+    base = events.filter(
+        F.expr(f"{me} OR {sub_on} OR {P.is_type_s('Starting XI')}")
+    )
+    aggs = [
+        (_cnt_s(me), "_me_n"),
+        (_cnt_s(f"{me} AND {P.IS_PASS_S}"), "passes"),
+        (_cnt_s(f"{me} AND {P.PASS_COMPLETED_V1_S}"), "passes_completed"),
+        (_cnt_s(f"{me} AND {P.IS_KEY_PASS_V1_S}"), "key_passes"),
+        (_cnt_s(f"{me} AND {P.PROGRESSIVE_PASS_V1_S}"), "progressive_passes"),
+        (_cnt_s(f"{me} AND {P.IS_SHOT_S}"), "shots"),
+        (
+            _cnt_s(f"{me} AND {P.IS_SHOT_S} AND shot.outcome.name = 'Goal'"),
+            "goals",
+        ),
+        (
+            f"coalesce(CAST(sum(CAST(CASE WHEN {me} THEN shot.statsbomb_xg END"
+            f" AS DECIMAL(18,10))) AS DOUBLE), 0.0e0)",
+            "_xg_raw",
+        ),
+        (_cnt_s(f"{me} AND {P.IS_DRIBBLE_S}"), "dribbles"),
+        (_cnt_s(f"{me} AND {P.SUCCESSFUL_DRIBBLE_S}"), "dribbles_successful"),
+        (_cnt_s(f"{me} AND {P.IS_CARRY_S}"), "carries"),
+        (f"coalesce(sum({carry_dist}), 0.0e0)", "_carry_raw"),
+        (_cnt_s(f"{me} AND {P.IS_PRESSURE_S}"), "pressures"),
+        (_cnt_s(f"{me} AND {P.IS_TACKLE_V1_S}"), "tackles"),
+        (_cnt_s(f"{me} AND {P.IS_INTERCEPTION_S}"), "interceptions"),
+        (_cnt_s(f"{me} AND {P.IS_BALL_RECOVERY_S}"), "ball_recoveries"),
+        (f"min(CASE WHEN {me} THEN match_date END)", "match_date"),
+        (f"min(CASE WHEN {me} THEN {t} END)", "_t_first"),
+        (f"max(CASE WHEN {me} THEN {t} END)", "_t_last"),
+        (f"min(CASE WHEN {sub_on} THEN {t} END)", "_on_min"),
+        (f"min(CASE WHEN {me} AND {is_sub} THEN {t} END)", "_off_min"),
+        (xi_pick, "_xi"),
+    ]
     stats = (
         base.groupBy("match_id")
-        .agg(
-            _cnt(me).alias("_me_n"),
-            _cnt(me & P.is_pass()).alias("passes"),
-            _cnt(me & P.pass_completed_v1()).alias("passes_completed"),
-            _cnt(me & P.is_key_pass_v1()).alias("key_passes"),
-            _cnt(me & P.progressive_pass_v1()).alias("progressive_passes"),
-            _cnt(me & P.is_shot()).alias("shots"),
-            _cnt(
-                me & P.is_shot() & (F.col("shot.outcome.name") == "Goal")
-            ).alias("goals"),
-            F.coalesce(
-                F.sum(
-                    F.when(me, F.col("shot.statsbomb_xg")).cast("decimal(18,10)")
-                ).cast("double"),
-                F.lit(0.0),
-            ).alias("_xg_raw"),
-            _cnt(me & P.is_dribble()).alias("dribbles"),
-            _cnt(me & P.successful_dribble()).alias("dribbles_successful"),
-            _cnt(me & P.is_carry()).alias("carries"),
-            F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("_carry_raw"),
-            _cnt(me & P.is_pressure()).alias("pressures"),
-            _cnt(me & P.is_tackle_v1()).alias("tackles"),
-            _cnt(me & P.is_interception()).alias("interceptions"),
-            _cnt(me & P.is_ball_recovery()).alias("ball_recoveries"),
-            F.min(F.when(me, F.col("match_date"))).alias("match_date"),
-            F.min(F.when(me, t)).alias("_t_first"),
-            F.max(F.when(me, t)).alias("_t_last"),
-            F.min(F.when(sub_on, t)).alias("_on_min"),
-            F.min(F.when(me & is_sub, t)).alias("_off_min"),
-            xi_pick.alias("_xi"),
-        )
+        .agg(*[F.expr(s).alias(n) for s, n in aggs])
         .filter(F.col("_me_n") > 0)
     )
     pct = lambda num, den: F.when(den > 0, pround(100.0 * num / den, 1)).otherwise(0.0)
@@ -281,15 +319,15 @@ def xa_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
     equi-join — Catalyst broadcasts the pass side when small; at scale both
     sides shuffle on the pass id."""
     shots = events.filter(
-        P.is_shot() & F.col("shot.key_pass_id").isNotNull()
-    ).select(
-        F.col("match_id").alias("s_match"),
-        F.col("shot.key_pass_id").alias("kp_id"),
-        F.col("shot.statsbomb_xg").alias("s_xg"),
+        F.expr(f"{P.IS_SHOT_S} AND shot.key_pass_id IS NOT NULL")
+    ).selectExpr(
+        "match_id AS s_match",
+        "shot.key_pass_id AS kp_id",
+        "shot.statsbomb_xg AS s_xg",
     )
-    passes = events.filter(P.is_pass() & P.by_player(player_id)).select(
-        F.col("match_id").alias("p_match"), F.col("id").alias("p_id")
-    )
+    passes = events.filter(
+        F.expr(f"{P.IS_PASS_S} AND {P.by_player_s(player_id)}")
+    ).selectExpr("match_id AS p_match", "id AS p_id")
     return (
         shots.join(
             passes,
@@ -297,8 +335,9 @@ def xa_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFrame:
         )
         .groupBy(F.col("s_match").alias("match_id"))
         .agg(
-            F.coalesce(
-                F.sum(F.col("s_xg").cast("decimal(18,10)")).cast("double"), F.lit(0.0)
+            F.expr(
+                "coalesce(CAST(sum(CAST(s_xg AS DECIMAL(18,10))) AS DOUBLE),"
+                " 0.0e0)"
             ).alias("xa_raw")
         )
     )
@@ -310,12 +349,12 @@ def receptions_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> Dat
     player."""
     ev = with_direction(events)
     pred = (
-        (F.col("pass.recipient.id") == player_id)
-        & P.pass_completed_v2()
-        & P.progressive_v2(F.col("attacks_right"))
+        f"pass.recipient.id = {player_id}"
+        f" AND {P.PASS_COMPLETED_V2_S}"
+        f" AND {P.progressive_v2_s('attacks_right')}"
     )
     return (
-        ev.filter(pred)
+        ev.filter(F.expr(pred))
         .groupBy("match_id")
         .agg(F.count(F.lit(1)).alias("progressive_receptions"))
     )
@@ -330,16 +369,16 @@ def counterpress_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> D
     Scale: equi-keys (match, period) + time-range residual — a range join,
     shuffle on the equi keys only. The streaming analogue is a
     watermarked stream-stream interval join (streaming module)."""
-    t = P.event_time_min()
-    losses = events.filter(P.is_turnover() & P.by_player(player_id)).select(
-        F.col("match_id").alias("l_match"),
-        F.col("period").alias("l_period"),
-        t.alias("l_t"),
+    t = P.EVENT_TIME_MIN_S
+    losses = events.filter(
+        F.expr(f"{P.IS_TURNOVER_S} AND {P.by_player_s(player_id)}")
+    ).selectExpr(
+        "match_id AS l_match", "period AS l_period", f"{t} AS l_t"
     )
-    pressures = events.filter(P.is_pressure() & P.by_player(player_id)).select(
-        F.col("match_id").alias("match_id"),
-        F.col("period").alias("p_period"),
-        t.alias("p_t"),
+    pressures = events.filter(
+        F.expr(f"{P.IS_PRESSURE_S} AND {P.by_player_s(player_id)}")
+    ).selectExpr(
+        "match_id AS match_id", "period AS p_period", f"{t} AS p_t"
     )
     hit = pressures.join(
         losses,
@@ -356,16 +395,17 @@ def team_xg_per_match(events: DataFrame, player_id: int = P.PLAYER_ID) -> DataFr
     """team_total_xg: xG of ALL shots by the player's team — aggregated
     before any player filter (the §7 watch-list trap)."""
     teams = player_team(events, player_id)
-    shots = events.filter(P.is_shot()).select(
-        "match_id", F.col("team.name").alias("shot_team"), F.col("shot.statsbomb_xg").alias("xg")
+    shots = events.filter(F.expr(P.IS_SHOT_S)).selectExpr(
+        "match_id", "team.name AS shot_team", "shot.statsbomb_xg AS xg"
     )
     return (
         shots.join(F.broadcast(teams), "match_id")
         .filter(F.col("shot_team") == F.col("team"))
         .groupBy("match_id")
         .agg(
-            F.coalesce(
-                F.sum(F.col("xg").cast("decimal(18,10)")).cast("double"), F.lit(0.0)
+            F.expr(
+                "coalesce(CAST(sum(CAST(xg AS DECIMAL(18,10))) AS DOUBLE),"
+                " 0.0e0)"
             ).alias("team_total_xg_raw")
         )
     )
@@ -380,11 +420,17 @@ def per_match_extended(
     match_id (the reference's four sequential passes become four parallel
     DataFrame branches off one scan)."""
     ev = with_direction(events)
-    me = P.by_player(player_id)
-    ar = F.col("attacks_right")
-    carry_ok = P.is_carry() & P.end_x().isNotNull() & P.loc_x().isNotNull()
-    carry_dist = F.when(
-        me & carry_ok, P.euclid(P.loc_x(), P.loc_y(), P.end_x(), P.end_y())
+    me = P.by_player_s(player_id)
+    ar = "attacks_right"
+    pcv2 = P.PASS_COMPLETED_V2_S
+    prog = P.progressive_v2_s(ar)
+    carry_ok = (
+        f"({P.IS_CARRY_S} AND {P.END_X_S} IS NOT NULL"
+        f" AND {P.LOC_X_S} IS NOT NULL)"
+    )
+    carry_dist = (
+        f"(CASE WHEN {me} AND {carry_ok}"
+        f" THEN {P.euclid_s(P.LOC_X_S, P.LOC_Y_S, P.END_X_S, P.END_Y_S)} END)"
     )
     # The reference's receptions pass (extended.py:340-354) reads the SAME
     # direction-joined stream as the main loop, just without the player
@@ -394,61 +440,60 @@ def per_match_extended(
     # conjoin every main-loop predicate with `me`, and post-filter to
     # matches where the player actually appeared (preserving the row set of
     # the old main ⟕ receptions join).
-    reception = (
-        (F.col("pass.recipient.id") == player_id)
-        & P.pass_completed_v2()
-        & P.progressive_v2(ar)
-    )
-    base = ev.filter(me | (F.col("pass.recipient.id") == player_id))
+    # Aggregates are textual-twin SQL (predicates.py) — one parse per
+    # column instead of thousands of py4j calls (r15 driver-cost fix).
+    reception = f"(pass.recipient.id = {player_id} AND {pcv2} AND {prog})"
+    base = ev.filter(F.expr(f"{me} OR pass.recipient.id = {player_id}"))
+    aggs = [
+        (_cnt_s(me), "_me_n"),
+        (_cnt_s(f"{me} AND {P.IS_PASS_S}"), "passes"),
+        (_cnt_s(f"{me} AND {pcv2}"), "passes_completed"),
+        (_cnt_s(f"{me} AND {pcv2} AND {prog}"), "progressive_passes"),
+        (
+            _cnt_s(f"{me} AND {pcv2} AND {P.in_final_third_s(P.END_X_S, ar)}"),
+            "final_third_passes",
+        ),
+        (
+            _cnt_s(
+                f"{me} AND {pcv2}"
+                f" AND {P.in_penalty_area_s(P.END_X_S, P.END_Y_S, ar)}"
+            ),
+            "penalty_area_passes",
+        ),
+        (_cnt_s(f"{me} AND {P.deep_completion_s(ar)}"), "deep_completions"),
+        (_cnt_s(f"{me} AND {P.SWITCH_OF_PLAY_S}"), "switches"),
+        (_cnt_s(f"{me} AND {P.IS_CROSS_S}"), "crosses"),
+        (_cnt_s(f"{me} AND {P.IS_KEY_PASS_V2_S}"), "key_passes"),
+        (_cnt_s(f"{me} AND {pcv2} AND pass.goal_assist = true"), "assists"),
+        (
+            _cnt_s(f"{me} AND {P.UNDER_PRESSURE_COMPLETED_PASS_S}"),
+            "passes_under_pressure",
+        ),
+        (_cnt_s(f"{me} AND {P.IS_SHOT_S}"), "shots"),
+        (
+            _cnt_s(f"{me} AND {P.IS_SHOT_S} AND shot.outcome.name = 'Goal'"),
+            "goals",
+        ),
+        (
+            f"coalesce(CAST(sum(CAST(CASE WHEN {me} THEN shot.statsbomb_xg END"
+            f" AS DECIMAL(18,10))) AS DOUBLE), 0.0e0)",
+            "xg_raw",
+        ),
+        (_cnt_s(f"{me} AND {P.IS_DRIBBLE_S}"), "dribbles"),
+        (_cnt_s(f"{me} AND {P.SUCCESSFUL_DRIBBLE_S}"), "dribbles_successful"),
+        (_cnt_s(f"{me} AND {P.IS_CARRY_S}"), "carries"),
+        (f"coalesce(sum({carry_dist}), 0.0e0)", "carry_distance_raw"),
+        (_cnt_s(f"{me} AND {carry_ok} AND {prog}"), "progressive_carries"),
+        (_cnt_s(f"{me} AND {P.IS_TACKLE_V2_S}"), "tackles"),
+        (_cnt_s(f"{me} AND {P.IS_INTERCEPTION_S}"), "interceptions"),
+        (_cnt_s(f"{me} AND {P.IS_BALL_RECOVERY_S}"), "ball_recoveries"),
+        (_cnt_s(f"{me} AND {P.IS_PRESSURE_S}"), "pressures"),
+        (_cnt_s(f"{me} AND {P.IS_TURNOVER_S}"), "turnovers"),
+        (_cnt_s(reception), "progressive_receptions"),
+    ]
     main = (
         base.groupBy("match_id")
-        .agg(
-            _cnt(me).alias("_me_n"),
-            _cnt(me & P.is_pass()).alias("passes"),
-            _cnt(me & P.pass_completed_v2()).alias("passes_completed"),
-            _cnt(me & P.pass_completed_v2() & P.progressive_v2(ar)).alias(
-                "progressive_passes"
-            ),
-            _cnt(
-                me & P.pass_completed_v2() & P.in_final_third(P.end_x(), ar)
-            ).alias("final_third_passes"),
-            _cnt(
-                me
-                & P.pass_completed_v2()
-                & P.in_penalty_area(P.end_x(), P.end_y(), ar)
-            ).alias("penalty_area_passes"),
-            _cnt(me & P.deep_completion(ar)).alias("deep_completions"),
-            _cnt(me & P.switch_of_play()).alias("switches"),
-            _cnt(me & P.is_cross()).alias("crosses"),
-            _cnt(me & P.is_key_pass_v2()).alias("key_passes"),
-            _cnt(
-                me & P.pass_completed_v2() & (F.col("pass.goal_assist") == True)  # noqa: E712
-            ).alias("assists"),
-            _cnt(me & P.under_pressure_completed_pass()).alias(
-                "passes_under_pressure"
-            ),
-            _cnt(me & P.is_shot()).alias("shots"),
-            _cnt(me & P.is_shot() & (F.col("shot.outcome.name") == "Goal")).alias(
-                "goals"
-            ),
-            F.coalesce(
-                F.sum(
-                    F.when(me, F.col("shot.statsbomb_xg")).cast("decimal(18,10)")
-                ).cast("double"),
-                F.lit(0.0),
-            ).alias("xg_raw"),
-            _cnt(me & P.is_dribble()).alias("dribbles"),
-            _cnt(me & P.successful_dribble()).alias("dribbles_successful"),
-            _cnt(me & P.is_carry()).alias("carries"),
-            F.coalesce(F.sum(carry_dist), F.lit(0.0)).alias("carry_distance_raw"),
-            _cnt(me & carry_ok & P.progressive_v2(ar)).alias("progressive_carries"),
-            _cnt(me & P.is_tackle_v2()).alias("tackles"),
-            _cnt(me & P.is_interception()).alias("interceptions"),
-            _cnt(me & P.is_ball_recovery()).alias("ball_recoveries"),
-            _cnt(me & P.is_pressure()).alias("pressures"),
-            _cnt(me & P.is_turnover()).alias("turnovers"),
-            _cnt(reception).alias("progressive_receptions"),
-        )
+        .agg(*[F.expr(s).alias(n) for s, n in aggs])
         .filter(F.col("_me_n") > 0)
         .drop("_me_n")
     )

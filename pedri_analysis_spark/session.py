@@ -65,6 +65,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # PySpark 4's per-call error-context capture walks the Python stack
+        # and makes TWO extra py4j round trips on EVERY DataFrame API call
+        # (pyspark/errors/utils.py::_with_origin). Profiled r15: ~0.3-0.4 s
+        # of pure driver time per complex query build. It only enriches
+        # error messages with user line numbers — scale-independent driver
+        # hygiene to disable in a production pipeline, no result change.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
