@@ -1276,19 +1276,39 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jaccard_ppm DESC, a, b)."""
     from pedri_analysis_spark.plans.resolution_queries import _copurchase_edges
 
+    # r15: materialize the edge persist BEFORE fan-out (the ann_lsh
+    # lazy-persist lesson — three consumers in one job race the cache
+    # fill and each recomputes the co-purchase aggregate), and generate
+    # candidate pairs from ONE sorted neighbor set per intermediary
+    # (collect_set + in-JVM pair explode, the _copurchase_edges pattern)
+    # instead of the adj x adj self-join: the x/y join legs' two
+    # v-exchanges collapse into one partial-agg'd groupBy(v).  Fan-out
+    # per intermediary is the same C(deg, 2), deg <= LP_DEG_CAP by the
+    # size() gate (identical to the old mid semi-join: y-rows whose v
+    # fails the cap never matched an x-row).
     e = _copurchase_edges(spark, sf_dir).select("pa", "pb").persist()
-    adj = (
-        e.select(F.col("pa").alias("v"), F.col("pb").alias("nbr"))
-        .unionByName(e.select(F.col("pb").alias("v"), F.col("pa").alias("nbr")))
-        .persist()
-    )
+    e.count()
+    adj = e.select(
+        F.explode(
+            F.expr(
+                "array(struct(pa AS v, pb AS nbr), struct(pb AS v, pa AS nbr))"
+            )
+        ).alias("x")
+    ).select("x.v", "x.nbr")
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    mid = deg.filter(F.col("deg") <= LP_DEG_CAP).select("v")
-    x = adj.join(mid, "v").select("v", F.col("nbr").alias("a"))
-    y = adj.select("v", F.col("nbr").alias("b"))
+    nbrs = adj.groupBy("v").agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
     cand = (
-        x.join(y, "v")
-        .filter(F.col("a") < F.col("b"))
+        nbrs.filter(F.size("ns") <= LP_DEG_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
         .filter(F.col("common") >= LP_MIN_COMMON)

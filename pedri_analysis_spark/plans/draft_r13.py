@@ -816,7 +816,13 @@ def q_ndcg_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed 4-query sample, one qid shuffle shared by both rankings,
     cost independent of index growth.  cosine_fast is the allowlisted
     Arrow kernel (per-pair vector dot; the Catalyst HOF fold measured
-    5x slower — see embedding_near_dups)."""
+    5x slower — see embedding_near_dups).  The IVF rank is a
+    cumulative sum of the probe-membership flag over the SAME
+    (sim DESC, vec_id) order as the exact rank — both ranks come out
+    of one Window over one exchange of the scored frame, so the
+    Arrow scoring pass runs ONCE and the old exact⋈ivf
+    (qid, vec_id) self-join disappears (r15 optimization; the flag
+    join is a broadcast of the 8-row probe set BEFORE the exchange)."""
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
@@ -851,21 +857,25 @@ def q_ndcg_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NPROBE)
         .select("qid", "cluster")
     )
+    flagged = scored.join(
+        F.broadcast(probe.withColumn("_inp", F.lit(1))),
+        ["qid", "cluster"],
+        "left",
+    ).withColumn("inp", F.coalesce(F.col("_inp"), F.lit(0)))
     wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    ranked = scored.withColumn("rne", F.row_number().over(wq)).select(
-        "qid", "vec_id", "rne"
-    )
-    ivf = (
-        scored.join(F.broadcast(probe), ["qid", "cluster"])
-        .withColumn("rni", F.row_number().over(wq))
-        .filter(F.col("rni") <= NDCG_K)
-        .select("qid", "vec_id", "rni")
+    both = flagged.select(
+        "qid",
+        "inp",
+        F.row_number().over(wq).alias("rne"),
+        F.sum("inp")
+        .over(wq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("rni"),
     )
     rel = f"(CASE WHEN rne <= {NDCG_K} THEN {NDCG_K + 1} - rne ELSE 0 END)"
     dcg_sql = f"CAST(sum({rel} * {_ndcg_wcase('rni')}) AS BIGINT)"
     ndcg_sql = tx.floor_scaled_div(tx.SPARK, dcg_sql, str(NDCG_IDCG), 1_000_000)
     return (
-        ivf.join(ranked, ["qid", "vec_id"])
+        both.filter((F.col("inp") == 1) & (F.col("rni") <= NDCG_K))
         .groupBy(F.col("qid").alias("query_id"))
         .agg(
             F.expr(dcg_sql).alias("dcg_microsum"),

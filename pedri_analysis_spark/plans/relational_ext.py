@@ -1655,11 +1655,13 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: revenue terms are exact DECIMAL products summed in
     DECIMAL; the share is one double division of two exact values.
 
-    Scale: lineitem joins orders on orderkey (the one big-big shuffle);
-    every other arm — customer->nation->region and supplier->nation —
-    collapses to broadcast hash joins, and the region filter prunes the
-    customer arm before it reaches the fact.  The final aggregate is
-    partial-agg'd to |years| rows."""
+    Scale: the EUROPE-customer arm prunes ORDERS before the fact join
+    (inner joins commute), so the one big-big shuffle moves only the
+    ~1/|regions| of orders that survive — and AQE, seeing the shrunken
+    build side at the stage boundary, demotes it to a broadcast join
+    locally; every other arm — customer->nation->region and
+    supplier->nation — collapses to broadcast hash joins.  The final
+    aggregate is partial-agg'd to |years| rows."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1686,9 +1688,14 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
 
     rev = money("l_extendedprice") * factor(1 - F.col("l_discount"))
+    # Join order matters (guide §3): filter orders through the EUROPE
+    # customer arm FIRST (broadcast semi-shape, no shuffle), so the
+    # orderkey join only sees the surviving ~1/|regions| of orders.
+    o_euro = o.join(euro_cust, o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(euro_cust, o.o_custkey == F.col("c_custkey"))
+        li.join(o_euro, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year(F.col("o_orderdate").cast("timestamp"))

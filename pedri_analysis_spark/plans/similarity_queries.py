@@ -1044,23 +1044,35 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NPROBE)
         .select("qid", "cluster")
     )
+    # Both ranks from ONE Window over ONE exchange (r15 optimization):
+    # the probe membership joins on as a broadcast flag BEFORE the qid
+    # exchange, the IVF rank is the cumulative flag sum over the same
+    # (sim DESC, vec_id) total order as the exact row_number, and the
+    # old exact⋈ivf (qid, vec_id) self-join — which re-ran the Arrow
+    # scoring pass through a second exchange — disappears.
+    flagged = scored.join(
+        F.broadcast(probe.withColumn("_inp", F.lit(1))),
+        ["qid", "cluster"],
+        "left",
+    ).withColumn("inp", F.coalesce(F.col("_inp"), F.lit(0)))
     wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    ranked = scored.withColumn("rne", F.row_number().over(wq))
-    ivf = (
-        scored.join(F.broadcast(probe), ["qid", "cluster"])
-        .withColumn("rni", F.row_number().over(wq))
-        .select("qid", "vec_id", "rni")
+    both = flagged.select(
+        "qid",
+        "inp",
+        F.row_number().over(wq).alias("rne"),
+        F.sum("inp")
+        .over(wq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("rni"),
     )
     hit = F.when(
-        (F.col("rne") <= SQ_K) & (F.col("rni") <= SQ_K), 1
+        (F.col("inp") == 1) & (F.col("rne") <= SQ_K) & (F.col("rni") <= SQ_K), 1
     ).otherwise(0)
     return (
-        ranked.join(ivf, ["qid", "vec_id"], "left")
-        .groupBy(F.col("qid").alias("query_id"))
+        both.groupBy(F.col("qid").alias("query_id"))
         .agg(
             F.sum(hit).cast("bigint").alias("n_overlap"),
             F.expr(
-                f"CAST(sum(CASE WHEN rne <= {SQ_K} AND rni <= {SQ_K}"
+                f"CAST(sum(CASE WHEN inp = 1 AND rne <= {SQ_K} AND rni <= {SQ_K}"
                 f" THEN 1 ELSE 0 END) AS DOUBLE) / {SQ_K}"
             ).alias("recall_at_k"),
         )

@@ -750,42 +750,61 @@ def q_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     each other's content (crawl snapshots, mirrored corpora) before
     mixture weights are trusted.
 
-    Scale: shingles are per-row generates deduped to (source, gram)
-    pairs in ONE shuffle; the pair join hashes on the gram key, and its
-    fan-out per gram is bounded by the number of SOURCES carrying the
-    gram (≤ |sources| per gram, never doc×doc — at web scale a df cap
+    Scale: shingles are per-row generates collapsed to one
+    ``collect_set(source)`` row per gram in ONE partial-agg'd shuffle
+    (the set absorbs the (source, gram) distinct); every source pair a
+    gram witnesses — plus an (s, s) diagonal row per member carrying
+    the per-source gram count — explodes in-JVM from that set, bounded
+    by C(|sources|, 2) per gram, never doc×doc (at web scale a df cap
     on ubiquitous grams bounds the hot keys the same way the
-    boilerplate screen does); per-source totals are a |sources|-row
-    frame the planner broadcasts back.  Output is |sources|²/2 rows —
-    bounded by the catalog of sources, not the corpus."""
+    boilerplate screen does); the pair rollup partial-aggregates to a
+    |sources|²-row frame from which the diagonal broadcasts back onto
+    the off-diagonal rows.  Output is |sources|²/2 rows — bounded by
+    the catalog of sources, not the corpus."""
     from pedri_analysis_spark.operators import spread
 
     d = spread(load_table(spark, "documents", sf_dir)).select(
         "source", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
     )
-    g = (
+    # One sorted source-set per gram (collect_set = the old distinct, one
+    # shuffle instead of three); pair fan-out generated inside codegen —
+    # the _copurchase_edges pattern.  slice(i+1) keeps x itself, so each
+    # gram also emits (x, x) diagonal rows: after the pair rollup the
+    # diagonal IS the per-source distinct-gram count (a < b pairs never
+    # collide with it), replacing the separate per-source groupBy leg.
+    ss = (
         d.select(
             "source",
             F.explode(F.expr(tx.word_shingles(tx.SPARK, "toks", k=3))).alias("gram"),
         )
-        .distinct()
-        .persist()
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )
-    g.count()  # materialize before the multi-consumer self-join
-    n = g.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
-    a = g.select(F.col("source").alias("source_a"), "gram")
-    b = g.select(F.col("source").alias("source_b"), "gram")
-    p = (
-        a.join(b, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    m = (
+        ss.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 1, size(ss)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.sa", "e.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
-    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    p = m.filter(F.col("sa") < F.col("sb")).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("c").alias("n_shared_grams"),
+    )
+    diag = m.filter(F.col("sa") == F.col("sb"))
+    na = diag.select(F.col("sa").alias("source_a"), F.col("c").alias("na"))
+    nb = diag.select(F.col("sa").alias("source_b"), F.col("c").alias("nb"))
     return (
-        p.join(na, "source_a")
-        .join(nb, "source_b")
+        p.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
         .select(
             "source_a",
             "source_b",
