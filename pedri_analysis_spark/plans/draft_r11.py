@@ -139,7 +139,13 @@ def q_bootstrap_ci_avg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: weights, sums, and the floor-divided means are pure
     integer arithmetic; ranks break ties on mean value only (equal
     means are interchangeable for a quantile)."""
-    o = load_table(spark, "orders", sf_dir).select(
+    from pedri_analysis_spark.operators import spread
+
+    # spread BEFORE the md5 + 32x explode: a single-row-group parquet
+    # file scans as ONE task, so without it the whole hash/weight fan-out
+    # (REPS x |orders| rows of CASE + instr) serializes on one core
+    # (r15; no-op at cluster split counts by construction).
+    o = spread(load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")).select(
         F.expr(_boot_h(tx.SPARK)).alias("h"),
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("cents"),
     )

@@ -436,17 +436,20 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT) over a corpus-wide single group — then a
     |sources| x 3 rollup.  Determinism: pure counting; ppm ratios are
     floor-divided integers."""
-    tok = load_table(spark, "documents", sf_dir).select(
+    # r15: one tokenize pass + ONE tagged explode instead of three union
+    # legs (each leg re-ran the tokenizer + its own scan); spread()
+    # parallelizes the single-row-group scan before the heavy per-row work.
+    tok = spread(load_table(spark, "documents", sf_dir)).select(
         "source", F.expr(tx.tokens(tx.SPARK, "text")).alias("t")
     )
-    grams = None
-    for n in (1, 2, 3):
-        g = tok.select(
-            "source",
-            F.lit(n).cast("bigint").alias("n"),
-            F.explode(F.expr(_ngrams_pos(tx.SPARK, "t", n))).alias("g"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    tagged = "concat(" + ", ".join(
+        f"transform({_ngrams_pos(tx.SPARK, 't', n)}, "
+        f"x -> struct(CAST({n} AS BIGINT) AS n, x AS g))"
+        for n in (1, 2, 3)
+    ) + ")"
+    grams = tok.select(
+        "source", F.explode(F.expr(tagged)).alias("e")
+    ).select("source", "e.n", "e.g")
     per_gram = grams.groupBy("source", "n", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -1071,14 +1074,18 @@ def q_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window's input to the frequent-vocabulary size (~sqrt
     corpus under Zipf), the same pre-filter discipline as
     stratified_reservoir_topk."""
+    # r15: tokenize ONCE — tt / lg / nn are exact rollups of the
+    # (lang, token) frame (sum of a), so the old four independent
+    # consumers (each re-running tokenize+explode over its own scan)
+    # collapse to one corpus pass + three tiny second-level aggregates.
     tok = (
         load_table(spark, "documents", sf_dir)
         .select("lang", F.explode(F.expr(tx.tokens(tx.SPARK, "text"))).alias("token"))
     )
     lt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
-    tt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("t_tot"))
-    lg = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("l_tot"))
-    nn = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tt = lt.groupBy("token").agg(F.sum("a").cast("bigint").alias("t_tot"))
+    lg = lt.groupBy("lang").agg(F.sum("a").cast("bigint").alias("l_tot"))
+    nn = lt.agg(F.sum("a").cast("bigint").alias("n"))
     cells = (
         lt.filter(F.col("a") >= CHI2_MIN_COUNT)
         .join(tt, "token")

@@ -73,6 +73,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from pedri_analysis_spark.functions import textexpr as tx
+from pedri_analysis_spark.operators import spread
 from pedri_analysis_spark.plans.relational import QueryFn, factor, money
 from pedri_analysis_spark.sources.tables import load_table
 
@@ -1686,7 +1687,7 @@ def q_prefix_filter_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics).  Per-doc ranking windows are doc-sized; the verify join
     is candidate-pair x doc-size, bounded by the candidate prune."""
     sh = tx.word_shingles(tx.SPARK, "toks", PFJ_K)
-    g0 = load_table(spark, "documents", sf_dir).select(
+    g0 = spread(load_table(spark, "documents", sf_dir)).select(
         "doc_id", F.expr(tx.tokens(tx.SPARK, "text")).alias("toks")
     ).select("doc_id", F.explode(F.expr(sh)).alias("g")).distinct()
     dfreq = g0.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))

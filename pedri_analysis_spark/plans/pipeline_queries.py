@@ -208,7 +208,7 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     shingles = tx.word_shingles_spark_fast("_toks", CONTAM_K)
     grams = f"transform({shingles}, g -> {gh})"
     d = (
-        load_table(spark, "documents", sf_dir)
+        spread(load_table(spark, "documents", sf_dir))
         .withColumn("_toks", F.expr(tx.tokens(tx.SPARK, "text")))
         .select("doc_id", "lang", F.expr(grams).alias("grams"))
         .persist()
@@ -313,7 +313,7 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions. Bigrams are built with aligned-slice zip_with (one array
     traversal per row, no per-element lambda re-evaluation)."""
     d = (
-        load_table(spark, "documents", sf_dir)
+        spread(load_table(spark, "documents", sf_dir))
         .select(
             "doc_id",
             "lang",
@@ -414,7 +414,7 @@ def q_pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final partial+final aggregate; at 100 TB the redacted text
     would be written back via a partitioned sink while this same
     aggregate streams out as the audit report."""
-    planted = load_table(spark, "documents", sf_dir).select(
+    planted = spread(load_table(spark, "documents", sf_dir)).select(
         "lang", F.expr(_pii_planted(tx.SPARK)).alias("t")
     )
     redacted = F.regexp_replace(
