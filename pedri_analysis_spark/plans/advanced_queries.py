@@ -491,7 +491,14 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames broadcast back — a 100 TB plan as long as the group-key
     cardinality is modest; for high-cardinality keys you swap
     `percentile` for `approx_percentile` and keep the same shape."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    from pedri_analysis_spark.operators import spread
+
+    # spread (r15): three consumers scan this frame (median agg, the
+    # deviation join, the final rollup) and a single-row-group input
+    # serializes each scan's map side on one core.
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
     )
