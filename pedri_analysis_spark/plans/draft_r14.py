@@ -1594,7 +1594,12 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
             .filter(F.col("sup") >= KTRUSS_K - 2)
         )
-        nxt = cur.join(sup.select("pa", "pb"), ["pa", "pb"]).persist()
+        # r15: the join back onto cur was a no-op — every projected
+        # triangle edge IS a cur edge by construction (all three legs of
+        # the wedge join read cur), and the support rollup already
+        # dedups to one row per edge, so the survivor set is sup itself.
+        # One join + exchange removed per round.
+        nxt = sup.select("pa", "pb").persist()
         n = nxt.count()
         out_rows.append((i + 1, counts[-1] - n, n))
         counts.append(n)
