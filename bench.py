@@ -134,24 +134,26 @@ def main() -> None:
     # driver can parse even if it keeps only a tail of the output.  (Round-1
     # lesson: a ~4 KB single line with all 76 timings was tail-truncated and
     # recorded as parsed:null.)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "failures": failures,
-                "sf": _sf_label(SF_DIR),
-                "runs": runs,
-                "loadavg_before": load_before,
-                "loadavg_after": load_after,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "failures": failures,
+        "sf": _sf_label(SF_DIR),
+        "runs": runs,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Legacy name (kept for existing consumers) PLUS a per-core-count copy:
+    # the driver's low-core scaling run used to overwrite the main run's
+    # per-query ground truth (r15 verdict item) — keying a second copy by
+    # $SPARK_GRAFT_CPUS preserves both. Additive only; stdout unchanged.
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{detail['cpus']}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     compact = {
         "metric": "headline_queries_total_runtime",
@@ -162,6 +164,9 @@ def main() -> None:
         "n_failed": len(failures),
         "sf": _sf_label(SF_DIR),
         "detail": "BENCH_DETAIL.json",
+        # additive context key (r15 verdict): host load brackets the run so
+        # cross-round comparisons can normalize for co-tenant noise
+        "loadavg": [load_before, load_after],
     }
     print(json.dumps(compact))
     spark.stop()

@@ -1,14 +1,14 @@
-"""Dump explain('formatted') for named queries to plans/r15/<q>_<tag>.txt.
+"""Dump explain("formatted") for named queries to plans/r16/<q>_<tag>.txt (override with $SNAP_OUT_DIR).
 
 Usage: python tools/snap_plans.py <repo_root> <tag> q1 [q2 ...]
-Writes into THIS repo's plans/r15/ regardless of which root's code runs
+Writes into THIS repo's plans/r16/ regardless of which root's code runs
 (so a pre-change worktree can produce *_before snapshots)."""
 import io
 import os
 import sys
 from contextlib import redirect_stdout
 
-OUT_DIR = "/root/repo/plans/r15"
+OUT_DIR = os.environ.get("SNAP_OUT_DIR", "/root/repo/plans/r16")
 
 
 def main() -> int:
