@@ -405,12 +405,26 @@ def q_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the materialized persist) — at every real SF nch==1 and the
     # helper returns the unchunked plan
     chunked = chk.mod_chunk(buckets, ["tbl", "bk"], "vec_id", ANN_CHUNK)
-    x = chunked.select(F.col("vec_id").alias("a"), "tbl", "bk", "chunk")
-    y = chunked.select(F.col("vec_id").alias("b"), "tbl", "bk", "chunk")
+    # r16: bucket-mate pairs from ONE sorted-set aggregate + in-JVM pair
+    # explode (the co-purchase-substrate pattern) instead of the bucket
+    # self-join — one (tbl, bk, chunk) exchange instead of two join legs.
+    # Within the r15 pattern bound: groups are ≤ ANN_CHUNK fixed-width
+    # BIGINTs (chunk = hash(vec_id) % nch caps occupancy), never wide
+    # string sets. vec_ids are unique per bucket (posexplode emits one bk
+    # per table per vec), and sort_array makes a < b positional.
     pairs = (
-        x.join(y, ["tbl", "bk", "chunk"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        chunked.groupBy("tbl", "bk", "chunk")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("vs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) -> "
+                    "transform(slice(vs, i + 2, size(vs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
