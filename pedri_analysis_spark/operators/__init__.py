@@ -1,7 +1,16 @@
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
+
+# Analyzed-plan node types through which a scan's split count passes
+# unchanged to the frame's partitioning. Anything else (Aggregate, Join,
+# Repartition, Union, Generate, Window, ...) changes or multiplies the
+# partitioning, so the file-based estimate below would be wrong — those
+# frames fall back to the exact probe.
+_SCAN_SHAPED_NODES = frozenset({"Project", "Filter", "Relation", "SubqueryAlias"})
+_NODE_RE = re.compile(r"^[\s:+-]*'?([A-Za-z]+)")
 
 
 def _size_bytes(text: str) -> int:
@@ -36,6 +45,11 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     cost is the correct price for an exact answer).
     """
     try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+        for line in tree.splitlines():
+            m = _NODE_RE.match(line)
+            if m and m.group(1) not in _SCAN_SHAPED_NODES:
+                return None  # not scan-shaped: partitioning != file splits
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file plans, analysis quirks
         return None

@@ -41,6 +41,30 @@ def test_non_file_frame_falls_back(spark):
     assert out.count() == 10
 
 
+def test_post_shuffle_frame_falls_back(spark):
+    """A frame whose partitioning is no longer the scan's split count
+    (aggregate / union / repartition downstream) must NOT take the
+    file-based estimate — spread() would otherwise insert a pointless
+    repartition over an already-parallel frame (the r16 cascade bug)."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, "documents", SF_DIR)
+    agg = base.groupBy("lang").count()
+    assert _estimated_scan_splits(agg) is None
+    unioned = base.select("doc_id").unionByName(base.select("doc_id"))
+    assert _estimated_scan_splits(unioned) is None
+    rep = base.repartition(4)
+    assert _estimated_scan_splits(rep) is None
+    # and spread() on the aggregate matches the old exact-probe decision
+    target = spark.sparkContext.defaultParallelism
+    n_exact = agg.rdd.getNumPartitions()
+    out = spread(agg)
+    if n_exact < target:
+        assert out.rdd.getNumPartitions() == target
+    else:
+        assert out is agg
+
+
 def test_spread_decision_unchanged(spark):
     """spread() must repartition exactly when the old probe would have."""
     target = spark.sparkContext.defaultParallelism
