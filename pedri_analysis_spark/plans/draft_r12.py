@@ -868,11 +868,28 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("pa")
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("pa").alias("v"))
-        .union(edges.select(F.col("pb").alias("v")))
-        .distinct()
-        .localCheckpoint()
+
+    def endpoints(e):
+        """Distinct node set of an edge frame (lazy)."""
+        return (
+            e.select(F.explode(F.array(F.col("pa"), F.col("pb"))).alias("v"))
+            .distinct()
+        )
+
+    # r16 (verdict item 4): ONE materialization per round instead of two.
+    # The round's only checkpoint is the DEGREE-ANNOTATED edge frame
+    # (pa, pb, dega, degb); both frames the old form checkpointed
+    # separately now derive lazily from it with no recomputation risk:
+    #   survivors  = rows with dega >= K AND degb >= K   (a filter)
+    #   keep nodes = distinct endpoints with deg >= K    (one small agg)
+    # keep == nodes JOIN deg [>= K] exactly: every node with current
+    # degree >= K >= 1 touches a current edge, so it appears in the
+    # annotated frame with its degree; zero-degree nodes drop from both
+    # forms. Eager jobs per query: 1 + ITERS (was 2 + 2*ITERS); the
+    # multiplicative-lineage reasoning above still holds — each round's
+    # consumers all read the one checkpointed generation.
+    nodes_cnt = endpoints(edges).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
     )
     out = None
     for i in range(KCORE_ITERS):
@@ -883,22 +900,33 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         )
-        keep = (
-            nodes.join(deg, "v")
-            .filter(F.col("deg") >= KCORE_K)
-            .select("v")
-            .localCheckpoint()
-        )
-        new_edges = (
-            edges.join(keep.select(F.col("v").alias("pa")), "pa")
-            .join(keep.select(F.col("v").alias("pb")), "pb")
-            .select("pa", "pb")
+        ann = (
+            edges.join(deg.select(F.col("v").alias("pa"), F.col("deg").alias("dega")), "pa")
+            .join(deg.select(F.col("v").alias("pb"), F.col("deg").alias("degb")), "pb")
+            .select("pa", "pb", "dega", "degb")
             .repartition("pa")
             .localCheckpoint()
         )
+        new_edges = (
+            ann.filter((F.col("dega") >= KCORE_K) & (F.col("degb") >= KCORE_K))
+            .select("pa", "pb")
+        )
+        keep_cnt = (
+            ann.select(
+                F.explode(
+                    F.expr(
+                        "array(struct(pa AS v, dega AS deg), "
+                        "struct(pb AS v, degb AS deg))"
+                    )
+                ).alias("x")
+            )
+            .filter(F.col("x.deg") >= KCORE_K)
+            .select(F.col("x.v").alias("v"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
         row = (
-            nodes.agg(F.count(F.lit(1)).alias("n_before"))
-            .crossJoin(keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+            nodes_cnt.crossJoin(keep_cnt)
             .crossJoin(
                 new_edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
             )
@@ -912,7 +940,8 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = row if out is None else out.unionByName(row)
-        nodes, edges = keep, new_edges
+        nodes_cnt = keep_cnt.select(F.col("n_nodes").alias("n_before"))
+        edges = new_edges
     return out
 
 
