@@ -127,16 +127,28 @@ def lsh_candidate_pairs(
         .select(F.col(key_col), F.explode(band_structs).alias("e"))
         .select(key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
     )
-    # guard: cap pathological buckets before the self-join
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(F.col(key_col).alias("a"), "band", "bk")
-    b = sized.select(F.col(key_col).alias("b"), "band", "bk")
+    # r16: bucket-mate pairs from ONE sorted-set aggregate + in-JVM pair
+    # explode instead of window-count + bucket self-join — the former plan
+    # paid an exchange+sort for the size cap and two more bucket-keyed
+    # exchanges for the join legs; the aggregate form pays one. Cap
+    # semantics are identical: bucket_n was constant within a bucket
+    # (each key appears once per band), so dropping whole oversized
+    # buckets == dropping both join sides. Groups are <= max_bucket
+    # fixed-width keys — inside the r15 explode-pattern bound.
     return (
-        a.join(b, ["band", "bk"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.groupBy("band", "bk")
+        .agg(F.sort_array(F.collect_set(key_col)).alias("vs"))
+        .filter((F.size("vs") >= 2) & (F.size("vs") <= max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) -> "
+                    "transform(slice(vs, i + 2, size(vs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -285,6 +297,13 @@ def simhash_prefix_near_dups(
     blocks = hashed.select(
         F.col(key_col), "simhash", F.posexplode(chunk_vals).alias("ck", "ckv")
     )
+    # r16 measured REJECTION of the sorted-set pair explode here (the
+    # lsh_candidate_pairs rewrite): chunk buckets have NO size cap and
+    # this corpus' template clusters make them large (150k+ true pairs at
+    # sf0.1), so the per-row O(|bucket|^2) struct-array materialization
+    # lost to the streaming hash join — ABAB 1.17/1.23 s (join) vs
+    # 1.68/1.66 s (explode). The r15 pattern bound holds: explode-pairs
+    # only for SMALL CAPPED groups.
     a = blocks.select(
         F.col(key_col).alias("a"), F.col("simhash").alias("sh_a"), "ck", "ckv"
     )
@@ -364,22 +383,32 @@ def incremental_minhash_dedup(
         .select("_tag", F.col(key_col), F.explode(band_structs).alias("e"))
         .select("_tag", key_col, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
     )
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    x = sized.filter(F.col("_tag") == "d").select(
-        F.col(key_col).alias("a"), "band", "bk"
-    )
-    y = sized.select(
-        F.col(key_col).alias("b"), F.col("_tag").alias("btag"), "band", "bk"
-    )
+    # r16: asymmetric bucket-mate pairs from ONE sorted-set aggregate +
+    # in-JVM explode (see lsh_candidate_pairs) instead of window-count +
+    # tagged self-join. Pairing rule unchanged: a delta doc pairs with
+    # every corpus bucket-mate and with EARLIER (lower-key) delta mates;
+    # keys are disjoint across corpus/delta (documented precondition), so
+    # key inequality alone separates x from y. The cap counted ALL rows
+    # in a bucket (c + d) — size(vs) reproduces it exactly.
     pairs = (
-        x.join(y, ["band", "bk"])
-        .filter(
-            (F.col("btag") == "c")
-            | ((F.col("btag") == "d") & (F.col("b") < F.col("a")))
+        buckets.groupBy("band", "bk")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(key_col).alias("k"), F.col("_tag").alias("t")))
+            ).alias("vs")
         )
-        .select("a", "b", "btag")
+        .filter((F.size("vs") >= 2) & (F.size("vs") <= max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(filter(vs, x -> x.t = 'd'), x -> "
+                    "transform(filter(vs, y -> y.t = 'c' OR "
+                    "(y.t = 'd' AND y.k < x.k)), "
+                    "y -> struct(x.k AS a, y.k AS b, y.t AS btag))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.btag")
         .distinct()
     )
     verified = jaccard_verify(pairs, sigs.select(key_col, "sh"), key_col, threshold)
