@@ -1742,20 +1742,50 @@ def q_mutual_top1_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax by (v DESC, partner ASC) as a struct max: (v, -partner)
     # compares lexicographically, so ties on v resolve to the SMALLEST
     # partner key — exactly the oracle's row_number order.
-    topc = (
-        pair.groupBy("c")
-        .agg(F.max(F.struct("v", (-F.col("s")).alias("ns"))).alias("m"))
-        .select("c", (-F.col("m.ns")).alias("s"), F.col("m.v").alias("v"))
+    # r16 (verdict item 5): BOTH directions' argmaxes come from ONE
+    # aggregate over the side-tagged explode of the pair frame — the two
+    # per-side groupBys each re-keyed the |pair|-sized frame with its own
+    # exchange; the tagged form shuffles the same 2·|pair| rows once and
+    # ReusedExchange serves both consumers of `best`.
+    cand = pair.select(
+        F.explode(
+            F.expr(
+                "array(struct(0L AS side, c AS key, s AS partner, v), "
+                "struct(1L AS side, s AS key, c AS partner, v))"
+            )
+        ).alias("e")
+    ).select("e.*")
+    best = cand.groupBy("side", "key").agg(
+        F.max(F.struct("v", (-F.col("partner")).alias("np"))).alias("m")
     )
-    tops = (
-        pair.groupBy("s")
-        .agg(F.max(F.struct("v", (-F.col("c")).alias("nc"))).alias("m"))
-        .select("s", (-F.col("m.nc")).alias("c"))
-    )
-    return topc.join(tops, ["c", "s"]).select(
-        F.col("c").alias("custkey"),
-        F.col("s").alias("suppkey"),
-        F.col("v").alias("trade_x1e4"),
+    # The mutuality check is a COUNT, not a join: normalize each side's
+    # argmax row back to its (c, s) pair — a pair occurs at most once per
+    # side, so a groupBy(c, s) with count == 2 is exactly topc ⨝ tops
+    # (and both rows carry the same v, the pair's trade value). The old
+    # two-groupBy + equi-join form planned the whole fact-join/pair-agg
+    # subtree TWICE (no exchange reuse across the join's sides: 8 scans);
+    # this linear pipeline computes it once (4 scans) and replaces the
+    # SortMergeJoin with one |best|-sized aggregate.
+    return (
+        best.select(
+            F.when(
+                F.col("side") == 0,
+                F.struct(F.col("key").alias("c"), (-F.col("m.np")).alias("s")),
+            )
+            .otherwise(
+                F.struct((-F.col("m.np")).alias("c"), F.col("key").alias("s"))
+            )
+            .alias("p"),
+            F.col("m.v").alias("v"),
+        )
+        .groupBy("p.c", "p.s")
+        .agg(F.count(F.lit(1)).alias("n_sides"), F.max("v").alias("v"))
+        .filter(F.col("n_sides") == 2)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("s").alias("suppkey"),
+            F.col("v").alias("trade_x1e4"),
+        )
     )
 
 
