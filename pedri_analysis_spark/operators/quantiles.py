@@ -71,6 +71,13 @@ def exact_quantiles(
     if len(names) != len(probs):
         raise ValueError("names and probs must have equal length")
 
+    # Parallelizing the passes stays REJECTED after two attempts:
+    # spread() alone (r15 — the exchange re-materializes per collected
+    # pass, binning/winsorize regressed 1.7→2.9/3.3 s) and r16's
+    # spread+persist (same-session interleaved A/B: old 0.75–0.97 s vs
+    # new 1.34–1.64 s steady-state — the repartition exchange + cache
+    # fill cost more than the single-task GK sketch they parallelize).
+    # The sketch is cheap per row; the passes are exchange-dominated.
     nn = df.filter(v.isNotNull()).select(v.alias("__v"))
     vv = F.col("__v")
 
