@@ -793,7 +793,15 @@ def q_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("e.sa", "e.sb")
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # r16 (r15 ADVICE): m feeds THREE consumers (p, na, nb) and the
+        # static plan showed no exchange reuse — 6 parquet scans, the
+        # tokenize+shingle corpus pass planned 3x. m is |sources|²-bounded
+        # (tiny), so persist + materialize collapses the corpus pass to
+        # one execution; the lazy-persist race (ann_lsh lesson) is why
+        # the count is eager.
+        .persist()
     )
+    m.count()
     p = m.filter(F.col("sa") < F.col("sb")).select(
         F.col("sa").alias("source_a"),
         F.col("sb").alias("source_b"),
