@@ -1795,7 +1795,14 @@ def q_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    base = o.join(c, "o_custkey").select("segment", "cents", "fold")
+    base = o.join(c, "o_custkey").select("segment", "cents", "fold").persist()
+    # r16: base feeds THREE consumers (model fit, calibration scores, the
+    # eval pass) — unpersisted, each re-ran the orders scan + customer
+    # join. The projection is narrow (segment, cents, fold) and every
+    # downstream join is an EXPLICIT broadcast hint, so the fellegi
+    # stats-loss rejection does not apply; eager count avoids the
+    # lazy-persist cache race (ann_lsh lesson).
+    base.count()
     model = (
         base.filter(F.col("fold") == 0)
         .groupBy("segment")
